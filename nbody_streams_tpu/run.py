@@ -1,0 +1,375 @@
+"""Integration drivers: device-resident KDK runs with snapshot/restart I/O.
+
+TPU-native redesign of the reference's integrator entry points
+(reference: run.py:327-1219).  One driver serves every backend; the
+differences (CPU vs TPU device, jnp vs Pallas vs sharded force
+implementation, fp32-compensated vs fp64 state) are configuration, not
+separate code paths:
+
+* the hot loop is chunks of ``lax.scan``-compiled KDK steps (no per-step
+  Python dispatch — the reference pays a kernel launch per step),
+* state stays on device; hosts see data only at snapshot/restart
+  boundaries,
+* user ``force_extra`` callables run through an ordered host callback
+  inside the compiled step, so even the compatibility path keeps the
+  scanned structure; jittable :class:`~nbody_streams_tpu.integrate.ForceExtra`
+  objects (e.g. dynamical friction) stay fully on device.
+"""
+from __future__ import annotations
+
+import time as pytime
+import warnings
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .constants import G_DEFAULT, validate_kernel, validate_precision
+from .integrate import (
+    ForceExtra,
+    IntegratorState,
+    init_state,
+    make_accel_fn,
+    make_kdk_step,
+    run_chunk,
+    system_energy,
+)
+from .nbody_io import (
+    _load_restart,
+    _save_restart,
+    _save_snapshot,
+    _update_snapshot_times,
+)
+from .ops.dispatch import DirectGravity
+from .species import Species
+
+__all__ = ["run_nbody", "run_nbody_tpu", "run_nbody_cpu"]
+
+
+class CallbackForceExtra(ForceExtra):
+    """Adapter for reference-style plain callables.
+
+    Wraps ``fn(pos, vel, masses, time) -> (N, 3)`` (reference semantics,
+    run.py:689-692) in an ordered host callback so it executes at the right
+    point inside the scanned KDK step.  Stateful closures (the reference's
+    DF force_extra mutates a dict) remain correct because the callback is
+    ordered.
+    """
+
+    def __init__(self, fn, mass_np, n, dtype):
+        self.fn = fn
+        self.mass_np = np.asarray(mass_np, np.float64)
+        self.n = int(n)
+        self.dtype = dtype
+
+    def __call__(self, state, pos, vel, mass, t, phi=None):
+        import jax.experimental
+
+        def host(p, v, tt):
+            out = self.fn(np.asarray(p), np.asarray(v), self.mass_np,
+                          float(tt))
+            return np.asarray(out, dtype=self.dtype)
+
+        acc = jax.experimental.io_callback(
+            host,
+            jax.ShapeDtypeStruct((self.n, 3), self.dtype),
+            pos, vel, t,
+            ordered=True,
+        )
+        return acc, state
+
+
+def _resolve_device(architecture: str):
+    if architecture in ("auto", None):
+        return None
+    if architecture == "cpu":
+        return jax.devices("cpu")[0]
+    if architecture in ("tpu", "gpu"):
+        # 'gpu' accepted for drop-in compatibility with reference call sites
+        for kind in ("tpu", "axon"):
+            try:
+                return jax.devices(kind)[0]
+            except RuntimeError:
+                continue
+        raise RuntimeError(
+            "No TPU device available (architecture="
+            f"{architecture!r}); use architecture='cpu'"
+        )
+    raise ValueError(f"Unknown architecture {architecture!r}")
+
+
+def _snapshot_schedule(total_steps: int, snapshots: int) -> np.ndarray:
+    if snapshots > 1:
+        return np.round(np.linspace(0, total_steps, snapshots)).astype(int)
+    return np.array([total_steps], dtype=int)
+
+
+def run_nbody(
+    phase_space: np.ndarray,
+    masses: np.ndarray,
+    time_start: float,
+    time_end: float,
+    dt: float,
+    softening=0.0,
+    G: float = G_DEFAULT,
+    precision: str = "float32_kahan",
+    kernel: str = "spline",
+    external_potential=None,
+    external_update_interval: int = 1,
+    force_extra=None,
+    output_dir: str = "./output",
+    save_snapshots: bool = True,
+    snapshots: int = 10,
+    num_files_to_write: int = 1,
+    restart_interval: int = 1000,
+    continue_run: bool = False,
+    overwrite: bool = False,
+    verbose: bool = True,
+    debug_energy: bool = False,
+    species: list[Species] | None = None,
+    architecture: str = "auto",
+    impl: str = "auto",
+    devices=None,
+    block_size: int | None = None,
+    nan_check: bool = True,
+) -> np.ndarray:
+    """Run a KDK leapfrog N-body integration; returns final (N, 6) float64.
+
+    Reference-equivalent surface of ``run_nbody_gpu``/``run_nbody_cpu``
+    (reference: run.py:327,777) with TPU-native semantics:
+
+    * ``precision``: 'float32' | 'float32_kahan' (compensated force
+      accumulation *and* compensated state updates) | 'float64' (requires
+      x64; validation use).
+    * ``impl``: force backend — 'auto' | 'jnp' | 'pallas' | 'sharded'.
+    * ``devices``: device list for the sharded backend (defaults to all).
+    * snapshots/restart files are schema-compatible with the reference
+      (see nbody_io).
+    """
+    validate_kernel(kernel)
+    validate_precision(precision)
+
+    phase_space = np.asarray(phase_space, np.float64)
+    if phase_space.ndim != 2 or phase_space.shape[1] != 6:
+        raise ValueError(f"phase_space must be (N, 6), got {phase_space.shape}")
+    n = phase_space.shape[0]
+    masses = np.asarray(masses, np.float64)
+    if masses.ndim == 0:
+        masses = np.full(n, float(masses))
+    if masses.shape != (n,):
+        raise ValueError(f"masses must have length N={n}, got {masses.shape}")
+    soft_arr = np.asarray(softening, np.float64)
+    if soft_arr.ndim == 0:
+        soft_arr = np.full(n, float(soft_arr))
+
+    output_path = Path(output_dir)
+
+    # Overwrite / continue guards (reference: run.py:513-526)
+    if save_snapshots and not continue_run:
+        existing = sorted(output_path.glob("snapshot*.h5"))
+        if existing:
+            if overwrite:
+                for f in existing:
+                    f.unlink()
+                (output_path / "snapshot.times").unlink(missing_ok=True)
+                if verbose:
+                    print(f"Removed {len(existing)} existing snapshot "
+                          f"file(s) in '{output_dir}'.")
+            else:
+                raise FileExistsError(
+                    f"Output directory '{output_dir}' already contains "
+                    f"snapshot files: {[f.name for f in existing]}. Pass "
+                    "overwrite=True to delete them, or continue_run=True "
+                    "to resume."
+                )
+
+    start_step = 0
+    t_now = float(time_start)
+    snapshot_counter = None
+    xv = phase_space.copy()
+    if continue_run:
+        restart = _load_restart(output_path)
+        if restart is not None:
+            xv, t_now, start_step, saved_counter = restart[:4]
+            snapshot_counter = int(saved_counter)
+            if verbose:
+                print(f"Resuming from step {start_step}, time {t_now:.6e}")
+
+    total_steps = int(round((time_end - time_start) / dt))
+    snap_steps = _snapshot_schedule(total_steps, snapshots)
+    if snapshot_counter is None:
+        snapshot_counter = int(np.searchsorted(snap_steps, start_step, "left"))
+
+    device = _resolve_device(architecture)
+    state_dtype = jnp.float64 if precision == "float64" else jnp.float32
+
+    snap_kwargs = dict(
+        num_files_to_write=num_files_to_write,
+        total_expected_snapshots=snapshots,
+        time_step=dt,
+    )
+    restart_kwargs = {}
+    if species is not None:
+        snap_kwargs["species"] = species
+        restart_kwargs = dict(
+            mass_arr=masses,
+            softening_arr=soft_arr,
+            species_names=[s.name for s in species],
+            species_N=[s.N for s in species],
+        )
+    else:
+        snap_kwargs["mass_dark"] = float(masses[0])
+
+    if verbose:
+        backend = device.platform if device else jax.default_backend()
+        print("=" * 70)
+        print(f"TPU-native N-body integration  [{backend}/{impl}, "
+              f"{precision}, kernel={kernel}]")
+        print(f"Particles: {n:,}  steps: {total_steps:,} "
+              f"(start {start_step})  dt={dt:.3e}")
+        print("=" * 70)
+
+    ctx = jax.default_device(device) if device is not None else _nullctx()
+    with ctx:
+        solver = DirectGravity(
+            masses, soft_arr, G=G, kernel=kernel, precision=precision,
+            impl=impl, block_size=block_size, devices=devices,
+        )
+        mass_dev = solver.mass
+
+        fx = force_extra
+        if fx is not None and not isinstance(fx, ForceExtra):
+            fx = CallbackForceExtra(fx, masses, n, state_dtype)
+
+        accel_fn = make_accel_fn(
+            solver, mass_dev, external_potential, external_update_interval,
+            fx,
+        )
+        step_fn = make_kdk_step(accel_fn, dt, time_start,
+                                compensated=(precision != "float64"))
+
+        state = init_state(
+            xv[:, :3], xv[:, 3:], accel_fn, mass_dev, time_start,
+            start_step=start_step, dtype=state_dtype, force_extra=fx,
+        )
+
+        e_ref = None
+        if debug_energy:
+            ke, pe = jax.jit(
+                lambda s: system_energy(s, solver, mass_dev)
+            )(state)
+            e_ref = float(ke) + float(pe)
+            if verbose:
+                print(f"[energy t0] KE={float(ke):.4e} PE={float(pe):.4e} "
+                      f"E={e_ref:.4e}")
+
+        def fetch_xv(st: IntegratorState) -> np.ndarray:
+            pos, vel = jax.device_get((st.pos, st.vel))
+            return np.hstack([np.asarray(pos, np.float64),
+                              np.asarray(vel, np.float64)])
+
+        def write_snapshot(xv_host, counter, t):
+            _save_snapshot(xv_host, counter, t, output_path, **snap_kwargs)
+            _update_snapshot_times(output_path, counter, t)
+            if verbose:
+                print(f"  snapshot {counter:03d} @ t={t:.6e}")
+
+        # Initial snapshot if scheduled at start_step
+        if (snapshot_counter < len(snap_steps)
+                and snap_steps[snapshot_counter] == start_step):
+            if save_snapshots:
+                write_snapshot(fetch_xv(state), snapshot_counter, t_now)
+            snapshot_counter += 1
+
+        # Event boundaries: snapshot steps + restart multiples
+        events = set(snap_steps[snap_steps > start_step].tolist())
+        if restart_interval and restart_interval > 0:
+            events.update(
+                range(
+                    ((start_step // restart_interval) + 1) * restart_interval,
+                    total_steps + 1,
+                    restart_interval,
+                )
+            )
+        events.add(total_steps)
+        boundaries = sorted(e for e in events if e > start_step)
+
+        t_wall0 = pytime.perf_counter()
+        current = start_step
+        for boundary in boundaries:
+            n_steps = boundary - current
+            if n_steps <= 0:
+                continue
+            state = run_chunk(step_fn, state, n_steps)
+            current = boundary
+            t_now = time_start + current * dt
+
+            due_snap = (snapshot_counter < len(snap_steps)
+                        and current >= snap_steps[snapshot_counter])
+            due_restart = (restart_interval and current % restart_interval == 0
+                           ) or current == total_steps
+            if due_snap or due_restart or debug_energy:
+                xv_host = fetch_xv(state)
+                if nan_check and not np.isfinite(xv_host).all():
+                    _save_restart(xv_host, t_now, current, output_path,
+                                  snapshot_counter, **restart_kwargs)
+                    raise FloatingPointError(
+                        f"Non-finite phase space at step {current}; restart "
+                        f"saved to {output_path}/restart.npz"
+                    )
+                while (snapshot_counter < len(snap_steps)
+                       and current >= snap_steps[snapshot_counter]):
+                    if save_snapshots:
+                        write_snapshot(xv_host, snapshot_counter, t_now)
+                    snapshot_counter += 1
+                if due_restart:
+                    _save_restart(xv_host, t_now, current, output_path,
+                                  snapshot_counter, **restart_kwargs)
+            if verbose:
+                elapsed = pytime.perf_counter() - t_wall0
+                done = current - start_step
+                rate = done / elapsed if elapsed > 0 else 0.0
+                line = (f"  step {current:>7}/{total_steps} | t={t_now:.4e} "
+                        f"| {rate:.1f} steps/s | "
+                        f"avg {1e3 * elapsed / max(done, 1):.1f} ms/step")
+                if debug_energy and e_ref:
+                    ke, pe = jax.jit(
+                        lambda s: system_energy(s, solver, mass_dev)
+                    )(state)
+                    etot = float(ke) + float(pe)
+                    line += (f" | Q={float(ke) / abs(float(pe)):.3f} "
+                             f"dE/E={(etot - e_ref) / abs(e_ref):+.2e}")
+                print(line, flush=True)
+
+        xv_final = fetch_xv(state)
+        _save_restart(xv_final, t_now, total_steps, output_path,
+                      snapshot_counter, **restart_kwargs)
+
+    if verbose:
+        wall = pytime.perf_counter() - t_wall0
+        done = total_steps - start_step
+        if done > 0 and wall > 0:
+            print(f"Done: {done} steps in {wall:.2f} s "
+                  f"({done / wall:.1f} steps/s, "
+                  f"{1e3 * wall / done:.2f} ms/step)")
+    return xv_final
+
+
+def _nullctx():
+    import contextlib
+
+    return contextlib.nullcontext()
+
+
+def run_nbody_tpu(*args, **kwargs):
+    """TPU-pinned driver (reference run_nbody_gpu equivalent)."""
+    kwargs.setdefault("architecture", "tpu")
+    return run_nbody(*args, **kwargs)
+
+
+def run_nbody_cpu(*args, **kwargs):
+    """CPU-pinned driver (reference run_nbody_cpu equivalent)."""
+    kwargs.setdefault("architecture", "cpu")
+    kwargs.setdefault("impl", "jnp")
+    return run_nbody(*args, **kwargs)

@@ -1,0 +1,159 @@
+"""Unified multi-species simulation entry point.
+
+Reference-equivalent surface of ``run_simulation`` (reference: sim.py:34),
+re-targeted at the TPU backends: one driver handles every architecture
+(see run.py), so this layer only does species validation/assembly, DF
+wiring, and kwarg routing.
+
+Method mapping (reference hardcodes a solver per backend, sim.py:236-242):
+
+* ``method='direct'`` — O(N^2) direct summation; Pallas kernel on a single
+  TPU chip, blocked jnp elsewhere.  Kernel default 'spline'.
+* ``method='tree'``   — the reference's tree tier is replaced by
+  *mesh-sharded direct summation* (particles sharded over the device mesh,
+  source blocks ring-permuted over ICI).  Same accuracy class or better
+  (it is exact), comparable throughput scaling; accepts ``devices=``.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from .constants import G_DEFAULT
+from .run import run_nbody
+from .species import (
+    Species,
+    _build_particle_arrays,
+    _emit_performance_warnings,
+    _split_by_species,
+    _validate_species,
+)
+
+__all__ = ["run_simulation"]
+
+_DIRECT_KW = {
+    "precision", "kernel", "external_update_interval", "impl", "devices",
+    "block_size", "nan_check",
+}
+_DF_KW = {
+    "df_M_sat", "df_coulomb_mode", "df_fixed_ln_lambda", "df_core_gamma",
+    "df_r_core", "df_update_interval", "df_sigma_method",
+    "df_apply_radius_factor", "df_shrink_n_iter", "df_shrink_frac",
+    "df_sigma_grid_r",
+}
+
+
+def run_simulation(
+    phase_space: np.ndarray,
+    species: list[Species],
+    time_start: float,
+    time_end: float,
+    dt: float,
+    G: float = G_DEFAULT,
+    architecture: str = "tpu",
+    method: str = "direct",
+    external_potential=None,
+    dynamical_friction: bool = False,
+    output_dir: str = "./output",
+    save_snapshots: bool = True,
+    snapshots: int = 100,
+    num_files_to_write: int = 1,
+    restart_interval: int = 1000,
+    continue_run: bool = False,
+    overwrite: bool = False,
+    verbose: bool = True,
+    debug_energy: bool = False,
+    **kwargs,
+) -> dict[str, np.ndarray]:
+    """Run a multi-species N-body simulation; returns {name: (N_k, 6)}.
+
+    See the reference docstring surface (reference: sim.py:34-250) for the
+    full parameter semantics; differences here:
+
+    * ``architecture``: 'cpu' | 'tpu' ('gpu' accepted as an alias for
+      'tpu' for drop-in compatibility) | 'auto'.
+    * ``method='tree'`` routes to the sharded direct backend (see module
+      docstring); ``theta``/``nleaf``/``ncrit``/``level_split`` are
+      accepted and ignored with a warning (no tree approximation exists —
+      results are exact).
+    * dynamical friction is a fully jittable on-device term (``df_*``
+      kwargs as in the reference).
+    """
+    phase_space = np.asarray(phase_space, np.float64)
+    if phase_space.ndim != 2 or phase_space.shape[1] != 6:
+        raise ValueError(
+            f"phase_space must be (N, 6), got {phase_space.shape}"
+        )
+    if architecture not in ("cpu", "gpu", "tpu", "auto"):
+        raise ValueError(
+            f"architecture must be 'cpu' or 'tpu', got {architecture!r}"
+        )
+    if method not in ("direct", "tree"):
+        raise ValueError(f"method must be 'direct' or 'tree', got {method!r}")
+
+    _validate_species(phase_space, species)
+    mass_arr, soft_arr = _build_particle_arrays(species)
+    n_total = phase_space.shape[0]
+    _emit_performance_warnings(n_total, architecture, method)
+
+    # Route kwargs
+    kw = dict(kwargs)
+    direct_kwargs = {k: kw.pop(k) for k in list(kw) if k in _DIRECT_KW}
+    df_kwargs = {k: kw.pop(k) for k in list(kw) if k in _DF_KW}
+    for legacy in ("theta", "nleaf", "ncrit", "level_split",
+                   "step_timeout_s", "nthreads"):
+        if legacy in kw:
+            kw.pop(legacy)
+            if verbose:
+                print(f"note: {legacy!r} has no effect on the TPU backends "
+                      "(sharded direct summation is exact)")
+    if kw:
+        raise TypeError(f"Unknown keyword arguments: {sorted(kw)}")
+
+    force_extra = None
+    if dynamical_friction:
+        if external_potential is None:
+            raise ValueError(
+                "dynamical_friction=True requires external_potential"
+            )
+        from .friction import make_df_force_extra
+
+        m_sat = df_kwargs.pop("df_M_sat", float(mass_arr.sum()))
+        force_extra = make_df_force_extra(
+            external_potential,
+            M_sat=m_sat,
+            G=G,
+            **{k.removeprefix("df_"): v for k, v in df_kwargs.items()},
+        )
+    elif df_kwargs:
+        raise TypeError(
+            f"df_* kwargs given but dynamical_friction=False: "
+            f"{sorted(df_kwargs)}"
+        )
+
+    if method == "tree":
+        direct_kwargs.setdefault("impl", "sharded")
+
+    xv_final = run_nbody(
+        phase_space,
+        mass_arr,
+        time_start,
+        time_end,
+        dt,
+        softening=soft_arr,
+        G=G,
+        external_potential=external_potential,
+        force_extra=force_extra,
+        output_dir=output_dir,
+        save_snapshots=save_snapshots,
+        snapshots=snapshots,
+        num_files_to_write=num_files_to_write,
+        restart_interval=restart_interval,
+        continue_run=continue_run,
+        overwrite=overwrite,
+        verbose=verbose,
+        debug_energy=debug_energy,
+        species=species,
+        architecture=architecture,
+        **direct_kwargs,
+    )
+    return _split_by_species(xv_final, species)

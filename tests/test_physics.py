@@ -1,0 +1,183 @@
+"""Physics integration tests: conservation laws against the independent
+NumPy oracle, multi-species runs, IO round-trip, restart resume.
+
+Mirrors the reference's backbone physics suite (reference:
+tests/test_physics.py:51-715).
+"""
+import os
+
+import numpy as np
+import pytest
+
+from nbody_streams_tpu import (
+    G_DEFAULT,
+    ParticleReader,
+    Species,
+    make_plummer_sphere,
+    run_simulation,
+)
+
+from numpy_oracle import total_energy
+
+DT = 2e-5
+SOFT = 0.003
+
+
+def small_plummer(n=80, seed=1):
+    xv, m = make_plummer_sphere(n, M_total=1e4, a=0.01, seed=seed)
+    return xv, m
+
+
+@pytest.mark.parametrize("precision", ["float64", "float32_kahan"])
+def test_energy_momentum_conservation(tmp_path, precision):
+    xv, m = small_plummer()
+    sp = [Species.dark(N=80, mass=float(m[0]), softening=SOFT)]
+    E0 = total_energy(xv, m, SOFT, G_DEFAULT)
+    p0 = (m[:, None] * xv[:, 3:]).sum(0)
+
+    res = run_simulation(
+        xv, sp, 0.0, 50 * DT, DT, architecture="cpu", method="direct",
+        output_dir=str(tmp_path), snapshots=3, verbose=False,
+        precision=precision,
+    )
+    xv1 = res["dark"]
+    E1 = total_energy(xv1, m, SOFT, G_DEFAULT)
+    p1 = (m[:, None] * xv1[:, 3:]).sum(0)
+
+    assert abs(E1 - E0) / abs(E0) < 1e-2
+    # Momentum: exactly conserved up to round-off
+    pscale = np.abs(m[:, None] * xv1[:, 3:]).sum()
+    tol = 1e-10 if precision == "float64" else 1e-5
+    assert np.abs(p1 - p0).max() < tol * pscale
+
+
+def test_com_drift_prediction(tmp_path):
+    """A system given a bulk velocity drifts ballistically."""
+    xv, m = small_plummer()
+    v_bulk = np.array([10.0, -5.0, 2.0])
+    xv[:, 3:] += v_bulk
+    sp = [Species.dark(N=80, mass=float(m[0]), softening=SOFT)]
+    t_end = 50 * DT
+    res = run_simulation(
+        xv, sp, 0.0, t_end, DT, architecture="cpu", output_dir=str(tmp_path),
+        save_snapshots=False, verbose=False, precision="float64",
+    )
+    com0 = xv[:, :3].mean(0)
+    com1 = res["dark"][:, :3].mean(0)
+    np.testing.assert_allclose(com1 - com0, v_bulk * t_end, rtol=1e-6,
+                               atol=1e-9)
+
+
+def test_multi_species_conservation(tmp_path):
+    """dark + star + BH combined system conserves E and P."""
+    rng = np.random.default_rng(3)
+    xv_d, m_d = make_plummer_sphere(60, M_total=1e4, a=0.01, seed=2)
+    xv_s, m_s = make_plummer_sphere(30, M_total=1e3, a=0.005, seed=3)
+    xv_b = np.zeros((1, 6))
+    xv = np.vstack([xv_d, xv_s, xv_b])
+    species = [
+        Species.dark(60, float(m_d[0]), 0.004),
+        Species.star(30, float(m_s[0]), 0.002),
+        Species(name="bh", N=1, mass=500.0, softening=0.001),
+    ]
+    mass = np.concatenate([m_d, m_s, [500.0]])
+    soft = np.concatenate([np.full(60, 0.004), np.full(30, 0.002), [0.001]])
+
+    E0 = total_energy(xv, mass, soft, G_DEFAULT)
+    res = run_simulation(
+        xv, species, 0.0, 30 * DT, DT, architecture="cpu",
+        output_dir=str(tmp_path), save_snapshots=False, verbose=False,
+        precision="float64",
+    )
+    assert set(res) == {"dark", "star", "bh"}
+    assert res["dark"].shape == (60, 6)
+    assert res["bh"].shape == (1, 6)
+    xv1 = np.vstack([res["dark"], res["star"], res["bh"]])
+    E1 = total_energy(xv1, mass, soft, G_DEFAULT)
+    assert abs(E1 - E0) / abs(E0) < 1e-2
+
+
+def test_io_roundtrip_final_state_is_last_snapshot(tmp_path):
+    xv, m = small_plummer()
+    sp = [Species.dark(N=80, mass=float(m[0]), softening=SOFT)]
+    res = run_simulation(
+        xv, sp, 0.0, 20 * DT, DT, architecture="cpu",
+        output_dir=str(tmp_path), snapshots=5, verbose=False,
+        precision="float64",
+    )
+    reader = ParticleReader(str(tmp_path / "snapshot.h5"))
+    assert reader.Snapshots.size == 5
+    last = reader.read_snapshot(int(reader.Snapshots[-1]))
+    np.testing.assert_allclose(last.species["dark"]["posvel"], res["dark"],
+                               rtol=0, atol=0)
+    # time lookup by float
+    part_t = reader.read_snapshot(float(last.time))
+    assert part_t.snap == last.snap
+
+
+def test_restart_resume_matches_continuous(tmp_path):
+    xv, m = small_plummer()
+    sp = [Species.dark(N=80, mass=float(m[0]), softening=SOFT)]
+    common = dict(architecture="cpu", verbose=False, precision="float64",
+                  snapshots=2, restart_interval=10)
+
+    d1 = tmp_path / "full"
+    res_full = run_simulation(xv, sp, 0.0, 40 * DT, DT,
+                              output_dir=str(d1), **common)
+
+    # Run 20 steps, then resume to 40
+    d2 = tmp_path / "split"
+    run_simulation(xv, sp, 0.0, 20 * DT, DT, output_dir=str(d2), **common)
+    res_resumed = run_simulation(xv, sp, 0.0, 40 * DT, DT,
+                                 output_dir=str(d2), continue_run=True,
+                                 **common)
+    np.testing.assert_allclose(res_resumed["dark"], res_full["dark"],
+                               rtol=1e-12, atol=1e-14)
+
+
+def test_overwrite_guard(tmp_path):
+    xv, m = small_plummer(n=20)
+    sp = [Species.dark(N=20, mass=float(m[0]), softening=SOFT)]
+    kw = dict(architecture="cpu", verbose=False, snapshots=2,
+              output_dir=str(tmp_path))
+    run_simulation(xv, sp, 0.0, 5 * DT, DT, **kw)
+    with pytest.raises(FileExistsError):
+        run_simulation(xv, sp, 0.0, 5 * DT, DT, **kw)
+    run_simulation(xv, sp, 0.0, 5 * DT, DT, overwrite=True, **kw)
+
+
+def test_force_extra_callable(tmp_path):
+    """Reference-style plain-callable force_extra: uniform extra
+    acceleration produces the expected CoM displacement."""
+    xv, m = small_plummer(n=30)
+    sp = [Species.dark(N=30, mass=float(m[0]), softening=SOFT)]
+    a_ext = np.array([1.0e3, 0.0, 0.0])
+    calls = []
+
+    def extra(pos, vel, masses, t):
+        calls.append(t)
+        return np.tile(a_ext, (pos.shape[0], 1))
+
+    t_end = 20 * DT
+    # force_extra is a run_nbody-level kwarg; call the driver directly
+    from nbody_streams_tpu import run_nbody
+
+    out = run_nbody(
+        xv, m, 0.0, t_end, DT, softening=SOFT, architecture="cpu",
+        save_snapshots=False, verbose=False, precision="float64",
+        force_extra=extra, output_dir=str(tmp_path),
+    )
+    assert len(calls) > 0
+    com_shift = out[:, :3].mean(0) - xv[:, :3].mean(0)
+    # Ballistic: 0.5 a t^2 (plus self-gravity CoM ~ 0)
+    np.testing.assert_allclose(com_shift[0], 0.5 * a_ext[0] * t_end**2,
+                               rtol=1e-3)
+
+
+def test_unknown_kwarg_rejected(tmp_path):
+    xv, m = small_plummer(n=20)
+    sp = [Species.dark(N=20, mass=float(m[0]), softening=SOFT)]
+    with pytest.raises(TypeError, match="Unknown keyword"):
+        run_simulation(xv, sp, 0.0, DT, DT, architecture="cpu",
+                       output_dir=str(tmp_path), verbose=False,
+                       bogus_option=1)
