@@ -1,0 +1,80 @@
+"""Headline benchmark: direct-force KDK stepping throughput on one chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Measures the fully-jitted KDK step rate (Pallas spline+Kahan force kernel,
+compensated fp32 state) at N=65,536 and reports pairwise-interaction
+throughput.  Baseline: the reference's direct-force CUDA path sustains
+~124 Gint/s on an RTX 3080 Laptop (reference: fields.py:743-746,
+BASELINE.md) — vs_baseline is our Gint/s over that number.
+
+Also checks |dE/E| over the measured steps stays < 1e-4 (prints to stderr).
+"""
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
+
+import jax  # noqa: E402
+import numpy as np  # noqa: E402
+
+N = 65536
+DT = 2e-5
+STEPS = 20
+BASELINE_GINT = 124.0  # reference RTX 3080 direct f32 path
+
+
+def main():
+    from nbody_streams_tpu import make_plummer_sphere
+    from nbody_streams_tpu.integrate import (
+        init_state,
+        make_accel_fn,
+        make_kdk_step,
+        run_chunk,
+        system_energy,
+    )
+    from nbody_streams_tpu.ops.dispatch import DirectGravity
+
+    xv, m = make_plummer_sphere(N, M_total=1e9, a=1.0, seed=2)
+    soft = np.full(N, 0.05)
+    solver = DirectGravity(m, soft, kernel="spline",
+                           precision="float32_kahan", impl="auto")
+    accel_fn = make_accel_fn(solver, solver.mass)
+    step_fn = make_kdk_step(accel_fn, dt=DT, t0=0.0)
+    state = init_state(xv[:, :3], xv[:, 3:], accel_fn, solver.mass, 0.0)
+
+    energy = jax.jit(lambda s: system_energy(s, solver, solver.mass))
+    ke0, pe0 = energy(state)
+    e0 = float(ke0) + float(pe0)
+
+    # Warm up / compile the scanned chunk
+    state = run_chunk(step_fn, state, STEPS)
+    jax.device_get(state.pos)
+
+    t0 = time.perf_counter()
+    state = run_chunk(step_fn, state, STEPS)
+    jax.device_get(state.pos)  # axon note: block_until_ready may not block
+    dt_step = (time.perf_counter() - t0) / STEPS
+
+    ke1, pe1 = energy(state)
+    de = abs((float(ke1) + float(pe1) - e0) / e0)
+    gint = N * N / dt_step / 1e9
+
+    print(f"# N={N} {dt_step * 1e3:.2f} ms/step  |dE/E|={de:.2e} "
+          f"({2 * STEPS} steps)  backend={jax.default_backend()} "
+          f"impl={solver.impl}", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": f"direct-force KDK pairwise throughput (N={N}, spline "
+                  "softening, float32+Kahan)",
+        "value": round(gint, 2),
+        "unit": "Gint/s",
+        "vs_baseline": round(gint / BASELINE_GINT, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

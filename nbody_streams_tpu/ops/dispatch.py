@@ -71,6 +71,8 @@ class DirectGravity:
             impl = _default_impl(devices)
         if impl not in ("jnp", "pallas", "sharded"):
             raise ValueError(f"Unknown gravity impl {impl!r}")
+        if impl == "pallas" and precision == "float64":
+            impl = "jnp"  # the Pallas kernel is fp32-only by design
         self.impl = impl
 
         mass = jnp.asarray(mass, self.dtype)

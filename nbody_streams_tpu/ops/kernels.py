@@ -82,29 +82,27 @@ def _force_dehnen_k2(r2, h):
 
 def _force_spline(r2, h):
     # Monaghan-1992 cubic spline with compact support: Newtonian for r >= h.
-    # Piecewise in q = r/h; all branches evaluated with guarded denominators
-    # and merged with nested selects.
-    r = jnp.sqrt(r2)
+    # Division-free formulation (TPU VPU: rsqrt is cheap, divide is not):
+    # q = r/h = r * hinv,  1/q^3 * h^-3 = 1/r^3 = inv_r^3, so the outer
+    # branch's 1/q^3 term folds into the Newtonian factor.
     inv_r = _rsqrt(r2)
+    r = r2 * inv_r
     newton = inv_r * inv_r * inv_r
 
     # Guard h == 0 (pure Newtonian particles): hinv only used when r < h,
     # which cannot happen for h == 0, so any finite placeholder works.
     h_safe = jnp.where(h > 0, h, 1.0)
-    hinv = 1.0 / h_safe
+    hinv = _rsqrt(h_safe * h_safe)
     h3inv = hinv * hinv * hinv
     q = r * hinv
     q2 = q * q
-    q3 = q2 * q
 
     inner = h3inv * (q2 * (32.0 * q - 38.4) + 10.666666666666666)
 
-    q3_safe = jnp.where(q3 > 1e-24, q3, 1.0)
     outer = h3inv * (
         21.333333333333333
         + q * (-48.0 + q * (38.4 - 10.666666666666667 * q))
-        - 0.0666666666666667 / q3_safe
-    )
+    ) - 0.0666666666666667 * newton
 
     center = h3inv * 10.666666666666666
 
@@ -161,24 +159,25 @@ def _pot_dehnen_k2(r2, h):
 
 
 def _pot_spline(r2, h):
-    r = jnp.sqrt(r2)
-    r_safe = jnp.where(r > 0, r, 1.0)
-    newton = jnp.where(r > 0, -1.0 / r_safe, 0.0)
+    # Division-free: -1/r = -inv_r; (1/q)*hinv = 1/r = inv_r, so the outer
+    # branch's 1/q term folds into inv_r.
+    inv_r = _rsqrt(jnp.where(r2 > 0, r2, 1.0))
+    r = r2 * inv_r
+    newton = jnp.where(r > 0, -inv_r, 0.0)
 
     h_safe = jnp.where(h > 0, h, 1.0)
-    hinv = 1.0 / h_safe
+    hinv = _rsqrt(h_safe * h_safe)
     q = r * hinv
     q2 = q * q
     q4 = q2 * q2
 
     inner = (-2.8 + q2 * (5.333333333333333 + q4 * (6.4 * q - 9.6))) * hinv
 
-    q_safe = jnp.where(q > 1e-24, q, 1.0)
     outer = (
         -3.2
-        + 0.06666666666666667 / q_safe
-        + q2 * (10.666666666666666 + q * (-16.0 + q * (9.6 - 2.1333333333333333 * q)))
-    ) * hinv
+        + q2 * (10.666666666666666
+                + q * (-16.0 + q * (9.6 - 2.1333333333333333 * q)))
+    ) * hinv + 0.06666666666666667 * inv_r
 
     center = -2.8 * hinv
 

@@ -1,0 +1,223 @@
+"""Pallas TPU kernel for O(N^2) all-pairs forces and potentials.
+
+TPU-native replacement for the reference's shared-memory-tiled CUDA kernels
+(reference: cuda_kernels.py:18-180 — 128-wide float4 tiles, per-thread
+accumulators, Kahan variants).  Design mapping:
+
+CUDA concept                      ->  Pallas/TPU concept
+---------------------------------------------------------------------------
+one thread per target particle    ->  one grid step per TM-target tile,
+                                      vectorised over the 8x128 VPU
+shared-memory 128-source tile     ->  (SUB, TN) source *superblock* staged
+                                      into VMEM by the Pallas pipeline
+                                      (auto double-buffered), swept in
+                                      TN-wide sub-tiles
+per-thread Kahan compensation     ->  fp32 tree-reduction within each
+                                      (TM, TN) tile + two-sum compensated
+                                      accumulation across superblocks in a
+                                      VMEM scratch accumulator
+branch-free `not_self` multiply   ->  *no mask at all* in force mode: the
+                                      self pair has dx == 0 exactly and
+                                      eps2 > 0 keeps w finite, so its
+                                      contribution is identically zero.
+                                      Potential mode subtracts the
+                                      closed-form self term u(eps2, h_i)
+                                      outside the kernel.
+float4 AoS packing                ->  SoA lane-aligned layout: targets as
+                                      (N, 1) columns, sources as
+                                      (N/TN, TN) row-blocks
+
+The grid is (targets/TM, sources/SUPER) with the source dimension
+innermost: the output tile is revisited across it, staying resident in
+VMEM, and the Python-unrolled loop over SUB sub-tiles amortises grid-step
+overhead.  Targets and sources are independent argument sets so the same
+kernel serves the single-chip path (targets == sources) and the
+mesh-sharded ring path (local targets x ring-permuted source block, see
+parallel/sharded.py).
+
+Masses arrive pre-multiplied by G.  Pair rule ``h_eff = max(h_i, h_j)``
+and ``eps2`` regularisation match the reference and ops/pairwise.py (the
+test oracle for this file).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..constants import PAIRWISE_EPS2
+from .kernels import force_factor, potential_factor
+
+__all__ = ["pallas_accel", "pallas_potential", "pallas_accel_2set",
+           "pallas_potential_2set"]
+
+# Default tile geometry (tuned on TPU v5e; see bench.py / tile sweep)
+TM = 256        # targets per grid step
+TN = 512        # source sub-tile width (lanes)
+MAX_SUB = 16    # sub-tiles per source superblock
+
+
+def _direct_kernel(xt_ref, yt_ref, zt_ref, ht_ref,
+                   xs_ref, ys_ref, zs_ref, ms_ref, hs_ref,
+                   out_ref, comp_ref,
+                   *, kind, kahan, eps2, tm, tn, n_sub, mode):
+    jb = pl.program_id(1)
+
+    @pl.when(jb == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+        if kahan:
+            comp_ref[:] = jnp.zeros_like(comp_ref)
+
+    xt = xt_ref[:]              # (TM, 1)
+    yt = yt_ref[:]
+    zt = zt_ref[:]
+    ht = ht_ref[:]
+
+    width = 3 if mode == "acc" else 1
+    partial = jnp.zeros((tm, width), jnp.float32)
+    for k in range(n_sub):
+        xs = xs_ref[k:k + 1, :]     # (1, TN)
+        ys = ys_ref[k:k + 1, :]
+        zs = zs_ref[k:k + 1, :]
+        gms = ms_ref[k:k + 1, :]
+        hs = hs_ref[k:k + 1, :]
+        dx = xs - xt
+        dy = ys - yt
+        dz = zs - zt
+        r2 = dx * dx + dy * dy + dz * dz + eps2
+        h_eff = jnp.maximum(ht, hs)
+        if mode == "acc":
+            s = gms * force_factor(kind, r2, h_eff)
+            ax = jnp.sum(s * dx, axis=1, keepdims=True)
+            ay = jnp.sum(s * dy, axis=1, keepdims=True)
+            az = jnp.sum(s * dz, axis=1, keepdims=True)
+            partial = partial + jnp.concatenate([ax, ay, az], axis=1)
+        else:
+            s = gms * potential_factor(kind, r2, h_eff)
+            partial = partial + jnp.sum(s, axis=1, keepdims=True)
+
+    if kahan:
+        # Two-sum compensated accumulation across superblocks.
+        y = partial - comp_ref[:]
+        t = out_ref[:] + y
+        comp_ref[:] = (t - out_ref[:]) - y
+        out_ref[:] = t
+    else:
+        out_ref[:] = out_ref[:] + partial
+
+
+def _pad1(a, npad):
+    return jnp.pad(a, ((0, npad - a.shape[0]),))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("kind", "kahan", "mode", "eps2", "tm", "tn", "max_sub",
+                     "interpret"),
+)
+def _pallas_direct(pos_t, soft_t, pos_s, gmass_s, soft_s,
+                   kind, kahan, mode, eps2,
+                   tm=TM, tn=TN, max_sub=MAX_SUB, interpret=False):
+    nt = pos_t.shape[0]
+    ns = pos_s.shape[0]
+    n_sub = max(1, min(max_sub, -(-ns // tn)))
+    superb = tn * n_sub
+    nt_pad = -(-nt // tm) * tm
+    ns_pad = -(-ns // superb) * superb
+    n_i = nt_pad // tm
+    n_jb = ns_pad // superb
+
+    xt = _pad1(pos_t[:, 0], nt_pad).reshape(nt_pad, 1)
+    yt = _pad1(pos_t[:, 1], nt_pad).reshape(nt_pad, 1)
+    zt = _pad1(pos_t[:, 2], nt_pad).reshape(nt_pad, 1)
+    ht = _pad1(soft_t, nt_pad).reshape(nt_pad, 1)
+
+    rows = ns_pad // tn
+    xs = _pad1(pos_s[:, 0], ns_pad).reshape(rows, tn)
+    ys = _pad1(pos_s[:, 1], ns_pad).reshape(rows, tn)
+    zs = _pad1(pos_s[:, 2], ns_pad).reshape(rows, tn)
+    ms = _pad1(gmass_s, ns_pad).reshape(rows, tn)
+    hs = _pad1(soft_s, ns_pad).reshape(rows, tn)
+
+    width = 3 if mode == "acc" else 1
+    kernel = functools.partial(
+        _direct_kernel, kind=kind, kahan=kahan, eps2=eps2, tm=tm, tn=tn,
+        n_sub=n_sub, mode=mode,
+    )
+    t_spec = pl.BlockSpec((tm, 1), lambda i, jb: (i, 0),
+                          memory_space=pltpu.VMEM)
+    s_spec = pl.BlockSpec((n_sub, tn), lambda i, jb: (jb, 0),
+                          memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_i, n_jb),
+        in_specs=[t_spec, t_spec, t_spec, t_spec,
+                  s_spec, s_spec, s_spec, s_spec, s_spec],
+        out_specs=pl.BlockSpec((tm, width), lambda i, jb: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nt_pad, width), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((tm, width), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=25 * nt_pad * ns_pad,
+            bytes_accessed=ns_pad * 5 * 4 * n_i + nt_pad * (width + 4) * 4,
+            transcendentals=nt_pad * ns_pad,
+        ),
+        interpret=interpret,
+    )(xt, yt, zt, ht, xs, ys, zs, ms, hs)
+    out = out[:nt]
+    return out if mode == "acc" else out[:, 0]
+
+
+# ---------------------------------------------------------------------------
+# Public wrappers
+# ---------------------------------------------------------------------------
+
+def pallas_accel_2set(pos_t, soft_t, pos_s, gmass_s, soft_s, kind, kahan,
+                      eps2=PAIRWISE_EPS2, interpret=False):
+    """Accelerations of targets due to sources (G folded into gmass_s)."""
+    return _pallas_direct(
+        pos_t.astype(jnp.float32), soft_t.astype(jnp.float32),
+        pos_s.astype(jnp.float32), gmass_s.astype(jnp.float32),
+        soft_s.astype(jnp.float32), kind, kahan, "acc", float(eps2),
+        interpret=interpret,
+    )
+
+
+def pallas_potential_2set(pos_t, soft_t, pos_s, gmass_s, soft_s, kind, kahan,
+                          eps2=PAIRWISE_EPS2, interpret=False):
+    """Raw (unmasked) potential of targets due to sources.
+
+    Includes the self term when a target also appears in the sources;
+    callers subtract ``gmass_i * u(eps2, h_i)`` (see pallas_potential).
+    """
+    return _pallas_direct(
+        pos_t.astype(jnp.float32), soft_t.astype(jnp.float32),
+        pos_s.astype(jnp.float32), gmass_s.astype(jnp.float32),
+        soft_s.astype(jnp.float32), kind, kahan, "pot", float(eps2),
+        interpret=interpret,
+    )
+
+
+def pallas_accel(pos, mass, soft, G, kind, kahan, eps2=PAIRWISE_EPS2,
+                 interpret=False):
+    """(N, 3) float32 self-gravity accelerations (single chip)."""
+    gmass = (mass * G).astype(jnp.float32)
+    soft = soft.astype(jnp.float32)
+    return pallas_accel_2set(pos, soft, pos, gmass, soft, kind, kahan,
+                             eps2, interpret)
+
+
+def pallas_potential(pos, mass, soft, G, kind, kahan, eps2=PAIRWISE_EPS2,
+                     interpret=False):
+    """(N,) float32 self-gravity potential with the self term removed."""
+    gmass = (mass * G).astype(jnp.float32)
+    soft = soft.astype(jnp.float32)
+    raw = pallas_potential_2set(pos, soft, pos, gmass, soft, kind, kahan,
+                                eps2, interpret)
+    eps2_f = jnp.asarray(eps2, jnp.float32)
+    self_term = gmass * potential_factor(kind, eps2_f, soft)
+    return raw - self_term

@@ -1,0 +1,230 @@
+"""Mesh-sharded direct summation: the multi-chip force backend.
+
+This replaces the reference's C++/CUDA Barnes-Hut tree tier
+(reference: tree_gpu/, ~4.3k LoC) with the TPU-native scaling strategy:
+*exact* O(N^2/D) direct summation, particles sharded over a 1-D device
+mesh, source blocks ring-permuted over ICI.
+
+Algorithm (classic systolic ring, the N-body analogue of ring attention):
+
+1. Particles are block-sharded over mesh axis ``'shards'``: each device
+   owns N/D targets (positions, G-premultiplied masses, softenings).
+2. For D ring steps, every device computes the partial forces of its
+   resident targets against the currently-held source block (a Pallas
+   tiled kernel on TPU, the blocked jnp tile path elsewhere), then
+   ``lax.ppermute``s the source block to its ring neighbour.  The permute
+   of the *next* block is independent of the current tile computation, so
+   XLA's async collective-permute overlaps communication with compute.
+3. Partial sums accumulate with two-sum (Kahan) compensation across ring
+   steps (precision equivalent to the single-chip kahan path).
+
+Self-interactions need no masking in force mode (dx == 0 exactly for the
+self pair, eps2 > 0 keeps the kernel finite); the potential path carries
+global indices on the jnp tile and subtracts the closed-form self term on
+the Pallas path.
+
+Diagnostics (energy, momentum) reduce with ``psum`` over the same axis.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..constants import PAIRWISE_EPS2
+from ..ops import pairwise
+from ..ops.kernels import potential_factor
+
+__all__ = ["ShardedDirect", "make_particle_mesh"]
+
+AXIS = "shards"
+
+
+def make_particle_mesh(devices=None) -> Mesh:
+    """1-D mesh over the particle axis (the only meaningful axis for
+    direct N-body; cf. SURVEY.md section 2.5)."""
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.array(devices), (AXIS,))
+
+
+def _tile_forces_blocked(kind, kahan, block, eps2,
+                         pos_t, h_t, idx_t, pos_s, m_s, h_s, idx_s):
+    """Blocked jnp fallback tile: targets (Nt) x sources (Ns) forces."""
+    ns = pos_s.shape[0]
+    nb = -(-ns // block)
+    npad = nb * block
+    pos_sp = jnp.pad(pos_s, ((0, npad - ns), (0, 0)))
+    m_sp = jnp.pad(m_s, (0, npad - ns))
+    h_sp = jnp.pad(h_s, (0, npad - ns))
+    idx_sp = jnp.pad(idx_s, (0, npad - ns), constant_values=-1)
+
+    def scan_fn(carry, sb):
+        total, comp = carry
+        ps, ms, hs, js = sb
+        part = pairwise.accel_tile(kind, pos_t, h_t, idx_t, ps, ms, hs, js,
+                                   eps2=eps2)
+        if kahan:
+            total, comp = pairwise.kahan_add(total, comp, part)
+        else:
+            total = total + part
+        return (total, comp), None
+
+    init = (jnp.zeros_like(pos_t), jnp.zeros_like(pos_t))
+    (total, _), _ = lax.scan(
+        scan_fn, init,
+        (pos_sp.reshape(nb, block, 3), m_sp.reshape(nb, block),
+         h_sp.reshape(nb, block), idx_sp.reshape(nb, block)),
+    )
+    return total
+
+
+def _tile_potential_blocked(kind, kahan, block, eps2,
+                            pos_t, h_t, idx_t, pos_s, m_s, h_s, idx_s):
+    ns = pos_s.shape[0]
+    nb = -(-ns // block)
+    npad = nb * block
+    pos_sp = jnp.pad(pos_s, ((0, npad - ns), (0, 0)))
+    m_sp = jnp.pad(m_s, (0, npad - ns))
+    h_sp = jnp.pad(h_s, (0, npad - ns))
+    idx_sp = jnp.pad(idx_s, (0, npad - ns), constant_values=-1)
+
+    def scan_fn(carry, sb):
+        total, comp = carry
+        ps, ms, hs, js = sb
+        part = pairwise.potential_tile(kind, pos_t, h_t, idx_t, ps, ms, hs,
+                                       js, eps2=eps2)
+        if kahan:
+            total, comp = pairwise.kahan_add(total, comp, part)
+        else:
+            total = total + part
+        return (total, comp), None
+
+    # zeros_like keeps the shard_map varying-axis annotation of pos_t
+    init = (jnp.zeros_like(pos_t[:, 0]), jnp.zeros_like(pos_t[:, 0]))
+    (total, _), _ = lax.scan(
+        scan_fn, init,
+        (pos_sp.reshape(nb, block, 3), m_sp.reshape(nb, block),
+         h_sp.reshape(nb, block), idx_sp.reshape(nb, block)),
+    )
+    return total
+
+
+class ShardedDirect:
+    """Ring-sharded direct summation bound to a DirectGravity solver."""
+
+    def __init__(self, solver, mesh: Mesh | None = None):
+        self.solver = solver
+        devices = solver.devices
+        self.mesh = mesh or make_particle_mesh(devices)
+        self.n_dev = self.mesh.devices.size
+        n = solver.n
+        self.npad = -(-n // self.n_dev) * self.n_dev
+        self.n_local = self.npad // self.n_dev
+
+        pad = self.npad - n
+        gm = jnp.pad(solver.mass * solver.G, (0, pad)).astype(solver.dtype)
+        h = jnp.pad(solver.softening, (0, pad)).astype(solver.dtype)
+        shard = NamedSharding(self.mesh, P(AXIS))
+        self.gmass = jax.device_put(gm, shard)
+        self.soft = jax.device_put(h, shard)
+        # Pallas local tiles on TPU meshes; blocked jnp elsewhere (CPU
+        # virtual meshes in tests / dryrun).
+        self.use_pallas = self.mesh.devices.flat[0].platform in (
+            "tpu", "axon",
+        ) and solver.dtype == jnp.float32
+
+    # -- ring kernels -------------------------------------------------------
+    def _ring(self, mode, pos_l, gm_l, h_l):
+        kind = self.solver.kernel
+        kahan = self.solver.kahan
+        eps2 = self.solver.eps2
+        d = self.n_dev
+        nl = self.n_local
+        me = lax.axis_index(AXIS)
+        perm = [(i, (i + 1) % d) for i in range(d)]
+        local_idx = jnp.arange(nl, dtype=jnp.int32)
+        idx_t = me.astype(jnp.int32) * nl + local_idx
+
+        if mode == "acc":
+            zero = jnp.zeros_like(pos_l)
+        else:
+            zero = jnp.zeros_like(pos_l[:, 0])
+
+        def tile(src, r):
+            ps, ms, hs = src
+            if self.use_pallas:
+                from ..ops import pallas_direct
+
+                if mode == "acc":
+                    return pallas_direct.pallas_accel_2set(
+                        pos_l, h_l, ps, ms, hs, kind, kahan, eps2)
+                return pallas_direct.pallas_potential_2set(
+                    pos_l, h_l, ps, ms, hs, kind, kahan, eps2)
+            # jnp path: exact self-handling via global indices
+            src_dev = (me - r) % d
+            idx_s = src_dev.astype(jnp.int32) * nl + local_idx
+            fn = (_tile_forces_blocked if mode == "acc"
+                  else _tile_potential_blocked)
+            return fn(kind, kahan, min(1024, nl), eps2,
+                      pos_l, h_l, idx_t, ps, ms, hs, idx_s)
+
+        def body(carry, r):
+            total, comp, src = carry
+            # Issue the permute first: independent of the tile compute, so
+            # XLA can overlap the ICI transfer with the Pallas kernel.
+            src_next = tuple(lax.ppermute(a, AXIS, perm) for a in src)
+            part = tile(src, r)
+            total, comp = pairwise.kahan_add(total, comp, part)
+            return (total, comp, src_next), None
+
+        init = (zero, jnp.zeros_like(zero), (pos_l, gm_l, h_l))
+        (total, _, _), _ = lax.scan(body, init,
+                                    jnp.arange(d, dtype=jnp.int32))
+        if mode == "pot" and self.use_pallas:
+            # Remove the self term included by the unmasked Pallas kernel.
+            total = total - gm_l * potential_factor(
+                kind, jnp.asarray(eps2, pos_l.dtype), h_l)
+        return total
+
+    # -- public ------------------------------------------------------------
+    def _sharded_eval(self, mode, pos):
+        n = self.solver.n
+        posp = jnp.pad(pos, ((0, self.npad - n), (0, 0)))
+
+        fn = functools.partial(self._ring, mode)
+        out = jax.shard_map(
+            fn, mesh=self.mesh,
+            in_specs=(P(AXIS), P(AXIS), P(AXIS)),
+            out_specs=P(AXIS),
+        )(posp, self.gmass, self.soft)
+        return out[:n]
+
+    def accel(self, pos):
+        return self._sharded_eval("acc", pos)
+
+    def potential(self, pos):
+        return self._sharded_eval("pot", pos)
+
+    def shard_state(self, tree):
+        """Place (N, ...) state arrays block-sharded over the mesh.
+
+        When N is not divisible by the device count, arrays are left as-is
+        (device_put requires even shards); the ring body pads internally
+        and XLA inserts the reshard.
+        """
+        if self.solver.n % self.n_dev != 0:
+            return tree
+
+        def put(x):
+            if hasattr(x, "ndim") and x.ndim >= 1 \
+                    and x.shape[0] == self.solver.n:
+                return jax.device_put(x, NamedSharding(
+                    self.mesh, P(AXIS, *([None] * (x.ndim - 1)))))
+            return x
+
+        return jax.tree_util.tree_map(put, tree)

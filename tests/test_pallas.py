@@ -1,0 +1,61 @@
+"""Pallas kernel correctness in interpreter mode (runs on CPU).
+
+On real TPU hardware the same assertions run compiled (NBODY_TEST_TPU=1).
+"""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nbody_streams_tpu.ops.pallas_direct import (
+    pallas_accel,
+    pallas_potential,
+)
+from nbody_streams_tpu.ops import (
+    compute_forces_direct,
+    compute_potential_direct,
+)
+
+import os
+
+INTERPRET = not os.environ.get("NBODY_TEST_TPU")
+
+
+@pytest.fixture(scope="module")
+def cluster():
+    rng = np.random.default_rng(5)
+    n = 700  # exercises padding in both target and source dims
+    pos = jnp.asarray(rng.normal(0, 1, (n, 3)), jnp.float32)
+    mass = jnp.asarray(rng.uniform(0.5, 2.0, n) * 1e5, jnp.float32)
+    soft = jnp.asarray(rng.uniform(0.05, 0.3, n), jnp.float32)
+    return pos, mass, soft
+
+
+@pytest.mark.parametrize("kind", ["newtonian", "plummer", "spline"])
+def test_pallas_accel_matches_oracle(cluster, kind):
+    pos, mass, soft = cluster
+    a_p = np.asarray(pallas_accel(pos, mass, soft, 4.3e-6, kind, True,
+                                  interpret=INTERPRET))
+    a_j = np.asarray(compute_forces_direct(pos, mass, soft, G=4.3e-6,
+                                           kernel=kind,
+                                           precision="float32_kahan"))
+    np.testing.assert_allclose(a_p, a_j, atol=3e-6 * np.abs(a_j).max())
+    assert np.isfinite(a_p).all()
+
+
+@pytest.mark.parametrize("kind", ["plummer", "spline"])
+def test_pallas_potential_matches_oracle(cluster, kind):
+    pos, mass, soft = cluster
+    p_p = np.asarray(pallas_potential(pos, mass, soft, 4.3e-6, kind, True,
+                                      interpret=INTERPRET))
+    p_j = np.asarray(compute_potential_direct(pos, mass, soft, G=4.3e-6,
+                                              kernel=kind,
+                                              precision="float32_kahan"))
+    np.testing.assert_allclose(p_p, p_j, atol=3e-6 * np.abs(p_j).max())
+
+
+def test_pallas_zero_softening_no_nan(cluster):
+    pos, mass, _ = cluster
+    zero = jnp.zeros(pos.shape[0], jnp.float32)
+    a = np.asarray(pallas_accel(pos, mass, zero, 1.0, "newtonian", False,
+                                interpret=INTERPRET))
+    assert np.isfinite(a).all()
