@@ -1,0 +1,75 @@
+"""External potentials: analytic, BFE (Multipole/CylSpline), modifiers.
+
+TPU-native equivalent of the reference's ``agama_helper`` package: all
+evaluators are jittable JAX callables usable directly inside the scanned
+KDK step (``potential``/``force``/``density``/``forceDeriv`` with Agama
+conventions).
+"""
+from .base import Potential, CompositePotential
+from .analytic import (
+    NFWPotential,
+    PlummerPotential,
+    HernquistPotential,
+    DehnenPotential,
+    IsochronePotential,
+    MiyamotoNagaiPotential,
+    LogHaloPotential,
+    DiskAnsatzPotential,
+    UniformAcceleration,
+    AnalyticPotential,
+)
+from .multipole import MultipolePotential
+from .cylspline import CylSplinePotential
+from .modifiers import ShiftedPotential, ScaledPotential, EvolvingPotential
+from .coefs import (
+    MultipoleCoefs,
+    CylSplineCoefs,
+    read_mult_coefs,
+    read_cylspl_coefs,
+    read_coefs,
+    generate_lmax_pairs,
+)
+from .io import (
+    write_coef_to_h5,
+    write_snapshot_coefs_to_h5,
+    read_coef_string,
+)
+from .load import load_potential, load_evolving_potential
+from .factory import make_potential, load_potential_ini
+
+# Drop-in alias for reference call sites (reference: PotentialGPU factory)
+PotentialTPU = make_potential
+
+__all__ = [
+    "Potential",
+    "CompositePotential",
+    "NFWPotential",
+    "PlummerPotential",
+    "HernquistPotential",
+    "DehnenPotential",
+    "IsochronePotential",
+    "MiyamotoNagaiPotential",
+    "LogHaloPotential",
+    "DiskAnsatzPotential",
+    "UniformAcceleration",
+    "AnalyticPotential",
+    "MultipolePotential",
+    "CylSplinePotential",
+    "ShiftedPotential",
+    "ScaledPotential",
+    "EvolvingPotential",
+    "MultipoleCoefs",
+    "CylSplineCoefs",
+    "read_mult_coefs",
+    "read_cylspl_coefs",
+    "read_coefs",
+    "generate_lmax_pairs",
+    "write_coef_to_h5",
+    "write_snapshot_coefs_to_h5",
+    "read_coef_string",
+    "load_potential",
+    "load_evolving_potential",
+    "make_potential",
+    "load_potential_ini",
+    "PotentialTPU",
+]

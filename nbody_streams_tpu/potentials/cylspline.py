@@ -1,0 +1,328 @@
+"""CylSpline (azimuthal-harmonic 2-D BFE) potential — jittable evaluator.
+
+TPU-native re-design of the reference's CylSplinePotentialGPU
+(reference: agama_helper/_potential.py:1000-1615 +
+_cylspl_potential_kernel.cu).  Follows the same mathematical pipeline
+(the Agama CylSpline behaviour spec, documented in the reference kernel
+header :1-36):
+
+* coordinates scaled as lR = asinh(R/Rscale), lz = asinh(z/Rscale) with
+  Rscale = -Mtot/Phi0 (fallback: mid-grid radius),
+* m=0 term log-scaled as log(-Phi_0) when Phi_0 < 0 everywhere; other
+  harmonics stored as Phi_m/Phi_0,
+* 2-D bicubic *Hermite* interpolation from per-node (f, f_lR, f_lz,
+  f_lRlz) tables — node derivatives from natural cubic splines in lz and
+  clamped-left (f'=0 on the axis) splines in lR,
+* Fourier sum Phi = sum_m Phi_m(R, z) x {cos(m phi), m >= 0;
+  sin(|m| phi), m < 0},
+* outside the grid: vacuum harmonic continuation
+  Phi_lm(r) = Phi_lm(r_b) (r/r_b)^-(l+1), coefficients obtained by
+  projecting the interior solution onto spherical harmonics on the
+  largest sphere inscribed in the grid cylinder (the reference
+  least-squares-fits the same PowerLaw multipole, _potential.py:1072).
+
+Forces/Hessians via jax.grad through the evaluator (the interpolant is
+C1, so forces are continuous).
+"""
+from __future__ import annotations
+
+import math
+
+import jax.numpy as jnp
+import numpy as np
+
+from .base import Potential
+from .coefs import CylSplineCoefs, read_cylspl_coefs
+from .multipole import MUL0, MUL1
+
+__all__ = ["CylSplinePotential"]
+
+
+def _natural_spline_deriv(x, y, axis=0):
+    """First derivatives of a natural cubic spline at the nodes."""
+    from scipy.interpolate import CubicSpline
+
+    return CubicSpline(x, y, axis=axis, bc_type="natural")(x, 1)
+
+
+def _clamped_left_spline_deriv(x, y, axis=0):
+    """Spline derivatives with f'(x[0]) = 0 (symmetry at the R axis)."""
+    from scipy.interpolate import CubicSpline
+
+    other = y.shape[:axis] + y.shape[axis + 1:]
+    cs = CubicSpline(x, y, axis=axis,
+                     bc_type=((1, np.zeros(other)), "not-a-knot"))
+    return cs(x, 1)
+
+
+def _h00(s):
+    return (2.0 * s - 3.0) * s * s + 1.0
+
+
+def _h10(s):
+    return ((s - 2.0) * s + 1.0) * s
+
+
+def _h01(s):
+    return (3.0 - 2.0 * s) * s * s
+
+
+def _h11(s):
+    return (s - 1.0) * s * s
+
+
+class CylSplinePotential(Potential):
+    """Evaluate an Agama CylSpline expansion on device."""
+
+    def __init__(self, coefs, lmax_outer: int = 8, dtype=None):
+        if not isinstance(coefs, CylSplineCoefs):
+            coefs = read_cylspl_coefs(coefs)
+        self.coefs = coefs
+
+        r_grid = np.asarray(coefs.R_grid, float)
+        z_grid = np.asarray(coefs.z_grid, float)
+        m_vals = [int(m) for m in coefs.m_values]
+        phi = np.asarray(coefs.phi, float)        # (n_m, nR, nz)
+
+        # prune zero harmonics
+        tol = 1e-14 * np.abs(phi).max()
+        keep = [i for i, m in enumerate(m_vals)
+                if m == 0 or np.abs(phi[i]).max() > tol]
+        m_vals = [m_vals[i] for i in keep]
+        phi = phi[keep]
+        if 0 not in m_vals:
+            raise ValueError("CylSpline requires the m=0 harmonic")
+        i0 = m_vals.index(0)
+        phi0 = phi[i0]                             # (nR, nz)
+
+        # Rscale from the monopole mass estimate (reference recipe,
+        # _potential.py:1340-1360): Mtot ~ -Phi(Rmax, 0) * Rmax
+        iz_mid = int(np.argmin(np.abs(z_grid)))
+        phi_c = phi0[0, iz_mid]
+        mtot_g = -phi0[-1, iz_mid] * r_grid[-1]    # G*Mtot estimate
+        if phi_c < 0.0 and mtot_g > 0.0:
+            rscale = -mtot_g / phi_c
+        else:
+            rscale = float(r_grid[len(r_grid) // 2])
+        self.rscale = float(rscale)
+
+        lr = np.arcsinh(r_grid / rscale)
+        lz = np.arcsinh(z_grid / rscale)
+
+        log_scaling = bool(np.all(phi0 < 0.0))
+        self.log_scaling = log_scaling
+
+        nodes = []
+        for i, m in enumerate(m_vals):
+            f = phi[i]
+            if log_scaling:
+                f = np.log(-f) if m == 0 else f / phi0
+            fy = _natural_spline_deriv(lz, f, axis=1)
+            fx = _clamped_left_spline_deriv(lr, f, axis=0)
+            fxy = _clamped_left_spline_deriv(lr, fy, axis=0)
+            nodes.append(np.stack([f, fx, fy, fxy], axis=-1))
+        node_arr = np.stack(nodes)                 # (n_m, nR, nz, 4)
+
+        dt = dtype or jnp.asarray(0.0).dtype
+        self.m_vals = m_vals
+        self.i0 = i0
+        self.mmax = max(abs(m) for m in m_vals)
+        self.lr_grid = jnp.asarray(lr, dt)
+        self.lz_grid = jnp.asarray(lz, dt)
+        self.nodes = jnp.asarray(node_arr, dt)
+        self.r_max = float(r_grid[-1])
+        self.z_min = float(z_grid[0])
+        self.z_max = float(z_grid[-1])
+
+        # ---- outer harmonic continuation -------------------------------
+        self.r_b = min(self.r_max, self.z_max, -self.z_min)
+        self._build_outer(lmax_outer, dt)
+
+    # ------------------------------------------------------------------
+    def _build_outer(self, lmax: int, dt):
+        """Project the interior solution onto Y_lm on the inscribed
+        sphere; store power-law continuation coefficients."""
+        mmax = min(lmax, self.mmax)
+        n_theta, n_phi = 48, max(8, 4 * mmax + 4)
+        nodes, weights = np.polynomial.legendre.leggauss(n_theta)
+        ct = np.repeat(nodes, n_phi)
+        st = np.sqrt(1.0 - ct**2)
+        pp = np.tile(2.0 * np.pi * np.arange(n_phi) / n_phi, n_theta)
+        wq = np.repeat(weights, n_phi) * (2.0 * np.pi / n_phi)
+
+        r_b = self.r_b * 0.999
+        rr = r_b * st
+        zz = r_b * ct
+        # evaluate the interior part directly (numpy mirror via jnp call)
+        vals = np.asarray(self._interior_batch(
+            jnp.asarray(rr), jnp.asarray(zz), jnp.asarray(np.cos(pp)),
+            jnp.asarray(np.sin(pp))))
+
+        labels = []
+        for l in range(lmax + 1):
+            for m in range(-min(l, mmax), min(l, mmax) + 1):
+                labels.append((l, m))
+
+        pnorm = {}
+        for m in range(0, mmax + 1):
+            pref = math.sqrt((2 * m + 1)
+                             / (4.0 * math.pi * math.factorial(2 * m)))
+            dfact = 1.0
+            for i in range(1, 2 * m, 2):
+                dfact *= i
+            pmm = ((-1.0) ** m) * pref * dfact * st ** m
+            pnorm[(m, m)] = pmm
+            if m + 1 <= lmax:
+                pnorm[(m + 1, m)] = math.sqrt(2 * m + 3.0) * ct * pmm
+            for l in range(m + 2, lmax + 1):
+                a = math.sqrt((4.0 * l * l - 1.0) / (l * l - m * m))
+                b = math.sqrt(((l - 1.0) ** 2 - m * m)
+                              / (4.0 * (l - 1.0) ** 2 - 1.0))
+                pnorm[(l, m)] = a * (ct * pnorm[(l - 1, m)]
+                                     - b * pnorm[(l - 2, m)])
+
+        w_coef, out_labels = [], []
+        for l, m in labels:
+            am = abs(m)
+            mul = MUL0 if m == 0 else MUL1
+            trig = np.cos(am * pp) if m >= 0 else np.sin(am * pp)
+            y = mul * pnorm[(l, am)] * trig
+            w = float((vals * y * wq).sum() / (4.0 * math.pi))
+            if abs(w) > 1e-12 * np.abs(vals).max():
+                w_coef.append(w)
+                out_labels.append((l, m))
+        if not out_labels:
+            out_labels = [(0, 0)]
+            w_coef = [float((vals * wq).sum() / (4.0 * math.pi))]
+        self.outer_labels = out_labels
+        self.outer_w = jnp.asarray(np.array(w_coef), dt)
+        self.outer_l = np.array([l for l, _ in out_labels])
+
+    # ------------------------------------------------------------------
+    def _interior_point(self, R, z, cos_p, sin_p):
+        """Interior spline sum at one (R, z, azimuth); inputs clamped.
+
+        Azimuth enters as (cos, sin) rather than an angle: atan2 has a
+        NaN gradient at the axis, while the trig recurrence is safe there
+        (m != 0 harmonics vanish on-axis in the tables).
+        """
+        lr = jnp.arcsinh(R / self.rscale)
+        lz = jnp.arcsinh(z / self.rscale)
+        lr = jnp.clip(lr, self.lr_grid[0], self.lr_grid[-1])
+        lz = jnp.clip(lz, self.lz_grid[0], self.lz_grid[-1])
+
+        iu = jnp.clip(jnp.searchsorted(self.lr_grid, lr, side="right") - 1,
+                      0, self.lr_grid.shape[0] - 2)
+        iv = jnp.clip(jnp.searchsorted(self.lz_grid, lz, side="right") - 1,
+                      0, self.lz_grid.shape[0] - 2)
+        hu = self.lr_grid[iu + 1] - self.lr_grid[iu]
+        hv = self.lz_grid[iv + 1] - self.lz_grid[iv]
+        s = (lr - self.lr_grid[iu]) / hu
+        t = (lz - self.lz_grid[iv]) / hv
+
+        bu = jnp.stack([_h00(s), _h10(s) * hu, _h01(s), _h11(s) * hu])
+        bv = jnp.stack([_h00(t), _h10(t) * hv, _h01(t), _h11(t) * hv])
+
+        def cell_eval(mm):
+            n = self.nodes[mm]
+            c00 = n[iu, iv]          # (4,): f, fx, fy, fxy
+            c10 = n[iu + 1, iv]
+            c01 = n[iu, iv + 1]
+            c11 = n[iu + 1, iv + 1]
+            # M[iu-basis, iv-basis] layout:
+            m00 = jnp.stack([c00[0], c00[2], c01[0], c01[2]])
+            m10 = jnp.stack([c00[1], c00[3], c01[1], c01[3]])
+            m01 = jnp.stack([c10[0], c10[2], c11[0], c11[2]])
+            m11 = jnp.stack([c10[1], c10[3], c11[1], c11[3]])
+            row = (bu[0] * m00 + bu[1] * m10 + bu[2] * m01 + bu[3] * m11)
+            return jnp.dot(row, bv)
+
+        fsc0 = cell_eval(self.i0)
+        if self.log_scaling:
+            phi0 = -jnp.exp(fsc0)
+        else:
+            phi0 = fsc0
+
+        mmax = self.mmax
+        cos_m = {0: 1.0}
+        sin_m = {0: 0.0}
+        for m in range(1, mmax + 1):
+            cos_m[m] = cos_m[m - 1] * cos_p - sin_m[m - 1] * sin_p
+            sin_m[m] = sin_m[m - 1] * cos_p + cos_m[m - 1] * sin_p
+
+        total = phi0  # m = 0 contribution (trig = 1)
+        for idx, m in enumerate(self.m_vals):
+            if m == 0:
+                continue
+            fsc = cell_eval(idx)
+            phim = fsc * phi0 if self.log_scaling else fsc
+            am = abs(m)
+            trig = cos_m[am] if m > 0 else sin_m[am]
+            total = total + phim * trig
+        return total
+
+    def _interior_batch(self, R, z, cos_p, sin_p):
+        import jax
+
+        return jax.vmap(self._interior_point)(R, z, cos_p, sin_p)
+
+    # ------------------------------------------------------------------
+    def _outer_point(self, r, cos_t, sin_t, cos_p, sin_p):
+        lmax = int(self.outer_l.max()) if len(self.outer_labels) else 0
+        mmax = max(abs(m) for _, m in self.outer_labels)
+        r = jnp.maximum(r, 0.5 * self.r_b)
+
+        cos_m = {0: 1.0}
+        sin_m = {0: 0.0}
+        for m in range(1, mmax + 1):
+            cos_m[m] = cos_m[m - 1] * cos_p - sin_m[m - 1] * sin_p
+            sin_m[m] = sin_m[m - 1] * cos_p + cos_m[m - 1] * sin_p
+
+        p = {}
+        for m in range(0, mmax + 1):
+            pref = math.sqrt((2 * m + 1)
+                             / (4.0 * math.pi * math.factorial(2 * m)))
+            dfact = 1.0
+            for i in range(1, 2 * m, 2):
+                dfact *= i
+            pmm = ((-1.0) ** m) * pref * dfact * sin_t ** m
+            p[(m, m)] = pmm
+            if m + 1 <= lmax:
+                p[(m + 1, m)] = math.sqrt(2 * m + 3.0) * cos_t * pmm
+            for l in range(m + 2, lmax + 1):
+                a = math.sqrt((4.0 * l * l - 1.0) / (l * l - m * m))
+                b = math.sqrt(((l - 1.0) ** 2 - m * m)
+                              / (4.0 * (l - 1.0) ** 2 - 1.0))
+                p[(l, m)] = a * (cos_t * p[(l - 1, m)]
+                                 - b * p[(l - 2, m)])
+
+        total = 0.0
+        ratio = self.r_b * 0.999 / r
+        for i, (l, m) in enumerate(self.outer_labels):
+            am = abs(m)
+            mul = MUL0 if m == 0 else MUL1
+            trig = cos_m[am] if m >= 0 else sin_m[am]
+            total = total + (self.outer_w[i] * ratio ** (l + 1)
+                             * mul * p[(l, am)] * trig)
+        return total
+
+    # ------------------------------------------------------------------
+    def phi_point(self, xyz, t):
+        eps = 1e-30
+        R = jnp.sqrt(xyz[0] ** 2 + xyz[1] ** 2 + eps)
+        z = xyz[2]
+        cos_p = xyz[0] / R
+        sin_p = xyz[1] / R
+        r = jnp.sqrt(R * R + z * z)
+        cos_t = z / r
+        sin_t = R / r
+
+        inside = ((R <= self.r_max) & (z <= self.z_max)
+                  & (z >= self.z_min))
+        interior = self._interior_point(R, z, cos_p, sin_p)
+        outer = self._outer_point(r, cos_t, sin_t, cos_p, sin_p)
+        return jnp.where(inside, interior, outer)
+
+    @classmethod
+    def from_file(cls, path, **kw):
+        return cls(read_cylspl_coefs(path), **kw)

@@ -1,0 +1,218 @@
+"""Potential factory: Agama-constructor-compatible entry point.
+
+Reference-equivalent of ``PotentialGPU`` (reference: _potential.py:2620)
+— one callable that accepts any of:
+
+* ``type='NFW', mass=..., ...``         analytic dispatch
+* ``type='Multipole'/'CylSpline'`` with ``file=`` or an inline
+  ``coefficients=`` string
+* ``file='pot.ini'``                     multi-section Agama INI files
+  (inline Coefficients blocks, file= references, type=Evolving with
+  Timestamps)
+* a coefs dataclass, an existing Potential, or a list (-> Composite)
+* modifiers ``center=`` (static/trajectory) and ``scale=``/``ampl=``
+
+Unsupported Agama density-fitting types (Disk, Spheroid, King, Sersic —
+the reference materialises these *through the Agama C++ library*,
+_potential.py:2109-2232) raise with guidance: build the equivalent with
+``fit_potential`` / ``MultipolePotential.from_projection`` instead.
+"""
+from __future__ import annotations
+
+import re
+from pathlib import Path
+
+import numpy as np
+
+from .analytic import ANALYTIC_TYPE_MAP
+from .base import CompositePotential, Potential
+from .coefs import (
+    CylSplineCoefs,
+    MultipoleCoefs,
+    read_coefs,
+)
+from .cylspline import CylSplinePotential
+from .modifiers import EvolvingPotential, ScaledPotential, ShiftedPotential
+from .multipole import MultipolePotential
+
+__all__ = ["make_potential", "load_potential_ini"]
+
+_AGAMA_ONLY = {"disk", "spheroid", "king", "sersic", "nuker"}
+
+
+def _coerce(v: str):
+    try:
+        return int(v)
+    except ValueError:
+        pass
+    try:
+        return float(v)
+    except ValueError:
+        pass
+    return v
+
+
+def _apply_modifiers(pot: Potential, center=None, scale=None, ampl=None):
+    if center is not None:
+        center = np.loadtxt(center) if isinstance(center, (str, Path)) \
+            else np.asarray(center, float)
+        pot = ShiftedPotential(pot, center)
+    if scale is not None or (ampl is not None and ampl != 1.0):
+        pot = ScaledPotential(pot, scale if scale is not None else 1.0,
+                              ampl=1.0 if ampl is None else float(ampl))
+    return pot
+
+
+def _build_single(spec, base_dir: Path | None = None) -> Potential:
+    """One potential from a dict of params / coefs / path / Potential."""
+    if isinstance(spec, Potential):
+        return spec
+    if isinstance(spec, MultipoleCoefs):
+        return MultipolePotential(spec)
+    if isinstance(spec, CylSplineCoefs):
+        return CylSplinePotential(spec)
+    if isinstance(spec, (list, tuple)):
+        return CompositePotential([_build_single(s, base_dir)
+                                   for s in spec])
+    if isinstance(spec, (str, Path)):
+        path = Path(spec)
+        if base_dir is not None and not path.is_absolute():
+            path = base_dir / path
+        if path.suffix.lower() == ".ini":
+            return load_potential_ini(path)
+        coefs = read_coefs(path)
+        return _build_single(coefs)
+    if not isinstance(spec, dict):
+        raise TypeError(f"Cannot build a potential from {type(spec)}")
+
+    params = {k.lower(): v for k, v in spec.items()}
+    center = params.pop("center", None)
+    scale = params.pop("scale", None)
+    ampl = params.pop("ampl", None)
+
+    if "file" in params and "type" not in params:
+        pot = _build_single(params.pop("file"), base_dir)
+        return _apply_modifiers(pot, center, scale, ampl)
+
+    kind = str(params.pop("type", "")).lower().replace("_", "") \
+        .replace(" ", "")
+    if kind in _AGAMA_ONLY:
+        raise NotImplementedError(
+            f"type={kind!r} is an Agama density-fitting type; build the "
+            "equivalent with nbody_streams_tpu.potentials.fit_potential "
+            "(particle snapshots) or MultipolePotential.from_projection "
+            "(an arbitrary callable)."
+        )
+    if kind == "multipole":
+        if "coefficients" in params:
+            return _apply_modifiers(
+                MultipolePotential(read_coefs(params["coefficients"])),
+                center, scale, ampl)
+        return _apply_modifiers(_build_single(params["file"], base_dir),
+                                center, scale, ampl)
+    if kind == "cylspline":
+        if "coefficients" in params:
+            return _apply_modifiers(
+                CylSplinePotential(read_coefs(params["coefficients"])),
+                center, scale, ampl)
+        return _apply_modifiers(_build_single(params["file"], base_dir),
+                                center, scale, ampl)
+    if kind in ANALYTIC_TYPE_MAP:
+        # normalise Agama kwarg capitalisation
+        canonical = {
+            "mass": "mass", "scaleradius": "scaleRadius",
+            "scaleheight": "scaleHeight", "gamma": "gamma",
+            "velocity": "velocity", "v0": "velocity",
+            "coreradius": "coreRadius", "axisratioy": "axisRatioY",
+            "axisratioz": "axisRatioZ",
+            "surfacedensity": "surfaceDensity",
+            "innercutoffradius": "innerCutoffRadius",
+            "ax": "ax", "ay": "ay", "az": "az", "g": "G",
+        }
+        kw = {}
+        for k, v in params.items():
+            kw[canonical.get(k, k)] = v
+        pot = ANALYTIC_TYPE_MAP[kind](**kw)
+        return _apply_modifiers(pot, center, scale, ampl)
+    raise ValueError(f"Unknown potential type {kind!r}")
+
+
+def make_potential(*args, **kwargs) -> Potential:
+    """Agama-style constructor:
+
+    ``make_potential(type='NFW', mass=1e12, scaleRadius=20)``
+    ``make_potential(file='MWPotential22.ini')``
+    ``make_potential(dict_a, dict_b)`` -> composite
+    """
+    specs = list(args)
+    if kwargs:
+        specs.append(kwargs)
+    if not specs:
+        raise ValueError("make_potential() needs parameters")
+    pots = [_build_single(s) for s in specs]
+    return pots[0] if len(pots) == 1 else CompositePotential(pots)
+
+
+def load_potential_ini(path) -> Potential:
+    """Parse a (possibly multi-section) Agama INI potential file."""
+    path = Path(path)
+    base = path.parent
+    lines = path.read_text().splitlines()
+    starts = [i for i, ln in enumerate(lines)
+              if re.match(r"^\s*\[Potential", ln, re.IGNORECASE)]
+    if not starts:
+        raise ValueError(f"No [Potential] sections in {path}")
+
+    built = []
+    for si, start in enumerate(starts):
+        end = starts[si + 1] if si + 1 < len(starts) else len(lines)
+        section = lines[start:end]
+        params: dict = {}
+        data_start = None
+        data_kind = None
+        for j, ln in enumerate(section[1:], start=1):
+            s = ln.strip()
+            if not s or s.startswith("#") or s.startswith(";"):
+                continue
+            if s.lower() == "coefficients":
+                data_start, data_kind = j, "coef"
+                break
+            if s.lower() == "timestamps":
+                data_start, data_kind = j, "ts"
+                break
+            if "=" in s:
+                k, _, v = s.partition("=")
+                params[k.strip().lower()] = _coerce(
+                    v.split("#")[0].strip())
+
+        kind = str(params.get("type", "")).lower().replace(" ", "") \
+            .replace("_", "")
+        if kind == "diskansatz" and data_start is None and \
+                "surfacedensity" not in params:
+            # Agama exports parameterless DiskAnsatz stubs inside GalPot
+            # composites; skip them (reference: _potential.py:2406)
+            continue
+        if data_kind == "coef":
+            built.append(_build_single(
+                {"type": kind, "coefficients": "\n".join(section)}))
+        elif data_kind == "ts":
+            times, pots = [], []
+            for ln in section[data_start + 1:]:
+                s = ln.strip()
+                if not s or s.startswith("#"):
+                    continue
+                parts = s.split()
+                if len(parts) < 2:
+                    continue
+                times.append(float(parts[0]))
+                pots.append(_build_single(parts[1], base))
+            interp = str(params.get("interplinear", "true")).lower() \
+                not in ("false", "0")
+            built.append(EvolvingPotential(pots, times, interpolate=interp))
+        else:
+            built.append(_build_single(dict(params), base))
+
+    if not built:
+        raise ValueError(f"No buildable potentials in {path}")
+    pot = built[0] if len(built) == 1 else CompositePotential(built)
+    return pot

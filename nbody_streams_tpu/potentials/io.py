@@ -1,0 +1,79 @@
+"""HDF5 coefficient archives (reference: agama_helper/_io.py).
+
+One Agama coefficient text string per HDF5 group — the batch format used
+for evolving potentials, with an optional embedded ``times`` dataset.
+"""
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+try:
+    import h5py
+except ImportError:  # pragma: no cover
+    h5py = None
+
+__all__ = [
+    "write_coef_to_h5",
+    "write_snapshot_coefs_to_h5",
+    "read_coef_string",
+    "list_coef_groups",
+]
+
+
+def write_coef_to_h5(h5_path, coef_string: str,
+                     group_name: str = "snap_000",
+                     dataset_name: str = "coefs",
+                     overwrite: bool = False,
+                     metadata: dict | None = None) -> None:
+    """Store one coefficient string under ``group_name/dataset_name``."""
+    h5_path = Path(h5_path)
+    dt = h5py.string_dtype(encoding="utf-8")
+    with h5py.File(h5_path, "a") as f:
+        grp = f.require_group(group_name)
+        if dataset_name in grp:
+            if not overwrite:
+                raise RuntimeError(
+                    f"{group_name}/{dataset_name} exists; pass "
+                    "overwrite=True to replace"
+                )
+            del grp[dataset_name]
+        grp.create_dataset(dataset_name, data=coef_string, dtype=dt)
+        for k, v in (metadata or {}).items():
+            grp.attrs[k] = v
+
+
+def write_snapshot_coefs_to_h5(h5_path, coef_strings, times=None,
+                               group_fmt: str = "snap_{snap:03d}",
+                               dataset_name: str = "coefs",
+                               overwrite: bool = True) -> None:
+    """Batch-pack snapshot coefficient strings (+ optional times dataset)."""
+    h5_path = Path(h5_path)
+    for i, s in enumerate(coef_strings):
+        write_coef_to_h5(h5_path, s, group_fmt.format(snap=i),
+                         dataset_name, overwrite=overwrite)
+    if times is not None:
+        with h5py.File(h5_path, "a") as f:
+            if "times" in f:
+                del f["times"]
+            f.create_dataset("times", data=np.asarray(times, float))
+
+
+def read_coef_string(h5_path, group_name: str = "snap_000",
+                     dataset_name: str = "coefs") -> str:
+    """Fetch one stored coefficient string."""
+    with h5py.File(h5_path, "r") as f:
+        raw = f[group_name][dataset_name][()]
+    return raw.decode() if isinstance(raw, bytes) else str(raw)
+
+
+def list_coef_groups(h5_path, dataset_name: str = "coefs"):
+    """(group_names, times or None) for the archive's snapshot groups."""
+    with h5py.File(h5_path, "r") as f:
+        groups = sorted(
+            k for k in f.keys()
+            if isinstance(f[k], h5py.Group) and dataset_name in f[k]
+        )
+        times = np.asarray(f["times"][:]) if "times" in f else None
+    return groups, times

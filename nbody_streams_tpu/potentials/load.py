@@ -1,0 +1,95 @@
+"""High-level loaders (reference: agama_helper/_load.py:91,234).
+
+``load_potential``: coef file / HDF5 archive / raw string / dataclass ->
+evaluator, with in-memory harmonic filtering and recentering.
+``load_evolving_potential``: HDF5 archive of snapshot coefficients (or an
+Agama Evolving .ini) -> time-interpolated potential.
+"""
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+from .coefs import CylSplineCoefs, MultipoleCoefs, read_coefs
+from .cylspline import CylSplinePotential
+from .factory import load_potential_ini
+from .io import list_coef_groups, read_coef_string
+from .modifiers import EvolvingPotential, ShiftedPotential
+from .multipole import MultipolePotential
+
+__all__ = ["load_potential", "load_evolving_potential"]
+
+
+def _build(coefs, keep_lm_mult=None, keep_m_cylspl=None):
+    if isinstance(coefs, MultipoleCoefs):
+        if keep_lm_mult is not None:
+            coefs = coefs.zeroed(keep_lm_mult)
+        return MultipolePotential(coefs)
+    if isinstance(coefs, CylSplineCoefs):
+        if keep_m_cylspl is not None:
+            coefs = coefs.zeroed(keep_m_cylspl)
+        return CylSplinePotential(coefs)
+    raise TypeError(type(coefs))
+
+
+def load_potential(source, group_name: str = "snap_000",
+                   keep_lm_mult=None, keep_m_cylspl=None, center=None):
+    """Build a BFE potential evaluator from any coefficient source.
+
+    source: coef text file path | HDF5 archive path (reads group_name) |
+    raw coef string | MultipoleCoefs/CylSplineCoefs.  ``keep_lm_mult`` /
+    ``keep_m_cylspl`` filter harmonics before building; ``center`` wraps
+    in a ShiftedPotential ((3,), (T,4), (T,7) or a file path).
+    """
+    if isinstance(source, (MultipoleCoefs, CylSplineCoefs)):
+        coefs = source
+    else:
+        if isinstance(source, (str, Path)) and "\n" not in str(source) \
+                and Path(source).suffix.lower() in (".h5", ".hdf5") \
+                and Path(source).exists():
+            source = read_coef_string(source, group_name)
+        coefs = read_coefs(source)
+    pot = _build(coefs, keep_lm_mult, keep_m_cylspl)
+    if center is not None:
+        if isinstance(center, (str, Path)):
+            center = np.loadtxt(center)
+        pot = ShiftedPotential(pot, np.asarray(center, float))
+    return pot
+
+
+def load_evolving_potential(source, times=None, keep_lm_mult=None,
+                            keep_m_cylspl=None, center=None,
+                            interpolate: bool = True):
+    """Time-evolving BFE potential from an HDF5 snapshot-coef archive
+    (embedded ``times`` dataset or explicit ``times``) or an Agama
+    Evolving .ini file."""
+    if isinstance(source, (str, Path)) and \
+            Path(source).suffix.lower() == ".ini":
+        return load_potential_ini(source)
+
+    groups, t_embedded = list_coef_groups(source)
+    if not groups:
+        raise ValueError(f"No coefficient groups in {source}")
+    if times is None:
+        times = t_embedded
+    if times is None:
+        raise ValueError(
+            "archive has no embedded 'times' dataset; pass times="
+        )
+    if len(times) != len(groups):
+        raise ValueError(
+            f"{len(groups)} snapshot groups but {len(times)} times"
+        )
+    pots = [
+        load_potential(read_coef_string(source, g),
+                       keep_lm_mult=keep_lm_mult,
+                       keep_m_cylspl=keep_m_cylspl)
+        for g in groups
+    ]
+    pot = EvolvingPotential(pots, times, interpolate=interpolate)
+    if center is not None:
+        if isinstance(center, (str, Path)):
+            center = np.loadtxt(center)
+        pot = ShiftedPotential(pot, np.asarray(center, float))
+    return pot

@@ -1,0 +1,202 @@
+"""Potential modifiers: Shifted, Scaled, Evolving (Agama semantics).
+
+Reference-equivalent (reference: _potential.py — ShiftedPotentialGPU
+:1829, ScaledPotentialGPU :1941, EvolvingPotentialGPU :1714).  All
+time interpolation is precomputed into jittable piecewise polynomials so
+the modifiers trace into the scanned KDK step with no host round-trips.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..utils.interp import JaxPPoly, hermite_coeffs, spline_coeffs
+from .base import Potential
+
+__all__ = ["ShiftedPotential", "ScaledPotential", "EvolvingPotential"]
+
+
+class ShiftedPotential(Potential):
+    """Evaluate ``inner`` at ``xyz - center(t)``.
+
+    center: (3,) static | (T, 4) rows [t,x,y,z] (cubic spline) |
+    (T, 7) rows [t,x,y,z,vx,vy,vz] (cubic Hermite).  Clamped outside the
+    time range.
+    """
+
+    def __init__(self, inner: Potential, center):
+        self.inner = inner
+        arr = np.asarray(center, dtype=float)
+        if arr.ndim == 1 and arr.shape == (3,):
+            self.static_center = jnp.asarray(arr)
+            self.traj = None
+            self.time_dependent = inner.time_dependent
+        elif arr.ndim == 2 and arr.shape[1] in (4, 7):
+            order = np.argsort(arr[:, 0])
+            arr = arr[order]
+            if arr.shape[1] >= 7:
+                self.traj = hermite_coeffs(arr[:, 0], arr[:, 1:4],
+                                           arr[:, 4:7])
+            else:
+                self.traj = spline_coeffs(arr[:, 0], arr[:, 1:4])
+            self.static_center = None
+            self.time_dependent = True
+        else:
+            raise ValueError(
+                "center must be (3,), (T,4) [t,xyz] or (T,7) [t,xyz,vxyz]; "
+                f"got shape {arr.shape}"
+            )
+
+    def center(self, t):
+        if self.traj is None:
+            return self.static_center
+        return self.traj(t)
+
+    def phi_point(self, xyz, t):
+        return self.inner.phi_point(xyz - self.center(t), t)
+
+    def _phi_v(self, arr, t):
+        return self.inner._phi_v(arr - self.center(t)[None, :], t)
+
+    def _force_v(self, arr, t):
+        return self.inner._force_v(arr - self.center(t)[None, :], t)
+
+    def _hess_v(self, arr, t):
+        return self.inner._hess_v(arr - self.center(t)[None, :], t)
+
+
+class ScaledPotential(Potential):
+    """Agama 'scale' modifier: Phi'(x, t) = a(t) s(t) Phi(x s(t)) with
+    s = 1/scale (potential_composite.cpp conventions: force scales as
+    a s^2, hessian as a s^3 — recovered here automatically by autodiff
+    through the coordinate scaling).
+
+    scale: float | (T,2) rows [t, scale] | (T,3) rows [t, ampl, scale];
+    cubic splines with linear extrapolation outside the range.
+    """
+
+    def __init__(self, inner: Potential, scale, ampl: float = 1.0):
+        self.inner = inner
+        arr = None if np.isscalar(scale) else np.asarray(scale, float)
+        if arr is None or arr.ndim == 0:
+            self.scale_spl = None
+            self.ampl_spl = None
+            self.scale_val = float(scale)
+            self.ampl_val = float(ampl)
+            self.time_dependent = inner.time_dependent
+            return
+        if arr.ndim != 2 or arr.shape[1] not in (2, 3):
+            raise ValueError(
+                "scale must be float, (T,2) [t,scale] or (T,3) "
+                f"[t,ampl,scale]; got shape {arr.shape}"
+            )
+        arr = arr[np.argsort(arr[:, 0])]
+        self.scale_spl = spline_coeffs(arr[:, 0], arr[:, -1],
+                                       extrapolate="linear")
+        if arr.shape[1] == 3:
+            self.ampl_spl = spline_coeffs(arr[:, 0], arr[:, 1],
+                                          extrapolate="linear")
+            self.ampl_val = None
+        else:
+            self.ampl_spl = None
+            self.ampl_val = float(ampl)
+        self.scale_val = None
+        self.time_dependent = True
+
+    def _factors(self, t):
+        if self.scale_spl is None:
+            s = 1.0 / self.scale_val
+            a = self.ampl_val
+        else:
+            s = 1.0 / self.scale_spl(t)
+            a = (self.ampl_val if self.ampl_spl is None
+                 else self.ampl_spl(t))
+        return a, s
+
+    def phi_point(self, xyz, t):
+        a, s = self._factors(t)
+        return a * s * self.inner.phi_point(xyz * s, t)
+
+    def _phi_v(self, arr, t):
+        a, s = self._factors(t)
+        return a * s * self.inner._phi_v(arr * s, t)
+
+    def _force_v(self, arr, t):
+        a, s = self._factors(t)
+        return a * s * s * self.inner._force_v(arr * s, t)
+
+    def _hess_v(self, arr, t):
+        a, s = self._factors(t)
+        return a * s * s * s * self.inner._hess_v(arr * s, t)
+
+
+class EvolvingPotential(Potential):
+    """Linear (or nearest) interpolation between snapshot potentials.
+
+    Jittable: the bracketing interval is selected with lax.switch over
+    precompiled per-interval branches, so the evolving potential works
+    inside the scanned integrator (the reference dispatches host-side
+    per call, _potential.py:1737-1760).
+    """
+
+    time_dependent = True
+
+    def __init__(self, potentials, times, interpolate: bool = True):
+        if len(potentials) != len(times):
+            raise ValueError(
+                f"len(potentials)={len(potentials)} != len(times)="
+                f"{len(times)}"
+            )
+        if len(potentials) < 1:
+            raise ValueError("need at least one snapshot potential")
+        order = np.argsort(np.asarray(times, float))
+        self.pots = [potentials[i] for i in order]
+        self.times = jnp.asarray(np.asarray(times, float)[order])
+        self.interpolate = bool(interpolate)
+
+    def _weights(self, t):
+        """(interval index, alpha in [0,1]) with clamping."""
+        n = self.times.shape[0]
+        if n == 1:
+            return 0, jnp.asarray(0.0)
+        t = jnp.clip(t, self.times[0], self.times[-1])
+        i = jnp.clip(jnp.searchsorted(self.times, t, side="right") - 1,
+                     0, n - 2)
+        alpha = (t - self.times[i]) / (self.times[i + 1] - self.times[i])
+        return i, alpha
+
+    def _dispatch(self, method, arr, t):
+        n = len(self.pots)
+        if n == 1:
+            return getattr(self.pots[0], method)(arr, t)
+        i, alpha = self._weights(t)
+        if not self.interpolate:
+            nearest = jnp.where(alpha > 0.5, i + 1, i)
+            branches = [
+                (lambda k: lambda a: getattr(self.pots[k], method)(a, t))(k)
+                for k in range(n)
+            ]
+            return lax.switch(nearest, branches, arr)
+        branches = [
+            (lambda k: lambda operand: (
+                (1.0 - operand[1])
+                * getattr(self.pots[k], method)(operand[0], t)
+                + operand[1]
+                * getattr(self.pots[k + 1], method)(operand[0], t)
+            ))(k)
+            for k in range(n - 1)
+        ]
+        return lax.switch(i, branches, (arr, alpha))
+
+    def phi_point(self, xyz, t):
+        return self._dispatch("_phi_v", xyz[None, :], t)[0]
+
+    def _phi_v(self, arr, t):
+        return self._dispatch("_phi_v", arr, t)
+
+    def _force_v(self, arr, t):
+        return self._dispatch("_force_v", arr, t)
+
+    def _hess_v(self, arr, t):
+        return self._dispatch("_hess_v", arr, t)

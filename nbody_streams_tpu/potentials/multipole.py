@@ -1,0 +1,293 @@
+"""Multipole (spherical-harmonic BFE) potential — jittable JAX evaluator.
+
+TPU-native re-design of the reference's MultipolePotentialGPU
+(reference: agama_helper/_potential.py:633-989 preprocessing +
+_multipole_potential_kernel.cu).  Same mathematical surface — Agama
+Multipole coefficient tables in, Phi/force/density out — different
+engineering:
+
+* Radial interpolation: C2 quintic *Hermite* segments in x = ln r, built
+  host-side from the tabulated Phi_lm and dPhi_lm/dr (second derivatives
+  estimated from a cubic spline of the first); evaluation is a gather +
+  Horner chain, which the VPU vectorises perfectly.  (The reference
+  replicates Agama's quintic-from-d2 construction with log-scaled values;
+  our Hermite form uses the *provided* first derivatives directly, which
+  pins the force — the physically important quantity — exactly to the
+  tabulated dPhi/dr at the nodes.)
+* Angular part: Agama's exact basis (verified against the reference
+  kernel spec, _multipole_potential_kernel.cu:14-46): orthonormalised
+  associated Legendre recurrence with Condon-Shortley phase, multiplier
+  2*sqrt(pi) for m=0 / 2*sqrt(2*pi) for m!=0, cos modes m>=0 and sin
+  modes m<0, so Y_00 == 1.
+* Asymptotes: power-law continuation matched in value and log-slope at
+  both grid ends (Keplerian automatically for the monopole outer limit).
+* Derivatives: forces and Hessians come from jax.grad through the
+  evaluator (piecewise-smooth; the interpolant is C2 so forces are C1) —
+  no hand-written gradient kernel to keep in sync.
+* Zero-coefficient pruning: all-zero harmonic columns are dropped at
+  build time (reference: _potential.py:528-538 — axisymmetric lmax=32
+  drops 1089 -> 17 terms).
+"""
+from __future__ import annotations
+
+import math
+
+import jax.numpy as jnp
+import numpy as np
+
+from .base import Potential
+from .coefs import MultipoleCoefs, read_mult_coefs
+
+__all__ = ["MultipolePotential"]
+
+MUL0 = 2.0 * math.sqrt(math.pi)        # m = 0 angular multiplier
+MUL1 = 2.0 * math.sqrt(2.0 * math.pi)  # m != 0
+
+
+def _quintic_hermite_coeffs(x, f, d1, d2):
+    """Per-interval quintic coefficients (ascending powers of dt).
+
+    x (K,), f/d1/d2 (K, C): values and first/second derivatives at nodes.
+    Returns (K-1, 6, C).
+    """
+    h = np.diff(x)[:, None]                      # (K-1, 1)
+    f0, f1 = f[:-1], f[1:]
+    g0, g1 = d1[:-1], d1[1:]
+    s0, s1 = d2[:-1], d2[1:]
+    a0 = f0
+    a1 = g0
+    a2 = s0 / 2.0
+    A = f1 - (a0 + a1 * h + a2 * h * h)
+    B = g1 - (a1 + 2.0 * a2 * h)
+    C = s1 - 2.0 * a2
+    h2 = h * h
+    a3 = (10.0 * A - 4.0 * B * h + 0.5 * C * h2) / (h * h2)
+    a4 = (-15.0 * A + 7.0 * B * h - C * h2) / (h2 * h2)
+    a5 = (6.0 * A - 3.0 * B * h + 0.5 * C * h2) / (h2 * h2 * h)
+    return np.stack([a0, a1, a2, a3, a4, a5], axis=1)  # (K-1, 6, C)
+
+
+class MultipolePotential(Potential):
+    """Evaluate an Agama Multipole expansion on device.
+
+    Parameters
+    ----------
+    coefs : MultipoleCoefs | path | coef string
+    dtype : jnp dtype for the stored tables (float64 recommended off-TPU).
+    """
+
+    def __init__(self, coefs, dtype=None):
+        if not isinstance(coefs, MultipoleCoefs):
+            coefs = read_mult_coefs(coefs)
+        self.coefs = coefs
+
+        r = np.asarray(coefs.R_grid, float)
+        phi = np.asarray(coefs.phi, float)
+        if phi.ndim == 1:
+            phi = phi[:, None]
+        labels = [tuple(p) for p in coefs.lm_labels]
+
+        # Prune (near-)zero harmonics (reference: _potential.py:528-538);
+        # relative tolerance catches quadrature noise in projected tables.
+        tol = 1e-12 * np.abs(phi).max() if phi.size else 0.0
+        keep = [i for i in range(phi.shape[1])
+                if np.abs(phi[:, i]).max() > tol]
+        if not keep:
+            keep = [0]
+        self.labels = [labels[i] for i in keep]
+        phi = phi[:, keep]
+
+        if coefs.dphi_dr is not None:
+            dphi_dr = np.asarray(coefs.dphi_dr, float)[:, keep]
+        else:
+            from scipy.interpolate import CubicSpline
+
+            dphi_dr = CubicSpline(r, phi, axis=0)(r, 1)
+
+        # Radial interpolation in x = ln r
+        x = np.log(r)
+        f = phi
+        d1 = dphi_dr * r[:, None]                 # df/dx = r dPhi/dr
+        from scipy.interpolate import CubicSpline
+
+        d2 = CubicSpline(x, d1, axis=0)(x, 1)     # d2f/dx2 estimate
+        coeffs = _quintic_hermite_coeffs(x, f, d1, d2)  # (K-1, 6, C)
+
+        # Power-law asymptotes: Phi_lm = A (r/R_end)^v, matched in value
+        # and log-slope; fall back to the theoretical r^l / r^-(l+1)
+        # behaviour when the end value is ~0.
+        ls = np.array([l for l, _ in self.labels], float)
+
+        def _slope(fv, dv, default):
+            safe = np.abs(fv) > 1e-300
+            v = np.where(safe, dv / np.where(safe, fv, 1.0), default)
+            return np.clip(v, -40.0, 40.0)
+
+        v_in = _slope(f[0], d1[0], ls)
+        v_out = _slope(f[-1], d1[-1], -(ls + 1.0))
+
+        dt = dtype or jnp.asarray(0.0).dtype
+        self.x_grid = jnp.asarray(x, dt)
+        self.coeffs = jnp.asarray(coeffs, dt)
+        self.f_in = jnp.asarray(f[0], dt)
+        self.v_in = jnp.asarray(v_in, dt)
+        self.f_out = jnp.asarray(f[-1], dt)
+        self.v_out = jnp.asarray(v_out, dt)
+        self.x0 = float(x[0])
+        self.x1 = float(x[-1])
+
+        self.lmax = max(l for l, _ in self.labels)
+        self.mmax = max(abs(m) for _, m in self.labels)
+
+    # -- radial part --------------------------------------------------------
+    def _radial(self, xlog):
+        """All harmonic radial functions Phi_lm at one log-radius: (C,)."""
+        k = jnp.clip(
+            jnp.searchsorted(self.x_grid, xlog, side="right") - 1,
+            0, self.x_grid.shape[0] - 2,
+        )
+        dtc = jnp.clip(xlog, self.x0, self.x1) - self.x_grid[k]
+        c = self.coeffs[k]                        # (6, C)
+        val = c[5]
+        for i in (4, 3, 2, 1, 0):
+            val = val * dtc + c[i]
+        inner = self.f_in * jnp.exp(self.v_in * (xlog - self.x0))
+        outer = self.f_out * jnp.exp(self.v_out * (xlog - self.x1))
+        val = jnp.where(xlog < self.x0, inner, val)
+        val = jnp.where(xlog > self.x1, outer, val)
+        return val
+
+    # -- angular part -------------------------------------------------------
+    def _angular(self, cos_t, sin_t, cos_p, sin_p):
+        """Y factors per stored harmonic, same order as self.labels: (C,)."""
+        lmax, mmax = self.lmax, self.mmax
+        # cos(m phi), sin(m phi) by recurrence
+        cos_m = {0: jnp.ones_like(cos_p)}
+        sin_m = {0: jnp.zeros_like(sin_p)}
+        for m in range(1, mmax + 1):
+            cos_m[m] = cos_m[m - 1] * cos_p - sin_m[m - 1] * sin_p
+            sin_m[m] = sin_m[m - 1] * cos_p + cos_m[m - 1] * sin_p
+
+        # Orthonormalised associated Legendre with CS phase:
+        # P~_mm = COEF_m sin^m(theta),  COEF_m = (-1)^m PREFACT_m (2m-1)!!
+        # upward l-recurrence:
+        #   P~_lm = a (cos P~_{l-1,m}) - b P~_{l-2,m}
+        #   a = sqrt((4l^2-1)/(l^2-m^2)), b = sqrt(((l-1)^2-m^2)/(4(l-1)^2-1))
+        p = {}
+        for m in range(0, mmax + 1):
+            pref = math.sqrt((2 * m + 1)
+                             / (4.0 * math.pi * math.factorial(2 * m)))
+            dfact = 1.0
+            for i in range(1, 2 * m, 2):
+                dfact *= i
+            coef_m = ((-1.0) ** m) * pref * dfact
+            pmm = coef_m * sin_t ** m
+            p[(m, m)] = pmm
+            if m + 1 <= lmax:
+                p[(m + 1, m)] = (math.sqrt(2 * m + 3.0) * cos_t * pmm)
+            for l in range(m + 2, lmax + 1):
+                a = math.sqrt((4.0 * l * l - 1.0) / (l * l - m * m))
+                b = math.sqrt((((l - 1.0) ** 2 - m * m)
+                               / (4.0 * (l - 1.0) ** 2 - 1.0)))
+                p[(l, m)] = a * (cos_t * p[(l - 1, m)]
+                                 - b * p[(l - 2, m)])
+
+        ys = []
+        for l, m in self.labels:
+            am = abs(m)
+            mul = MUL0 if m == 0 else MUL1
+            trig = cos_m[am] if m >= 0 else sin_m[am]
+            ys.append(mul * p[(l, am)] * trig)
+        return jnp.stack(ys)
+
+    # -- Potential interface ------------------------------------------------
+    def phi_point(self, xyz, t):
+        eps = 1e-30
+        r2 = xyz[0] ** 2 + xyz[1] ** 2 + xyz[2] ** 2 + eps
+        r = jnp.sqrt(r2)
+        rc2 = xyz[0] ** 2 + xyz[1] ** 2 + eps
+        rc = jnp.sqrt(rc2)
+        cos_t = xyz[2] / r
+        sin_t = rc / r
+        cos_p = xyz[0] / rc
+        sin_p = xyz[1] / rc
+        radial = self._radial(jnp.log(r))
+        ang = self._angular(cos_t, sin_t, cos_p, sin_p)
+        return jnp.sum(radial * ang)
+
+    # -- constructors -------------------------------------------------------
+    @classmethod
+    def from_file(cls, path, **kw):
+        return cls(read_mult_coefs(path), **kw)
+
+    @classmethod
+    def from_projection(cls, phi_fn, r_grid, lmax: int,
+                        mmax: int | None = None, n_theta: int = 64,
+                        n_phi: int = 64, symmetry: str = "none"):
+        """Build coefficients by numerically projecting an arbitrary
+        potential callable phi_fn((N,3) -> (N,)) onto the harmonic basis.
+
+        Gauss-Legendre x trapezoid quadrature over the sphere at each grid
+        radius; the resulting table is the same object an Agama fit would
+        produce (reference: _fit.py builds these through Agama itself).
+        """
+        mmax = lmax if mmax is None else mmax
+        r_grid = np.asarray(r_grid, float)
+        nodes, weights = np.polynomial.legendre.leggauss(n_theta)
+        cos_t = nodes
+        sin_t = np.sqrt(1.0 - cos_t**2)
+        phis = 2.0 * np.pi * np.arange(n_phi) / n_phi
+
+        # sample grid on the sphere
+        ct = np.repeat(cos_t, n_phi)
+        st = np.repeat(sin_t, n_phi)
+        pp = np.tile(phis, n_theta)
+        wq = np.repeat(weights, n_phi) * (2.0 * np.pi / n_phi)
+
+        labels = []
+        for l in range(lmax + 1):
+            for m in range(-min(l, mmax), min(l, mmax) + 1):
+                labels.append((l, m))
+
+        # angular basis values at quadrature points: numpy mirror of
+        # _angular (orthonormalised Legendre recurrence, CS phase)
+        pnorm = {}
+        for m in range(0, mmax + 1):
+            pref = math.sqrt((2 * m + 1)
+                             / (4.0 * math.pi * math.factorial(2 * m)))
+            dfact = 1.0
+            for i in range(1, 2 * m, 2):
+                dfact *= i
+            pmm = ((-1.0) ** m) * pref * dfact * st ** m
+            pnorm[(m, m)] = pmm
+            if m + 1 <= lmax:
+                pnorm[(m + 1, m)] = math.sqrt(2 * m + 3.0) * ct * pmm
+            for l in range(m + 2, lmax + 1):
+                a = math.sqrt((4.0 * l * l - 1.0) / (l * l - m * m))
+                b = math.sqrt(((l - 1.0) ** 2 - m * m)
+                              / (4.0 * (l - 1.0) ** 2 - 1.0))
+                pnorm[(l, m)] = a * (ct * pnorm[(l - 1, m)]
+                                     - b * pnorm[(l - 2, m)])
+
+        y = np.zeros((len(labels), ct.size))
+        for i, (l, m) in enumerate(labels):
+            am = abs(m)
+            mul = MUL0 if m == 0 else MUL1
+            trig = np.cos(am * pp) if m >= 0 else np.sin(am * pp)
+            y[i] = mul * pnorm[(l, am)] * trig
+
+        # <Y_i Y_j> = 4 pi delta_ij => Phi_lm = <Phi Y_lm> / (4 pi)
+        phi_tab = np.zeros((r_grid.size, len(labels)))
+        for j, r in enumerate(r_grid):
+            pts = np.column_stack([r * st * np.cos(pp), r * st * np.sin(pp),
+                                   r * ct])
+            vals = np.asarray(phi_fn(pts), float)
+            phi_tab[j] = (y * (vals * wq)[None, :]).sum(axis=1) \
+                / (4.0 * math.pi)
+
+        coefs = MultipoleCoefs(
+            R_grid=r_grid, lm_labels=labels, phi=phi_tab, dphi_dr=None,
+            metadata={"type": "Multipole", "lmax": str(lmax),
+                      "symmetry": symmetry},
+        )
+        return cls(coefs)

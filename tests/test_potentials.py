@@ -1,0 +1,342 @@
+"""External-potential stack: analytic forms, autodiff consistency,
+modifiers, BFE evaluators (Multipole / CylSpline), factory/INI, archives.
+
+Mirrors the reference's agama_helper phase-1/2/3 accuracy ladders
+(reference: agama_helper/tests/) with analytic ground truth instead of
+Agama.
+"""
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from nbody_streams_tpu.constants import G_DEFAULT
+from nbody_streams_tpu.potentials import (
+    AnalyticPotential,
+    CylSplinePotential,
+    CylSplineCoefs,
+    EvolvingPotential,
+    HernquistPotential,
+    MiyamotoNagaiPotential,
+    MultipoleCoefs,
+    MultipolePotential,
+    NFWPotential,
+    PlummerPotential,
+    ScaledPotential,
+    ShiftedPotential,
+    load_evolving_potential,
+    load_potential,
+    make_potential,
+    read_coef_string,
+    read_mult_coefs,
+    write_coef_to_h5,
+    write_snapshot_coefs_to_h5,
+)
+
+DATA = Path(__file__).resolve().parent.parent / "nbody_streams_tpu/data"
+
+
+@pytest.fixture
+def pts(rng):
+    return rng.normal(0.0, 20.0, (200, 3))
+
+
+# ---------------------------------------------------------------------------
+# Analytic potentials
+# ---------------------------------------------------------------------------
+
+def test_plummer_closed_form(pts):
+    p = PlummerPotential(mass=1e11, scaleRadius=5.0)
+    r2 = (pts**2).sum(1)
+    phi_exp = -G_DEFAULT * 1e11 / np.sqrt(r2 + 25.0)
+    np.testing.assert_allclose(np.asarray(p.potential(pts)), phi_exp,
+                               rtol=1e-12)
+    # force = -grad phi: closed form GM x / (r^2+b^2)^{3/2}
+    f_exp = -G_DEFAULT * 1e11 * pts / (r2 + 25.0)[:, None] ** 1.5
+    np.testing.assert_allclose(np.asarray(p.force(pts)), f_exp, rtol=1e-10)
+
+
+def test_nfw_closed_form(pts):
+    p = NFWPotential(mass=1e12, scaleRadius=20.0)
+    r = np.sqrt((pts**2).sum(1))
+    phi_exp = -G_DEFAULT * 1e12 * np.log1p(r / 20.0) / r
+    np.testing.assert_allclose(np.asarray(p.potential(pts)), phi_exp,
+                               rtol=1e-10)
+
+
+def test_density_from_laplacian(pts):
+    """Autodiff density must match the analytic Hernquist profile."""
+    p = HernquistPotential(mass=1e11, scaleRadius=4.0)
+    r = np.sqrt((pts**2).sum(1))
+    rho_exp = 1e11 * 4.0 / (2 * np.pi * r * (r + 4.0) ** 3)
+    rho = np.asarray(p.density(pts))
+    np.testing.assert_allclose(rho, rho_exp, rtol=1e-6)
+
+
+def test_force_deriv_layout(pts):
+    """forceDeriv returns (force, -hess6[xx,yy,zz,xy,yz,xz])."""
+    p = PlummerPotential(mass=1e11, scaleRadius=5.0)
+    f, d = p.forceDeriv(pts[:5])
+    assert f.shape == (5, 3) and d.shape == (5, 6)
+    # trace of -hess = -4 pi G rho
+    rho = np.asarray(p.density(pts[:5]))
+    np.testing.assert_allclose(-(d[:, 0] + d[:, 1] + d[:, 2]),
+                               4 * np.pi * G_DEFAULT * rho, rtol=1e-6)
+
+
+def test_eval_combinations(pts):
+    p = MiyamotoNagaiPotential(mass=5e10, scaleRadius=3.0, scaleHeight=0.3)
+    phi = p.eval(pts[:4], pot=True)
+    phi2, acc = p.eval(pts[:4], pot=True, acc=True)
+    np.testing.assert_allclose(np.asarray(phi), np.asarray(phi2))
+    assert np.asarray(acc).shape == (4, 3)
+    with pytest.raises(ValueError):
+        p.eval(pts[:4])
+
+
+def test_composition(pts):
+    a = PlummerPotential(mass=1e10, scaleRadius=1.0)
+    b = NFWPotential(mass=1e12, scaleRadius=20.0)
+    c = a + b
+    np.testing.assert_allclose(
+        np.asarray(c.potential(pts)),
+        np.asarray(a.potential(pts)) + np.asarray(b.potential(pts)),
+        rtol=1e-12,
+    )
+    s = sum([a, b, a])
+    assert len(s) == 3
+
+
+def test_analytic_factory():
+    p = AnalyticPotential(type="NFW", mass=1e12, scaleRadius=20.0)
+    assert isinstance(p, NFWPotential)
+    with pytest.raises(ValueError):
+        AnalyticPotential(type="nope")
+
+
+# ---------------------------------------------------------------------------
+# Modifiers
+# ---------------------------------------------------------------------------
+
+def test_shifted_static(pts):
+    inner = PlummerPotential(mass=1e11, scaleRadius=5.0)
+    c = np.array([10.0, -5.0, 3.0])
+    p = ShiftedPotential(inner, c)
+    np.testing.assert_allclose(np.asarray(p.potential(pts)),
+                               np.asarray(inner.potential(pts - c)),
+                               rtol=1e-12)
+
+
+def test_shifted_trajectory(pts):
+    inner = PlummerPotential(mass=1e11, scaleRadius=5.0)
+    t = np.linspace(0.0, 1.0, 11)
+    traj = np.column_stack([t, 10 * t, 0 * t, 0 * t])   # moves along +x
+    p = ShiftedPotential(inner, traj)
+    assert p.time_dependent
+    np.testing.assert_allclose(
+        np.asarray(p.potential(pts, t=0.5)),
+        np.asarray(inner.potential(pts - np.array([5.0, 0, 0]))),
+        rtol=1e-6,
+    )
+    # clamped outside range
+    np.testing.assert_allclose(
+        np.asarray(p.potential(pts, t=99.0)),
+        np.asarray(inner.potential(pts - np.array([10.0, 0, 0]))),
+        rtol=1e-6,
+    )
+
+
+def test_scaled_semantics(pts):
+    """Phi_s = a s Phi(x s), force scales as a s^2 (Agama convention)."""
+    inner = PlummerPotential(mass=1e11, scaleRadius=5.0)
+    p = ScaledPotential(inner, scale=2.0, ampl=3.0)
+    s = 0.5
+    np.testing.assert_allclose(
+        np.asarray(p.potential(pts)),
+        3.0 * s * np.asarray(inner.potential(pts * s)),
+        rtol=1e-12,
+    )
+    np.testing.assert_allclose(
+        np.asarray(p.force(pts)),
+        3.0 * s * s * np.asarray(inner.force(pts * s)),
+        rtol=1e-10,
+    )
+
+
+def test_evolving_lerp(pts):
+    a = PlummerPotential(mass=1e11, scaleRadius=5.0)
+    b = PlummerPotential(mass=2e11, scaleRadius=5.0)
+    ev = EvolvingPotential([a, b], [0.0, 1.0])
+    mid = np.asarray(ev.potential(pts, t=0.25))
+    exp = 0.75 * np.asarray(a.potential(pts)) \
+        + 0.25 * np.asarray(b.potential(pts))
+    np.testing.assert_allclose(mid, exp, rtol=1e-7)
+    # clamped
+    np.testing.assert_allclose(np.asarray(ev.potential(pts, t=-5.0)),
+                               np.asarray(a.potential(pts)), rtol=1e-7)
+    # nearest mode
+    evn = EvolvingPotential([a, b], [0.0, 1.0], interpolate=False)
+    np.testing.assert_allclose(np.asarray(evn.potential(pts, t=0.1)),
+                               np.asarray(a.potential(pts)), rtol=1e-7)
+
+
+# ---------------------------------------------------------------------------
+# Multipole BFE
+# ---------------------------------------------------------------------------
+
+def make_spherical_coefs(pot, r_grid):
+    pts_r = np.column_stack([r_grid, 0 * r_grid, 0 * r_grid])
+    phi = np.asarray(pot.potential(pts_r))
+    dphi = -np.asarray(pot.force(pts_r))[:, 0]
+    return MultipoleCoefs(R_grid=r_grid, lm_labels=[(0, 0)],
+                          phi=phi[:, None], dphi_dr=dphi[:, None])
+
+
+def test_multipole_spherical_accuracy(pts):
+    pl = PlummerPotential(mass=1e11, scaleRadius=5.0)
+    mp = MultipolePotential(make_spherical_coefs(pl,
+                                                 np.geomspace(0.05, 500, 40)))
+    p_ref = np.asarray(pl.potential(pts))
+    np.testing.assert_allclose(np.asarray(mp.potential(pts)), p_ref,
+                               atol=2e-6 * np.abs(p_ref).max())
+    f_ref = np.asarray(pl.force(pts))
+    np.testing.assert_allclose(np.asarray(mp.force(pts)), f_ref,
+                               atol=1e-4 * np.abs(f_ref).max())
+
+
+def test_multipole_projection_flattened(rng):
+    """Mildly flattened potential reconstructed from numerical projection."""
+    mn = MiyamotoNagaiPotential(mass=5e10, scaleRadius=3.0, scaleHeight=2.0)
+    mp = MultipolePotential.from_projection(
+        lambda p: np.asarray(mn.potential(p)),
+        np.geomspace(0.2, 300.0, 48), lmax=8,
+    )
+    # axisymmetric + z-symmetric: only even-l m=0 terms survive pruning
+    assert all(m == 0 and l % 2 == 0 for l, m in mp.labels)
+    pts = rng.normal(0, 15, (200, 3))
+    p_ref = np.asarray(mn.potential(pts))
+    p_mp = np.asarray(mp.potential(pts))
+    assert np.abs(p_mp - p_ref).max() / np.abs(p_ref).max() < 2e-3
+
+
+def test_multipole_zeroed_filter():
+    pl = PlummerPotential(mass=1e11, scaleRadius=5.0)
+    coefs = make_spherical_coefs(pl, np.geomspace(0.1, 100, 25))
+    z = coefs.zeroed([(0, 0)])
+    np.testing.assert_allclose(z.phi, coefs.phi)
+    z2 = coefs.zeroed([])
+    assert (z2.phi == 0).all()
+
+
+def test_coef_string_roundtrip():
+    pl = PlummerPotential(mass=1e11, scaleRadius=5.0)
+    coefs = make_spherical_coefs(pl, np.geomspace(0.1, 100, 25))
+    c2 = read_mult_coefs(coefs.to_coef_string())
+    np.testing.assert_allclose(c2.phi, coefs.phi)
+    np.testing.assert_allclose(c2.dphi_dr, coefs.dphi_dr)
+    assert c2.lm_labels == coefs.lm_labels
+
+
+# ---------------------------------------------------------------------------
+# CylSpline BFE
+# ---------------------------------------------------------------------------
+
+def make_mn_cylspline():
+    mn = MiyamotoNagaiPotential(mass=5e10, scaleRadius=3.0, scaleHeight=0.3)
+    r_grid = np.concatenate([[0.0], np.geomspace(0.1, 100.0, 30)])
+    zp = np.geomspace(0.05, 100.0, 15)
+    z_grid = np.concatenate([-zp[::-1], [0.0], zp])
+    rr, zz = np.meshgrid(r_grid, z_grid, indexing="ij")
+    pts = np.column_stack([rr.ravel(), np.zeros(rr.size), zz.ravel()])
+    tab = np.asarray(mn.potential(pts)).reshape(rr.shape)
+    return mn, CylSplineCoefs(R_grid=r_grid, z_grid=z_grid, m_values=[0],
+                              phi=tab[None])
+
+
+def test_cylspline_interior_accuracy(rng):
+    mn, coefs = make_mn_cylspline()
+    cs = CylSplinePotential(coefs)
+    pts = rng.normal(0, 10, (300, 3))
+    p_ref = np.asarray(mn.potential(pts))
+    assert np.abs(np.asarray(cs.potential(pts)) - p_ref).max() \
+        / np.abs(p_ref).max() < 5e-4
+    f_ref = np.asarray(mn.force(pts))
+    assert np.abs(np.asarray(cs.force(pts)) - f_ref).max() \
+        / np.abs(f_ref).max() < 5e-3
+
+
+def test_cylspline_outer_and_axis():
+    mn, coefs = make_mn_cylspline()
+    cs = CylSplinePotential(coefs)
+    far = np.array([[150.0, 30.0, 10.0], [0.0, 0.0, 140.0]])
+    p_ref = np.asarray(mn.potential(far))
+    assert np.abs(np.asarray(cs.potential(far)) - p_ref).max() \
+        / np.abs(p_ref).max() < 0.05
+    # exactly on the z-axis: finite and matching near-axis
+    f_axis = np.asarray(cs.force(np.array([0.0, 0.0, 30.0])))
+    f_near = np.asarray(cs.force(np.array([1e-7, 0.0, 30.0])))
+    assert np.isfinite(f_axis).all()
+    np.testing.assert_allclose(f_axis[2], f_near[2], rtol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Factory / INI / archives
+# ---------------------------------------------------------------------------
+
+def test_factory_analytic_and_composite(pts):
+    p = make_potential(type="NFW", mass=1e12, scaleRadius=20.0)
+    assert isinstance(p, NFWPotential)
+    c = make_potential({"type": "NFW", "mass": 1e12, "scaleRadius": 20.0},
+                       {"type": "Plummer", "mass": 1e10,
+                        "scaleRadius": 1.0})
+    assert len(c.components) == 2
+
+
+def test_factory_center_modifier(pts):
+    p = make_potential(type="Plummer", mass=1e11, scaleRadius=5.0,
+                       center=[10.0, 0.0, 0.0])
+    inner = PlummerPotential(mass=1e11, scaleRadius=5.0)
+    np.testing.assert_allclose(
+        np.asarray(p.potential(pts)),
+        np.asarray(inner.potential(pts - np.array([10.0, 0, 0]))),
+        rtol=1e-10,
+    )
+
+
+def test_mw_ini_loads(pts):
+    p = make_potential(file=str(DATA / "potentials/MWPotential22.ini"))
+    assert len(p.components) == 6
+    # circular velocity at the solar radius ~ 220-250 km/s
+    f = np.asarray(p.force(np.array([8.2, 0.0, 0.0])))
+    vc = np.sqrt(-8.2 * f[0])
+    assert 200.0 < vc < 260.0
+
+
+def test_h5_coef_archive_roundtrip(tmp_path):
+    pl = PlummerPotential(mass=1e11, scaleRadius=5.0)
+    coefs = make_spherical_coefs(pl, np.geomspace(0.1, 100, 25))
+    s = coefs.to_coef_string()
+    path = tmp_path / "archive.h5"
+    write_coef_to_h5(path, s, "snap_000")
+    assert read_coef_string(path, "snap_000") == s
+    with pytest.raises(RuntimeError):
+        write_coef_to_h5(path, s, "snap_000")
+    pot = load_potential(path)
+    test = np.array([[5.0, 1.0, -2.0]])
+    np.testing.assert_allclose(np.asarray(pot.potential(test)),
+                               np.asarray(pl.potential(test)), rtol=1e-5)
+
+
+def test_load_evolving_from_archive(tmp_path, pts):
+    a = PlummerPotential(mass=1e11, scaleRadius=5.0)
+    b = PlummerPotential(mass=2e11, scaleRadius=5.0)
+    grid = np.geomspace(0.1, 300, 30)
+    strings = [make_spherical_coefs(p, grid).to_coef_string()
+               for p in (a, b)]
+    path = tmp_path / "evolv.h5"
+    write_snapshot_coefs_to_h5(path, strings, times=[0.0, 1.0])
+    ev = load_evolving_potential(path)
+    mid = np.asarray(ev.potential(pts, t=0.5))
+    exp = 0.5 * (np.asarray(a.potential(pts))
+                 + np.asarray(b.potential(pts)))
+    np.testing.assert_allclose(mid, exp, rtol=1e-4)
