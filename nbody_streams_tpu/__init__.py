@@ -18,6 +18,8 @@ from .ic import make_plummer_sphere, place_on_orbit
 from .run import run_nbody, run_nbody_tpu, run_nbody_cpu
 from .sim import run_simulation
 from .nbody_io import ParticleReader
+from . import potentials
+from .friction import make_df_force_extra, ChandrasekharFriction
 
 # Drop-in aliases for reference call sites (reference: __init__.py:63-96)
 run_nbody_gpu = run_nbody_tpu
@@ -47,4 +49,7 @@ __all__ = [
     "compute_nbody_forces_cpu",
     "compute_nbody_potential_gpu",
     "compute_nbody_potential_cpu",
+    "potentials",
+    "make_df_force_extra",
+    "ChandrasekharFriction",
 ]

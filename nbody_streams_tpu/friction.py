@@ -1,0 +1,265 @@
+"""Chandrasekhar dynamical friction — fully jittable on-device term.
+
+TPU-native redesign of the reference's DF implementation
+(reference: _chandrasekhar.py:439-838).  The reference runs host-side
+NumPy inside a mutable-closure ``force_extra`` with a device round-trip
+per step; here the whole term — shrinking-sphere CoM, predictor
+extrapolation, sigma(r) lookup, BT2008 eq. 8.13 — is a
+:class:`~nbody_streams_tpu.integrate.ForceExtra` whose state threads
+through the scanned KDK step (``lax.cond`` selects full-update vs
+predictor steps by the global step counter).
+
+Physics preserved exactly:
+
+* a_DF = -4 pi G^2 M_sat rho ln(Lambda)/v^2 [erf(X) - 2X/sqrt(pi)
+  exp(-X^2)] v_hat with X = v/(sqrt(2) sigma(r))
+* Coulomb log 'variable' ln(r v^2/(G M_sat)) clipped at ln(1.1), or
+  'fixed'
+* Read+2006 core-stalling suppression min(1, (r/r_core)^gamma)
+* sigma(r): isotropic Jeans integral tabulated host-side into a
+  jittable log-log spline, or the cheap local-circular estimate
+  sqrt(r |g_r| / 2) evaluated in-graph ('quasispherical' falls back to
+  Jeans — it needs Agama's DF machinery, reference :672-680)
+* CoM tracking: fixed-iteration shrinking sphere every
+  ``update_interval`` steps, kinematic predictor in between; DF applied
+  only within ``apply_radius_factor`` x the final sphere radius.
+"""
+from __future__ import annotations
+
+import warnings
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from .constants import G_DEFAULT
+from .integrate import ForceExtra
+from .utils.interp import spline_coeffs
+
+__all__ = [
+    "ChandrasekharFriction",
+    "make_df_force_extra",
+    "chandrasekhar_accel",
+    "compute_sigma_r",
+    "shrinking_sphere_com",
+]
+
+
+# ---------------------------------------------------------------------------
+# sigma(r)
+# ---------------------------------------------------------------------------
+
+def compute_sigma_r(pot, t_eval: float = 0.0, grid_r=None,
+                    method: str = "jeans"):
+    """Radial velocity dispersion profile as a jittable callable.
+
+    'jeans': isotropic spherical Jeans equation,
+    sigma_r^2(r) = (1/rho) int_r^inf rho(s) |g_r(s)| ds, tabulated on a
+    log grid and returned as a clamped log-log spline (reference:
+    _chandrasekhar.py:70-145).
+    """
+    if method == "quasispherical":
+        warnings.warn(
+            "sigma_method='quasispherical' requires Agama DF moments; "
+            "falling back to the Jeans equation", RuntimeWarning,
+            stacklevel=2)
+        method = "jeans"
+    if method not in ("jeans", "local_circular"):
+        raise ValueError(f"unknown sigma method {method!r}")
+
+    if method == "local_circular":
+        def sigma(r, t=t_eval):
+            p = jnp.stack([r, jnp.zeros_like(r), jnp.zeros_like(r)], -1)
+            gr = pot.force(p, t=t)[..., 0]
+            return jnp.sqrt(jnp.maximum(0.5 * r * jnp.abs(gr), 1e-12))
+
+        return sigma
+
+    r = (np.asarray(grid_r, float) if grid_r is not None
+         else np.geomspace(1e-2, 2e3, 200))
+    pts = np.column_stack([r, np.zeros_like(r), np.zeros_like(r)])
+    rho = np.maximum(np.asarray(pot.density(pts, t=t_eval), float), 1e-300)
+    g_r = np.abs(np.asarray(pot.force(pts, t=t_eval), float)[:, 0])
+
+    # integrate rho*g from the outside in (log-spaced trapezoid)
+    integrand = rho * g_r * r            # d s = s d ln s
+    lnr = np.log(r)
+    seg = 0.5 * (integrand[1:] + integrand[:-1]) * np.diff(lnr)
+    cum_out = np.concatenate([np.cumsum(seg[::-1])[::-1], [0.0]])
+    sigma2 = cum_out / rho
+    sigma_tab = np.sqrt(np.maximum(sigma2, 1e-12))
+
+    spline = spline_coeffs(lnr, np.log(sigma_tab), extrapolate="clamp")
+
+    def sigma(rq, t=t_eval):
+        return jnp.exp(spline(jnp.log(jnp.maximum(rq, 1e-10))))
+
+    return sigma
+
+
+# ---------------------------------------------------------------------------
+# CoM finders
+# ---------------------------------------------------------------------------
+
+def shrinking_sphere_com(pos, vel, mass, n_iter: int = 5,
+                         frac: float = 0.5):
+    """Fixed-iteration shrinking-sphere centre (jittable).
+
+    Returns (r_com, v_com, r_sphere).  Mirrors the reference's behaviour
+    (_chandrasekhar.py:370-432) with a static trip count: start from the
+    global centre of mass, halve the aperture ``n_iter`` times,
+    recomputing the mass-weighted centre of the enclosed particles.
+    """
+    m = mass
+    com = jnp.sum(pos * m[:, None], axis=0) / jnp.sum(m)
+    d = jnp.linalg.norm(pos - com, axis=1)
+    r = jnp.max(d)
+
+    def body(carry, _):
+        com, r = carry
+        r = r * frac
+        d = jnp.linalg.norm(pos - com, axis=1)
+        w = m * (d <= r)
+        wsum = jnp.maximum(jnp.sum(w), 1e-300)
+        com = jnp.sum(pos * w[:, None], axis=0) / wsum
+        return (com, r), None
+
+    (com, r), _ = lax.scan(body, (com, r), None, length=n_iter)
+    d = jnp.linalg.norm(pos - com, axis=1)
+    w = m * (d <= r)
+    wsum = jnp.maximum(jnp.sum(w), 1e-300)
+    v_com = jnp.sum(vel * w[:, None], axis=0) / wsum
+    return com, v_com, r
+
+
+# ---------------------------------------------------------------------------
+# The friction formula
+# ---------------------------------------------------------------------------
+
+def chandrasekhar_accel(r_com, v_com, M_sat, rho, sigma, t, G=G_DEFAULT,
+                        coulomb_mode: str = "variable",
+                        fixed_ln_lambda: float = 3.0,
+                        core_gamma: float = 0.0, r_core: float = 1.0):
+    """BT2008 eq. 8.13 DF acceleration at the CoM (jittable, (3,))."""
+    r = jnp.linalg.norm(r_com)
+    v = jnp.linalg.norm(v_com)
+    v_safe = jnp.maximum(v, 1e-6)
+    x = v_safe / (jnp.sqrt(2.0) * jnp.maximum(sigma, 1e-6))
+
+    if coulomb_mode == "fixed":
+        ln_lambda = jnp.asarray(fixed_ln_lambda, r.dtype)
+    else:
+        b_min = G * M_sat / (v_safe**2 + 1e-30)
+        ln_lambda = jnp.log(jnp.maximum(r / (b_min + 1e-9), 1.1))
+
+    bracket = (jax.scipy.special.erf(x)
+               - (2.0 / jnp.sqrt(jnp.pi)) * x * jnp.exp(-x * x))
+    a_mag = (4.0 * jnp.pi * G * G * M_sat * rho * ln_lambda * bracket
+             / (v_safe**2))
+    if core_gamma > 0.0:
+        a_mag = a_mag * jnp.minimum(
+            1.0, (r / r_core) ** core_gamma)
+    a = -(v_com / v_safe) * a_mag
+    # vanish when the satellite is at rest or at the exact centre
+    live = (r > 1e-6) & (v > 1e-6)
+    return jnp.where(live, a, jnp.zeros_like(a))
+
+
+# ---------------------------------------------------------------------------
+# ForceExtra
+# ---------------------------------------------------------------------------
+
+class ChandrasekharFriction(ForceExtra):
+    """Jittable DF force_extra with threaded CoM state."""
+
+    def __init__(self, pot, M_sat: float, G: float = G_DEFAULT,
+                 coulomb_mode: str = "variable",
+                 fixed_ln_lambda: float = 3.0, core_gamma: float = 0.0,
+                 r_core: float = 1.0, update_interval: int = 10,
+                 sigma_method: str = "jeans", apply_radius_factor=2.0,
+                 shrink_n_iter: int = 5, shrink_frac: float = 0.5,
+                 sigma_grid_r=None, t_start: float = 0.0,
+                 t_end: float = 0.0):
+        if M_sat <= 0:
+            raise ValueError(f"M_sat must be positive, got {M_sat}")
+        if update_interval < 1:
+            raise ValueError(
+                f"update_interval must be >= 1, got {update_interval}")
+        self.pot = pot
+        self.M_sat = float(M_sat)
+        self.G = float(G)
+        self.coulomb_mode = coulomb_mode
+        self.fixed_ln_lambda = float(fixed_ln_lambda)
+        self.core_gamma = float(core_gamma)
+        self.r_core = float(r_core)
+        self.update_interval = int(update_interval)
+        self.apply_radius_factor = apply_radius_factor
+        self.shrink_n_iter = int(shrink_n_iter)
+        self.shrink_frac = float(shrink_frac)
+        t_mid = 0.5 * (t_start + t_end)
+        self.sigma = compute_sigma_r(pot, t_eval=t_mid, grid_r=sigma_grid_r,
+                                     method=sigma_method)
+
+    def init_state(self, pos, vel, mass, t):
+        com, v_com, r_sph = shrinking_sphere_com(
+            pos, vel, mass, self.shrink_n_iter, self.shrink_frac)
+        return {
+            "r_com": com,
+            "v_com": v_com,
+            "r_sphere": r_sph,
+            "a_df": jnp.zeros_like(com),
+            "t_prev": jnp.asarray(t, pos.dtype),
+        }
+
+    def __call__(self, state, pos, vel, mass, t, phi=None, step=0):
+        dt = t - state["t_prev"]
+
+        def full_update(_):
+            com, v_com, r_sph = shrinking_sphere_com(
+                pos, vel, mass, self.shrink_n_iter, self.shrink_frac)
+            return com, v_com, r_sph
+
+        def predictor(_):
+            a = state["a_df"]
+            com = (state["r_com"] + state["v_com"] * dt
+                   + 0.5 * a * dt * dt)
+            v_com = state["v_com"] + a * dt
+            return com, v_com, state["r_sphere"]
+
+        refresh = (jnp.asarray(step) % self.update_interval) == 0
+        r_com, v_com, r_sph = lax.cond(refresh, full_update, predictor,
+                                       None)
+
+        r = jnp.linalg.norm(r_com)
+        rho = self.pot.density(r_com, t=t)
+        sig = self.sigma(r, t=t)
+        a_df = chandrasekhar_accel(
+            r_com, v_com, self.M_sat, rho, sig, t, G=self.G,
+            coulomb_mode=self.coulomb_mode,
+            fixed_ln_lambda=self.fixed_ln_lambda,
+            core_gamma=self.core_gamma, r_core=self.r_core,
+        ).astype(pos.dtype)
+
+        if self.apply_radius_factor is not None:
+            cutoff = self.apply_radius_factor * r_sph
+            d = jnp.linalg.norm(pos - r_com, axis=1)
+            acc = jnp.where((d <= cutoff)[:, None], a_df[None, :], 0.0)
+        else:
+            acc = jnp.broadcast_to(a_df, pos.shape)
+
+        new_state = {
+            "r_com": r_com,
+            "v_com": v_com,
+            "r_sphere": r_sph,
+            "a_df": a_df,
+            "t_prev": jnp.asarray(t, pos.dtype),
+        }
+        return acc, new_state
+
+
+def make_df_force_extra(pot, M_sat: float, **kwargs) -> ChandrasekharFriction:
+    """Factory matching the reference surface (reference:
+    _chandrasekhar.py:528): returns a jittable ForceExtra applying
+    Chandrasekhar friction to the satellite CoM motion."""
+    return ChandrasekharFriction(pot, M_sat, **kwargs)

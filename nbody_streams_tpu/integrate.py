@@ -58,7 +58,7 @@ class ForceExtra:
     def init_state(self, pos, vel, mass, t):
         return ()
 
-    def __call__(self, state, pos, vel, mass, t, phi=None):
+    def __call__(self, state, pos, vel, mass, t, phi=None, step=0):
         raise NotImplementedError
 
 
@@ -103,7 +103,7 @@ def make_accel_fn(
             acc = acc + ext_acc
         if force_extra is not None:
             extra, extra_state = force_extra(
-                extra_state, pos, vel, mass, t
+                extra_state, pos, vel, mass, t, step=step
             )
             acc = acc + extra.astype(acc.dtype)
         return acc, ext_acc, extra_state

@@ -63,7 +63,7 @@ class CallbackForceExtra(ForceExtra):
         self.n = int(n)
         self.dtype = dtype
 
-    def __call__(self, state, pos, vel, mass, t, phi=None):
+    def __call__(self, state, pos, vel, mass, t, phi=None, step=0):
         import jax.experimental
 
         def host(p, v, tt):

@@ -122,6 +122,8 @@ def run_simulation(
             external_potential,
             M_sat=m_sat,
             G=G,
+            t_start=time_start,
+            t_end=time_end,
             **{k.removeprefix("df_"): v for k, v in df_kwargs.items()},
         )
     elif df_kwargs:

@@ -1,0 +1,118 @@
+"""Chandrasekhar dynamical friction: unit + behavioural tests
+(reference: tests/test_chandrasekhar.py:59-783)."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nbody_streams_tpu import G_DEFAULT, Species, make_plummer_sphere, \
+    place_on_orbit, run_simulation
+from nbody_streams_tpu.friction import (
+    ChandrasekharFriction,
+    chandrasekhar_accel,
+    compute_sigma_r,
+    make_df_force_extra,
+    shrinking_sphere_com,
+)
+from nbody_streams_tpu.potentials import NFWPotential
+
+
+@pytest.fixture(scope="module")
+def host():
+    return NFWPotential(mass=1e12, scaleRadius=20.0)
+
+
+def test_sigma_methods_agree_roughly(host):
+    """Jeans and local-circular sigma agree within a factor ~2 for NFW."""
+    s_jeans = compute_sigma_r(host, method="jeans")
+    s_circ = compute_sigma_r(host, method="local_circular")
+    for r in (5.0, 20.0, 80.0):
+        a = float(s_jeans(jnp.asarray(r)))
+        b = float(s_circ(jnp.asarray(r)))
+        assert 0.4 < a / b < 2.5
+        assert 20.0 < a < 300.0  # physically sane for a MW-mass halo
+
+
+def test_quasispherical_falls_back(host):
+    with pytest.warns(RuntimeWarning, match="Jeans"):
+        compute_sigma_r(host, method="quasispherical")
+
+
+def test_shrinking_sphere_finds_offset_cluster(rng):
+    xv, m = make_plummer_sphere(500, M_total=1e8, a=0.3, seed=4)
+    offset = np.array([30.0, -10.0, 5.0])
+    vbulk = np.array([50.0, 120.0, -30.0])
+    pos = jnp.asarray(xv[:, :3] + offset)
+    vel = jnp.asarray(xv[:, 3:] + vbulk)
+    com, v_com, r_sph = shrinking_sphere_com(pos, vel, jnp.asarray(m))
+    assert np.linalg.norm(np.asarray(com) - offset) < 0.5
+    assert np.linalg.norm(np.asarray(v_com) - vbulk) < 10.0
+    assert float(r_sph) > 0
+
+
+def test_friction_opposes_motion(host):
+    r_com = jnp.array([30.0, 0.0, 0.0])
+    v_com = jnp.array([0.0, 150.0, 0.0])
+    rho = host.density(r_com)
+    sig = compute_sigma_r(host, method="jeans")(jnp.asarray(30.0))
+    a = np.asarray(chandrasekhar_accel(r_com, v_com, 1e10, rho, sig, 0.0))
+    # anti-parallel to v, zero perpendicular components
+    assert a[1] < 0
+    np.testing.assert_allclose(a[[0, 2]], 0.0, atol=abs(a[1]) * 1e-10)
+    # more massive satellite -> stronger deceleration
+    a2 = np.asarray(chandrasekhar_accel(r_com, v_com, 1e11, rho, sig, 0.0))
+    assert abs(a2[1]) > abs(a[1])
+
+
+def test_friction_zero_at_rest(host):
+    a = np.asarray(chandrasekhar_accel(
+        jnp.array([30.0, 0.0, 0.0]), jnp.zeros(3), 1e10,
+        host.density(jnp.array([30.0, 0.0, 0.0])), jnp.asarray(100.0), 0.0))
+    np.testing.assert_allclose(a, 0.0)
+
+
+def test_factory_validation(host):
+    with pytest.raises(ValueError, match="M_sat"):
+        make_df_force_extra(host, M_sat=-1.0)
+    with pytest.raises(ValueError, match="update_interval"):
+        make_df_force_extra(host, M_sat=1e9, update_interval=0)
+
+
+def test_orbit_decay_behavioral(host, tmp_path):
+    """A massive satellite's orbit decays measurably; an ultralight one's
+    does not (reference behavioural test)."""
+    n = 60
+    xv, m = make_plummer_sphere(n, M_total=1e6, a=0.2, seed=5)
+    xv = place_on_orbit(xv, r_peri=28.0, r_apo=32.0, potential=host)
+    sp = [Species.dark(N=n, mass=float(m[0]), softening=0.05)]
+    t_end = 0.4  # ~0.4 kpc/(km/s) ~ 0.4 Gyr
+
+    def mean_r(res):
+        com = res["dark"][:, :3].mean(0)
+        return np.linalg.norm(com)
+
+    common = dict(
+        time_start=0.0, time_end=t_end, dt=2e-3, architecture="cpu",
+        external_potential=host, save_snapshots=False, verbose=False,
+        precision="float64", df_update_interval=5,
+    )
+    res_heavy = run_simulation(
+        xv, sp, dynamical_friction=True, df_M_sat=5e10,
+        output_dir=str(tmp_path / "h"), **common)
+    res_light = run_simulation(
+        xv, sp, dynamical_friction=True, df_M_sat=1e4,
+        output_dir=str(tmp_path / "l"), **common)
+
+    r_heavy = mean_r(res_heavy)
+    r_light = mean_r(res_light)
+    # the light satellite stays on its ~30 kpc orbit; the heavy one sinks
+    assert abs(r_light - 30.0) < 3.0
+    assert r_heavy < r_light - 1.0
+
+
+def test_df_requires_external_potential(tmp_path):
+    xv, m = make_plummer_sphere(20, M_total=1e6, a=0.2, seed=6)
+    sp = [Species.dark(N=20, mass=float(m[0]), softening=0.05)]
+    with pytest.raises(ValueError, match="external_potential"):
+        run_simulation(xv, sp, 0.0, 1e-3, 1e-3, architecture="cpu",
+                       dynamical_friction=True,
+                       output_dir=str(tmp_path), verbose=False)
