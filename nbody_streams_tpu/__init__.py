@@ -19,6 +19,7 @@ from .run import run_nbody, run_nbody_tpu, run_nbody_cpu
 from .sim import run_simulation
 from .nbody_io import ParticleReader
 from . import potentials
+from . import fast_sims
 from .friction import make_df_force_extra, ChandrasekharFriction
 
 # Drop-in aliases for reference call sites (reference: __init__.py:63-96)
@@ -50,6 +51,7 @@ __all__ = [
     "compute_nbody_potential_gpu",
     "compute_nbody_potential_cpu",
     "potentials",
+    "fast_sims",
     "make_df_force_extra",
     "ChandrasekharFriction",
 ]

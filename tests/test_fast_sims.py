@@ -1,0 +1,208 @@
+"""fast_sims: orbit integrator, King model, spray, restricted N-body."""
+import numpy as np
+import pytest
+
+from nbody_streams_tpu.constants import G_DEFAULT
+from nbody_streams_tpu.fast_sims import (
+    KingModel,
+    create_ic_particle_spray_fardal2015,
+    create_particle_spray_stream,
+    get_jacobi_radius,
+    integrate_orbit,
+    integrate_orbits_released,
+    run_restricted_nbody,
+    spherical_potential_from_particles,
+)
+from nbody_streams_tpu.fast_sims.spray import (
+    create_ic_particle_spray_chen2025,
+)
+from nbody_streams_tpu.potentials import NFWPotential, PlummerPotential
+
+
+@pytest.fixture(scope="module")
+def host():
+    return NFWPotential(mass=1e12, scaleRadius=20.0)
+
+
+def circular_state(host, r):
+    f = np.asarray(host.force(np.array([r, 0.0, 0.0])))
+    vc = np.sqrt(-r * f[0])
+    return np.array([r, 0, 0, 0, vc, 0]), vc
+
+
+# ---------------------------------------------------------------------------
+# Orbit integration
+# ---------------------------------------------------------------------------
+
+def test_circular_orbit_stays_circular(host):
+    xv0, vc = circular_state(host, 30.0)
+    period = 2 * np.pi * 30.0 / vc
+    _, traj = integrate_orbit(host, xv0, 0.0, period, n_steps=4000)
+    r = np.linalg.norm(np.asarray(traj)[:, :3], axis=1)
+    np.testing.assert_allclose(r, 30.0, rtol=1e-5)
+    # returns to start after one period
+    np.testing.assert_allclose(np.asarray(traj)[-1], xv0, atol=0.05)
+
+
+def test_rewind_forward_roundtrip(host):
+    xv0, _ = circular_state(host, 25.0)
+    xv0[3] += 30.0  # eccentric
+    _, back = integrate_orbit(host, xv0, 1.0, 0.0, n_steps=2000)
+    start = np.asarray(back)[-1]
+    _, fwd = integrate_orbit(host, start, 0.0, 1.0, n_steps=2000)
+    np.testing.assert_allclose(np.asarray(fwd)[-1], xv0, atol=1e-4)
+
+
+def test_energy_conservation_orbit(host):
+    xv0, _ = circular_state(host, 15.0)
+    xv0[3] += 80.0
+    _, traj = integrate_orbit(host, xv0, 0.0, 2.0, n_steps=4000)
+    traj = np.asarray(traj)
+    phi = np.asarray(host.potential(traj[:, :3]))
+    e = phi + 0.5 * (traj[:, 3:] ** 2).sum(1)
+    assert abs(e[-1] - e[0]) / abs(e[0]) < 1e-8
+
+
+def test_released_ensemble_freezes_until_release(host):
+    xv0, _ = circular_state(host, 30.0)
+    ics = np.tile(xv0, (4, 1))
+    t_rel = np.array([0.0, 0.25, 0.5, 1.01])  # last never releases
+    times, final = integrate_orbits_released(host, ics, t_rel, 0.0, 1.0,
+                                             1000)
+    final = np.asarray(final)
+    # released particles moved; the unreleased one is exactly its IC
+    assert np.abs(final[0] - xv0).max() > 1.0
+    np.testing.assert_allclose(final[3], xv0)
+    # earlier release -> further along the orbit
+    assert np.abs(final[0, 1] - xv0[1]) > np.abs(final[2, 1] - xv0[1])
+
+
+# ---------------------------------------------------------------------------
+# King model
+# ---------------------------------------------------------------------------
+
+def test_king_model_physical():
+    km = KingModel(W0=5.0, mass=1e8, r_core=0.5)
+    assert km.r_tidal > km.r_core
+    # enclosed mass reaches the total
+    np.testing.assert_allclose(km.m_grid[-1], 1e8, rtol=1e-3)
+    pot = km.potential()
+    # potential at the tidal radius ~ -GM/rt
+    phi_rt = float(pot.potential(np.array([km.r_tidal, 0.0, 0.0])))
+    np.testing.assert_allclose(phi_rt, -G_DEFAULT * 1e8 / km.r_tidal,
+                               rtol=1e-2)
+
+
+def test_king_sampling_virial():
+    km = KingModel(W0=5.0, mass=1e8, r_core=0.5)
+    xv = km.sample(4000, seed=1)
+    r = np.linalg.norm(xv[:, :3], axis=1)
+    assert r.max() <= km.r_tidal * 1.001
+    # rough virial check: 2KE/|PE| ~ 1 (tolerant)
+    ke = 0.5 * np.mean((xv[:, 3:] ** 2).sum(1))
+    phi = np.interp(r, km.r_grid, km.phi_grid)
+    pe = 0.5 * np.mean(phi) - (-G_DEFAULT * 1e8 / km.r_tidal) * 0  # noqa
+    q = 2 * ke / abs(np.mean(phi + G_DEFAULT * 1e8 / km.r_tidal) * 1.0)
+    assert 0.3 < q < 2.0
+
+
+# ---------------------------------------------------------------------------
+# Jacobi radius + spray ICs
+# ---------------------------------------------------------------------------
+
+def test_jacobi_radius_point_mass_limit():
+    """For a Keplerian host, r_J ~ (m/(3M))^{1/3} r on a circular orbit."""
+    host = PlummerPotential(mass=1e12, scaleRadius=1e-4)  # ~point mass
+    r0 = 50.0
+    xv0, _ = circular_state(host, r0)
+    rj, vj, rot = get_jacobi_radius(host, xv0[None, :], 1e8)
+    expected = (1e8 / (3e12)) ** (1 / 3) * r0
+    np.testing.assert_allclose(rj[0], expected, rtol=0.05)
+    # rotation matrix orthonormal
+    np.testing.assert_allclose(rot[0] @ rot[0].T, np.eye(3), atol=1e-12)
+
+
+def test_spray_ic_generators_shapes(host):
+    xv0, _ = circular_state(host, 30.0)
+    orbit = np.tile(xv0, (5, 1))
+    rj, vj, rot = get_jacobi_radius(host, orbit, 1e8)
+    ic1 = create_ic_particle_spray_chen2025(orbit, 1e8, rj, rot)
+    ic2 = create_ic_particle_spray_fardal2015(orbit, rj, vj, rot)
+    assert ic1.shape == (10, 6) and ic2.shape == (10, 6)
+    # offsets are near the tidal radius scale
+    d1 = np.linalg.norm(ic1[:, :3] - orbit.repeat(2, 0)[:, :3], axis=1)
+    assert (d1 > 0.1 * rj.mean()).all() and (d1 < 10 * rj.mean()).all()
+
+
+# ---------------------------------------------------------------------------
+# End-to-end spray + restricted
+# ---------------------------------------------------------------------------
+
+def test_spray_stream_end_to_end(host):
+    sat_now = np.array([40.0, 0, 0, 0, 140.0, 30.0])
+    res = create_particle_spray_stream(
+        host, initmass=1e8, sat_cen_present=sat_now, scaleradius=0.3,
+        num_particles=200, prog_pot_kind="Plummer", time_total=1.0,
+        time_end=0.0, n_steps=600, save_rate=1,
+    )
+    part = res["part_xv"]
+    assert part.shape == (200, 6)
+    assert np.isfinite(part).all()
+    # stream is extended: spread along orbit much larger than progenitor
+    spread = np.linalg.norm(part[:, :3] - part[:, :3].mean(0), axis=1)
+    assert spread.max() > 2.0
+    # progenitor ends near its present-day state
+    np.testing.assert_allclose(res["prog_xv"], sat_now, atol=0.5)
+
+
+def test_spray_multi_snapshot_and_fardal(host):
+    sat_now = np.array([35.0, 0, 0, 0, 150.0, 0.0])
+    res = create_particle_spray_stream(
+        host, initmass=1e8, sat_cen_present=sat_now, scaleradius=0.3,
+        num_particles=100, prog_pot_kind="Plummer", time_total=0.5,
+        time_end=0.0, n_steps=400, save_rate=4,
+        create_ic_method=create_ic_particle_spray_fardal2015,
+    )
+    part = res["part_xv"]
+    assert part.ndim == 3 and part.shape[0] == 100
+    # early snapshots have NaNs for unreleased particles
+    assert np.isnan(part[:, 0, :]).any()
+    assert np.isfinite(part[:, -1, :]).all()
+
+
+def test_spray_validation(host):
+    with pytest.raises(ValueError):
+        create_particle_spray_stream(host, initmass=-1,
+                                     sat_cen_present=np.zeros(6),
+                                     scaleradius=0.3)
+    with pytest.raises(ValueError, match="non-decreasing"):
+        create_particle_spray_stream(
+            host, initmass=1e8, sat_cen_present=np.zeros(6) + 30,
+            scaleradius=0.3, num_particles=10, time_total=1.0,
+            time_end=0.0, time_stripping=np.array([0.0, -0.5, -0.2, -0.8,
+                                                   -0.1]),
+        )
+
+
+def test_restricted_nbody_strips_mass(host):
+    sat_now = np.array([25.0, 0, 0, 0, 120.0, 0.0])
+    res = run_restricted_nbody(
+        host, initmass=1e7, sat_cen_present=sat_now, scaleradius=0.5,
+        num_particles=300, prog_pot_kind="Plummer", time_total=1.0,
+        time_end=0.0, n_steps=200, step_size=20, save_rate=5, seed=2,
+    )
+    assert res["part_xv"].shape[1] == 300
+    assert np.isfinite(res["part_xv"]).all()
+    # bound mass is monotone-ish decreasing and below initial
+    assert res["bound_mass"][-1] <= 1e7 + 1e-6
+
+
+def test_spherical_refit_matches_plummer(rng):
+    from nbody_streams_tpu import make_plummer_sphere
+
+    xv, m = make_plummer_sphere(20000, M_total=1e8, a=0.5, seed=3)
+    pot = spherical_potential_from_particles(xv[:, :3], m)
+    pl = PlummerPotential(mass=1e8, scaleRadius=0.5)
+    pts = np.array([[1.0, 0, 0], [0, 3.0, 0], [0, 0, 10.0]])
+    np.testing.assert_allclose(np.asarray(pot.potential(pts)),
+                               np.asarray(pl.potential(pts)), rtol=0.05)
