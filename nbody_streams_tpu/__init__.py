@@ -20,6 +20,9 @@ from .sim import run_simulation
 from .nbody_io import ParticleReader
 from . import potentials
 from . import fast_sims
+from . import utils
+from . import coords
+from . import viz
 from .friction import make_df_force_extra, ChandrasekharFriction
 
 # Drop-in aliases for reference call sites (reference: __init__.py:63-96)
@@ -52,6 +55,9 @@ __all__ = [
     "compute_nbody_potential_cpu",
     "potentials",
     "fast_sims",
+    "utils",
+    "coords",
+    "viz",
     "make_df_force_extra",
     "ChandrasekharFriction",
 ]

@@ -1,0 +1,166 @@
+"""Plotting helpers (reference: viz/plots.py:110-916).
+
+matplotlib wrappers over the on-device SPH renderer and the stream
+coordinate machinery.  Mollweide sky maps use matplotlib's built-in
+projection (the reference requires healpy, which is optional here and
+not needed).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = [
+    "plot_density",
+    "plot_mollweide",
+    "plot_stream_sky",
+    "plot_stream_evolution",
+]
+
+
+def _get_axis(ax=None, **subplot_kw):
+    import matplotlib
+
+    matplotlib.use("Agg", force=False)
+    import matplotlib.pyplot as plt
+
+    if ax is None:
+        _, ax = plt.subplots(**subplot_kw)
+    return ax
+
+
+def plot_density(pos, mass=1.0, method: str = "sph", npix: int = 256,
+                 extent=None, axes=(0, 1), z_slice=None, log: bool = True,
+                 cmap: str = "magma", scale_bar: float | None = None,
+                 colorbar: bool = True, ax=None, vmin=None, vmax=None,
+                 **render_kwargs):
+    """Projected density image (methods: 'sph', 'histogram',
+    'gauss_smooth').  Returns (ax, image_array)."""
+    pos = np.asarray(pos, float)
+    n = pos.shape[0]
+    mass = np.broadcast_to(np.asarray(mass, float), (n,))
+    if z_slice is not None:
+        k = next(a for a in (0, 1, 2) if a not in axes)
+        sel = np.abs(pos[:, k]) <= z_slice
+        pos, mass = pos[sel], mass[sel]
+
+    i, j = axes
+    if extent is None:
+        lim = np.percentile(
+            np.abs(pos[:, [i, j]]), 99.0) * 1.2
+        extent = (-lim, lim, -lim, lim)
+
+    if method == "sph":
+        from .sph import render_surface_density
+
+        img, extent = render_surface_density(pos, mass, extent=extent,
+                                             npix=npix, axes=axes,
+                                             **render_kwargs)
+    elif method in ("histogram", "gauss_smooth"):
+        img, xe, ye = np.histogram2d(
+            pos[:, i], pos[:, j], bins=npix,
+            range=[extent[:2], extent[2:]], weights=mass)
+        area = (xe[1] - xe[0]) * (ye[1] - ye[0])
+        img = img.T / area
+        if method == "gauss_smooth":
+            from scipy.ndimage import gaussian_filter
+
+            img = gaussian_filter(img, sigma=render_kwargs.get("sigma", 1.5))
+    else:
+        raise ValueError(f"unknown density method {method!r}")
+
+    ax = _get_axis(ax)
+    shown = np.log10(np.maximum(img, img[img > 0].min() if (img > 0).any()
+                                else 1e-30)) if log else img
+    im = ax.imshow(shown, origin="lower", extent=extent, cmap=cmap,
+                   vmin=vmin, vmax=vmax, aspect="equal")
+    labels = "xyz"
+    ax.set_xlabel(f"{labels[i]} [kpc]")
+    ax.set_ylabel(f"{labels[j]} [kpc]")
+    if colorbar:
+        import matplotlib.pyplot as plt
+
+        plt.colorbar(im, ax=ax,
+                     label=(r"$\log_{10}\,\Sigma$ [M$_\odot$/kpc$^2$]"
+                            if log else r"$\Sigma$"))
+    if scale_bar:
+        x0 = extent[0] + 0.1 * (extent[1] - extent[0])
+        y0 = extent[2] + 0.08 * (extent[3] - extent[2])
+        ax.plot([x0, x0 + scale_bar], [y0, y0], color="w", lw=2)
+        ax.text(x0 + scale_bar / 2, y0, f" {scale_bar:g} kpc",
+                color="w", va="bottom", ha="center")
+    return ax, img
+
+
+def plot_mollweide(pos, weights=None, nside_bins: int = 180, ax=None,
+                   cmap: str = "magma", log: bool = True):
+    """All-sky Mollweide histogram of particle directions.
+
+    (The reference's HEALPix version needs healpy; this uses a plain
+    lon/lat histogram on matplotlib's mollweide projection.)
+    Returns (ax, image).
+    """
+    pos = np.asarray(pos, float)
+    lon = np.arctan2(pos[:, 1], pos[:, 0])
+    lat = np.arcsin(np.clip(
+        pos[:, 2] / (np.linalg.norm(pos, axis=1) + 1e-300), -1, 1))
+    img, xe, ye = np.histogram2d(
+        lon, lat, bins=[2 * nside_bins, nside_bins],
+        range=[[-np.pi, np.pi], [-np.pi / 2, np.pi / 2]], weights=weights)
+    ax = _get_axis(ax, subplot_kw={"projection": "mollweide"})
+    xc = 0.5 * (xe[:-1] + xe[1:])
+    yc = 0.5 * (ye[:-1] + ye[1:])
+    shown = np.log10(img.T + 1.0) if log else img.T
+    ax.pcolormesh(xc, yc, shown, cmap=cmap)
+    ax.grid(True, alpha=0.3)
+    return ax, img
+
+
+def plot_stream_sky(xv, xv_prog=None, ax=None, s: float = 1.0,
+                    color_by: str | None = "dist", degrees: bool = True,
+                    **scatter_kw):
+    """Stream in its (phi1, phi2) frame.  Returns (ax, observables dict)."""
+    from ..coords import get_observed_stream_coords
+
+    obs = get_observed_stream_coords(np.asarray(xv, float), xv_prog,
+                                     degrees=degrees)
+    ax = _get_axis(ax)
+    c = obs.get(color_by) if color_by else None
+    sc = ax.scatter(obs["phi1"], obs["phi2"], s=s, c=c, **scatter_kw)
+    if color_by:
+        import matplotlib.pyplot as plt
+
+        plt.colorbar(sc, ax=ax, label=color_by)
+    unit = "deg" if degrees else "rad"
+    ax.set_xlabel(rf"$\phi_1$ [{unit}]")
+    ax.set_ylabel(rf"$\phi_2$ [{unit}]")
+    return ax, obs
+
+
+def plot_stream_evolution(part_xv, times, n_panels: int = 4,
+                          axes=(0, 1), mass=1.0, npix: int = 200,
+                          method: str = "histogram", **kwargs):
+    """Multi-panel evolution of a stream (part_xv: (T, N, 6) or
+    (N, T, 6)).  Returns (fig, axes array)."""
+    import matplotlib
+
+    matplotlib.use("Agg", force=False)
+    import matplotlib.pyplot as plt
+
+    part_xv = np.asarray(part_xv, float)
+    times = np.asarray(times, float)
+    if part_xv.shape[0] != len(times) and part_xv.shape[1] == len(times):
+        part_xv = np.transpose(part_xv, (1, 0, 2))
+    n_t = part_xv.shape[0]
+    sel = np.linspace(0, n_t - 1, min(n_panels, n_t)).round().astype(int)
+
+    fig, axs = plt.subplots(1, len(sel),
+                            figsize=(4 * len(sel), 4), squeeze=False)
+    for ax, k in zip(axs[0], sel):
+        xv_k = part_xv[k]
+        good = np.isfinite(xv_k).all(axis=1)
+        if good.any():
+            plot_density(xv_k[good], mass, method=method, npix=npix,
+                         axes=axes, ax=ax, colorbar=False, **kwargs)
+        ax.set_title(f"t = {times[k]:.3f}")
+    fig.tight_layout()
+    return fig, axs[0]

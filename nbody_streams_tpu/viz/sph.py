@@ -1,0 +1,117 @@
+"""SPH surface-density rendering — on-device, scatter-add formulation.
+
+TPU-native redesign of the reference's renderer (reference:
+viz/sph_kernels.py:118-775 — Numba-CUDA atomic scatter / Numba-prange
+gather).  Here each particle deposits a 2-D cubic-spline kernel footprint
+onto a fixed (2K+1)^2 pixel stencil via XLA scatter-adds: deterministic,
+race-free by construction (XLA serialises scatter), and jittable.
+Smoothing lengths come from kNN distances (SciPy cKDTree host-side, the
+reference's CPU path).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "get_smoothing_lengths",
+    "render_surface_density",
+    "sph_kernel_2d",
+]
+
+
+def get_smoothing_lengths(pos, n_neighbors: int = 32):
+    """Per-particle smoothing length = distance to the n-th neighbour."""
+    from scipy.spatial import cKDTree
+
+    pos = np.asarray(pos, float)
+    tree = cKDTree(pos)
+    d, _ = tree.query(pos, k=min(n_neighbors + 1, len(pos)))
+    return d[:, -1]
+
+
+def sph_kernel_2d(q):
+    """2-D cubic-spline kernel W(q), normalised: integral over the plane
+    of W(r/h)/h^2 d^2r = 1 (sigma_2D = 10/(7 pi))."""
+    sigma = 10.0 / (7.0 * jnp.pi)
+    q = jnp.asarray(q)
+    w = jnp.where(
+        q < 1.0,
+        1.0 - 1.5 * q**2 + 0.75 * q**3,
+        jnp.where(q < 2.0, 0.25 * (2.0 - q) ** 3, 0.0),
+    )
+    return sigma * w
+
+
+@functools.partial(jax.jit, static_argnames=("nx", "ny", "stencil"))
+def _splat(x, y, m, h, x0, y0, dx_pix, nx, ny, stencil):
+    """Scatter-add cubic-spline footprints onto the grid."""
+    # particle cell coordinates (fractional)
+    fx = (x - x0) / dx_pix
+    fy = (y - y0) / dx_pix
+    ix = jnp.floor(fx).astype(jnp.int32)
+    iy = jnp.floor(fy).astype(jnp.int32)
+    h_pix = jnp.clip(h / dx_pix, 0.5, stencil / 2.0)
+    inv_h2 = 1.0 / (h_pix * dx_pix) ** 2
+
+    grid = jnp.zeros((nx, ny), x.dtype)
+    # accumulate per-particle normalisation so each particle deposits
+    # exactly its mass (discrete kernel sums != 1 for small h)
+    wsum = jnp.zeros_like(x)
+    offsets = [(a, b) for a in range(-stencil // 2, stencil // 2 + 1)
+               for b in range(-stencil // 2, stencil // 2 + 1)]
+    ws = []
+    for (a, b) in offsets:
+        px = ix + a
+        py = iy + b
+        r = jnp.sqrt((px + 0.5 - fx) ** 2 + (py + 0.5 - fy) ** 2)
+        w = sph_kernel_2d(r / (0.5 * h_pix))
+        ws.append((px, py, w))
+        wsum = wsum + w
+    wnorm = jnp.where(wsum > 0, 1.0 / wsum, 0.0)
+    for (px, py, w) in ws:
+        valid = (px >= 0) & (px < nx) & (py >= 0) & (py < ny)
+        contrib = jnp.where(valid, m * w * wnorm, 0.0)
+        grid = grid.at[jnp.clip(px, 0, nx - 1),
+                       jnp.clip(py, 0, ny - 1)].add(contrib)
+    return grid
+
+
+def render_surface_density(pos, mass, extent=None, npix: int = 256,
+                           axes=(0, 1), smoothing=None,
+                           n_neighbors: int = 32, stencil: int = 9,
+                           arch: str = "auto"):
+    """Projected surface density map [Msun/kpc^2].
+
+    Reference-equivalent of ``render_surface_density``
+    (viz/sph_kernels.py:638): returns (image (npix, npix), extent).
+    ``arch`` accepted for API compatibility ('auto'/'tpu'/'cpu' — the
+    jitted splat runs wherever JAX runs).
+    """
+    pos = np.asarray(pos, float)
+    n = pos.shape[0]
+    mass = np.broadcast_to(np.asarray(mass, float), (n,))
+    i, j = axes
+    x = pos[:, i]
+    y = pos[:, j]
+    if extent is None:
+        lim = np.percentile(np.abs(np.concatenate([x, y])), 99.0) * 1.2
+        extent = (-lim, lim, -lim, lim)
+    x0, x1, y0, y1 = extent
+    dx_pix = (x1 - x0) / npix
+    if smoothing is None:
+        smoothing = get_smoothing_lengths(pos[:, [i, j]],
+                                          n_neighbors=n_neighbors)
+    smoothing = np.broadcast_to(np.asarray(smoothing, float), (n,))
+
+    img = _splat(
+        jnp.asarray(x, jnp.float32), jnp.asarray(y, jnp.float32),
+        jnp.asarray(mass, jnp.float32), jnp.asarray(smoothing, jnp.float32),
+        jnp.asarray(x0, jnp.float32), jnp.asarray(y0, jnp.float32),
+        jnp.asarray(dx_pix, jnp.float32), npix, npix, stencil,
+    )
+    # mass per pixel -> surface density
+    return np.asarray(img).T / dx_pix**2, extent
