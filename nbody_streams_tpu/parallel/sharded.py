@@ -197,10 +197,14 @@ class ShardedDirect:
         posp = jnp.pad(pos, ((0, self.npad - n), (0, 0)))
 
         fn = functools.partial(self._ring, mode)
+        # check_vma=False: pallas_call outputs carry no varying-axis
+        # annotation, which the vma checker (JAX >= 0.9) rejects inside
+        # shard_map even though the program is correct.
         out = jax.shard_map(
             fn, mesh=self.mesh,
             in_specs=(P(AXIS), P(AXIS), P(AXIS)),
             out_specs=P(AXIS),
+            check_vma=False,
         )(posp, self.gmass, self.soft)
         return out[:n]
 

@@ -49,7 +49,7 @@ def run_simulation(
     time_end: float,
     dt: float,
     G: float = G_DEFAULT,
-    architecture: str = "tpu",
+    architecture: str = "auto",
     method: str = "direct",
     external_potential=None,
     dynamical_friction: bool = False,

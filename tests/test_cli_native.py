@@ -1,0 +1,68 @@
+"""CLI entry point and native host-ops library."""
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from nbody_streams_tpu.cli import main as cli_main
+from nbody_streams_tpu.native import (
+    knn_radius,
+    morton_argsort,
+    native_available,
+)
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def test_cli_runs_simulation(tmp_path, capsys):
+    rc = cli_main([
+        "--n", "64", "--t-end", "0.001", "--dt", "1e-4",
+        "--architecture", "cpu", "--output-dir", str(tmp_path),
+        "--snapshots", "2", "--quiet",
+    ])
+    assert rc == 0
+    assert (tmp_path / "snapshot.h5").exists()
+    assert (tmp_path / "restart.npz").exists()
+
+
+def test_cli_config_file(tmp_path):
+    cfg = {"n": 32, "t_end": 0.0005, "dt": 1e-4, "architecture": "cpu",
+           "output_dir": str(tmp_path / "out"), "quiet": True,
+           "snapshots": 2}
+    cfg_path = tmp_path / "run.json"
+    cfg_path.write_text(json.dumps(cfg))
+    rc = cli_main(["--config", str(cfg_path)])
+    assert rc == 0
+    assert (tmp_path / "out/snapshot.h5").exists()
+
+
+def test_cli_bad_flag():
+    with pytest.raises(SystemExit):
+        cli_main(["--kernel", "bogus"])
+
+
+def test_morton_sort_is_permutation_and_local(rng):
+    pos = rng.normal(0, 1, (5000, 3))
+    idx = morton_argsort(pos)
+    assert np.array_equal(np.sort(idx), np.arange(5000))
+    d_sorted = np.linalg.norm(np.diff(pos[idx], axis=0), axis=1).mean()
+    d_orig = np.linalg.norm(np.diff(pos, axis=0), axis=1).mean()
+    assert d_sorted < 0.3 * d_orig
+
+
+def test_knn_matches_kdtree(rng):
+    from scipy.spatial import cKDTree
+
+    pos = rng.normal(0, 1, (3000, 3))
+    h = knn_radius(pos, 16)
+    d, _ = cKDTree(pos).query(pos, k=17)
+    np.testing.assert_allclose(h, d[:, -1], rtol=1e-10)
+
+
+@pytest.mark.skipif(not native_available(),
+                    reason="native lib not built (run make in native/)")
+def test_native_lib_loaded():
+    assert native_available()
