@@ -24,8 +24,11 @@ from . import utils
 from . import coords
 from . import viz
 from .friction import make_df_force_extra, ChandrasekharFriction
+from .utils.devices import get_device_info, device_alive
 
 # Drop-in aliases for reference call sites (reference: __init__.py:63-96)
+get_gpu_info = get_device_info
+cuda_alive = device_alive
 run_nbody_gpu = run_nbody_tpu
 compute_nbody_forces_gpu = compute_forces_direct
 compute_nbody_forces_cpu = compute_forces_direct
@@ -60,4 +63,8 @@ __all__ = [
     "viz",
     "make_df_force_extra",
     "ChandrasekharFriction",
+    "get_device_info",
+    "device_alive",
+    "get_gpu_info",
+    "cuda_alive",
 ]

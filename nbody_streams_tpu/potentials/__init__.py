@@ -35,7 +35,17 @@ from .io import (
     read_coef_string,
 )
 from .load import load_potential, load_evolving_potential
+from .fit import (
+    fit_potential,
+    fit_multipole_from_particles,
+    fit_cylspline_from_particles,
+)
 from .factory import make_potential, load_potential_ini
+from .fire import (
+    read_snapshot_times,
+    create_evolving_ini,
+    create_fire_evolving_ini,
+)
 
 # Drop-in alias for reference call sites (reference: PotentialGPU factory)
 PotentialTPU = make_potential
@@ -69,7 +79,13 @@ __all__ = [
     "read_coef_string",
     "load_potential",
     "load_evolving_potential",
+    "fit_potential",
+    "fit_multipole_from_particles",
+    "fit_cylspline_from_particles",
     "make_potential",
     "load_potential_ini",
+    "read_snapshot_times",
+    "create_evolving_ini",
+    "create_fire_evolving_ini",
     "PotentialTPU",
 ]

@@ -1,0 +1,297 @@
+"""Fit BFE potentials directly from particle snapshots.
+
+Native replacement for the reference's Agama-mediated fitting pipeline
+(reference: agama_helper/_fit.py:44-465 — Arora+2022 workflow: dark
+matter/hot gas -> Multipole, stars/cold gas -> CylSpline):
+
+* Multipole: exact particle basis-function expansion — for each (l, m),
+  Phi_lm(r) = -G/(2l+1) [ r^-(l+1) sum_{r_i<=r} m_i r_i^l Y_lm(i)
+                          + r^l sum_{r_i>r} m_i r_i^-(l+1) Y_lm(i) ],
+  computed with radius-sorted prefix/suffix sums: O(N log N + N n_lm).
+  The analytic dPhi/dr is tabulated too, so the evaluator's Hermite
+  interpolation is pinned to the exact particle forces at the nodes.
+* CylSpline: the potential is evaluated on an azimuthal ring of points
+  per (R, z) node by direct summation over all particles (the Pallas
+  2-set kernel on TPU — O(N_grid x N) at ~60 Gint/s), then Fourier
+  analysed into the per-m tables.
+
+Overflow note: the r^l prefix sums are evaluated in float64 with radii
+normalised to the grid median, safe for lmax <= 16 over ~4 decades of
+radius (the common lmax = 8 regime by a wide margin).
+"""
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from ..constants import G_DEFAULT
+from .coefs import CylSplineCoefs, MultipoleCoefs, generate_lmax_pairs
+from .multipole import MUL0, MUL1
+
+__all__ = [
+    "fit_multipole_from_particles",
+    "fit_cylspline_from_particles",
+    "fit_potential",
+]
+
+
+def _real_sph_harm(labels, pos):
+    """Y_lm values per particle in the framework's 4-pi-normalised basis
+    (Y_00 == 1), shape (n_lm, N)."""
+    x, y, z = pos[:, 0], pos[:, 1], pos[:, 2]
+    r = np.sqrt(x**2 + y**2 + z**2) + 1e-300
+    rc = np.sqrt(x**2 + y**2) + 1e-300
+    ct = z / r
+    st = rc / r
+    cp = x / rc
+    sp = y / rc
+    lmax = max(l for l, _ in labels)
+    mmax = max(abs(m) for _, m in labels)
+
+    cos_m = {0: np.ones_like(cp)}
+    sin_m = {0: np.zeros_like(sp)}
+    for m in range(1, mmax + 1):
+        cos_m[m] = cos_m[m - 1] * cp - sin_m[m - 1] * sp
+        sin_m[m] = sin_m[m - 1] * cp + cos_m[m - 1] * sp
+
+    p = {}
+    for m in range(0, mmax + 1):
+        pref = math.sqrt((2 * m + 1)
+                         / (4.0 * math.pi * math.factorial(2 * m)))
+        dfact = 1.0
+        for i in range(1, 2 * m, 2):
+            dfact *= i
+        pmm = ((-1.0) ** m) * pref * dfact * st**m
+        p[(m, m)] = pmm
+        if m + 1 <= lmax:
+            p[(m + 1, m)] = math.sqrt(2 * m + 3.0) * ct * pmm
+        for l in range(m + 2, lmax + 1):
+            a = math.sqrt((4.0 * l * l - 1.0) / (l * l - m * m))
+            b = math.sqrt(((l - 1.0) ** 2 - m * m)
+                          / (4.0 * (l - 1.0) ** 2 - 1.0))
+            p[(l, m)] = a * (ct * p[(l - 1, m)] - b * p[(l - 2, m)])
+
+    out = np.empty((len(labels), len(x)))
+    for i, (l, m) in enumerate(labels):
+        am = abs(m)
+        mul = MUL0 if m == 0 else MUL1
+        trig = cos_m[am] if m >= 0 else sin_m[am]
+        out[i] = mul * p[(l, am)] * trig
+    return out
+
+
+def _symmetry_labels(lmax, mmax, symmetry):
+    labels = generate_lmax_pairs(lmax, mmax)
+    key = symmetry.lower()
+    if key in ("none", "n"):
+        return labels
+    if key in ("spherical", "s"):
+        return [(0, 0)]
+    if key in ("axisymmetric", "axisym", "a"):
+        return [(l, m) for l, m in labels if m == 0]
+    if key in ("triaxial", "t"):
+        return [(l, m) for l, m in labels
+                if l % 2 == 0 and m >= 0 and m % 2 == 0]
+    if key in ("bisymmetric", "b"):
+        return [(l, m) for l, m in labels if m % 2 == 0]
+    raise ValueError(f"unknown symmetry {symmetry!r}")
+
+
+def fit_multipole_from_particles(pos, mass, r_grid=None, lmax: int = 8,
+                                 mmax: int | None = None,
+                                 symmetry: str = "none", center=None,
+                                 G: float = G_DEFAULT) -> MultipoleCoefs:
+    """Exact particle-BFE Multipole coefficients (with dPhi/dr tables)."""
+    pos = np.asarray(pos, float)
+    n = pos.shape[0]
+    mass = np.broadcast_to(np.asarray(mass, float), (n,))
+    if center is not None:
+        pos = pos - np.asarray(center, float)
+    labels = _symmetry_labels(lmax, mmax if mmax is not None else lmax,
+                              symmetry)
+
+    r = np.linalg.norm(pos, axis=1)
+    order = np.argsort(r)
+    r_s = np.maximum(r[order], 1e-12)
+    m_s = mass[order]
+    y = _real_sph_harm(labels, pos[order])          # (n_lm, N)
+
+    if r_grid is None:
+        r_grid = np.geomspace(np.percentile(r_s, 0.2),
+                              np.percentile(r_s, 99.8), 40)
+    r_grid = np.asarray(r_grid, float)
+
+    r_ref = np.median(r_s)                          # overflow guard
+    u = r_s / r_ref
+    ug = r_grid / r_ref
+
+    n_lm = len(labels)
+    phi = np.zeros((len(r_grid), n_lm))
+    dphi = np.zeros((len(r_grid), n_lm))
+    idx = np.searchsorted(r_s, r_grid, side="right")
+
+    for i, (l, m) in enumerate(labels):
+        w_in = m_s * y[i] * u**l                     # prefix sums
+        w_out = m_s * y[i] * u ** (-(l + 1))         # suffix sums
+        cin = np.concatenate([[0.0], np.cumsum(w_in)])
+        cout = np.concatenate([np.cumsum(w_out[::-1])[::-1], [0.0]])
+        s_in = cin[idx]
+        s_out = cout[idx]
+        pref = -G / (2.0 * l + 1.0)
+        # f_in = r_i^l / r^(l+1) = (u^l / ug^(l+1)) / r_ref, ditto f_out
+        phi[:, i] = pref * (s_in * ug ** (-(l + 1)) + s_out * ug**l) \
+            / r_ref
+        dphi[:, i] = pref / r_ref**2 * (
+            -(l + 1) * s_in * ug ** (-(l + 2))
+            + l * s_out * ug ** (l - 1)
+        )
+    return MultipoleCoefs(
+        R_grid=r_grid, lm_labels=labels, phi=phi, dphi_dr=dphi,
+        metadata={"type": "Multipole", "lmax": str(lmax),
+                  "symmetry": symmetry, "n_particles": str(n)},
+    )
+
+
+def fit_cylspline_from_particles(pos, mass, R_grid=None, z_grid=None,
+                                 mmax: int = 8, n_phi: int | None = None,
+                                 softening: float = 0.0, center=None,
+                                 G: float = G_DEFAULT,
+                                 symmetry: str = "none") -> CylSplineCoefs:
+    """CylSpline tables by direct summation on an (R, z, phi) grid.
+
+    The grid potential is computed with the framework's 2-set direct
+    kernel (Pallas on TPU) and Fourier-analysed over the azimuthal ring.
+    """
+    import jax.numpy as jnp
+
+    from ..ops import pairwise
+    from ..ops.pairwise import potential_tile  # noqa: F401 (doc pointer)
+
+    pos = np.asarray(pos, float)
+    n = pos.shape[0]
+    mass = np.broadcast_to(np.asarray(mass, float), (n,))
+    if center is not None:
+        pos = pos - np.asarray(center, float)
+
+    rc = np.hypot(pos[:, 0], pos[:, 1])
+    if R_grid is None:
+        R_max = np.percentile(rc, 99.5)
+        R_grid = np.concatenate([[0.0], np.geomspace(R_max * 2e-3, R_max,
+                                                     24)])
+    if z_grid is None:
+        z_max = np.percentile(np.abs(pos[:, 2]), 99.5)
+        zp = np.geomspace(z_max * 2e-3, z_max, 12)
+        z_grid = np.concatenate([-zp[::-1], [0.0], zp])
+    R_grid = np.asarray(R_grid, float)
+    z_grid = np.asarray(z_grid, float)
+    n_phi = n_phi or max(8, 4 * mmax)
+
+    phis = 2.0 * np.pi * np.arange(n_phi) / n_phi
+    rr, zz, pp = np.meshgrid(R_grid, z_grid, phis, indexing="ij")
+    grid_pts = np.column_stack([
+        (rr * np.cos(pp)).ravel(), (rr * np.sin(pp)).ravel(), zz.ravel(),
+    ])
+
+    # direct potential of all particles at the grid points
+    import jax
+
+    use_pallas = jax.default_backend() in ("tpu", "axon")
+    if use_pallas:
+        from ..ops.pallas_direct import pallas_potential_2set
+
+        phi_vals = np.asarray(pallas_potential_2set(
+            jnp.asarray(grid_pts, jnp.float32),
+            jnp.zeros(len(grid_pts), jnp.float32),
+            jnp.asarray(pos, jnp.float32),
+            jnp.asarray(mass * G, jnp.float32),
+            jnp.full(n, softening, jnp.float32),
+            "plummer" if softening > 0 else "newtonian", True,
+        ), float)
+    else:
+        from ..parallel.sharded import _tile_potential_blocked
+
+        phi_vals = np.asarray(_tile_potential_blocked(
+            "plummer" if softening > 0 else "newtonian", True, 2048,
+            1e-15,
+            jnp.asarray(grid_pts), jnp.full(len(grid_pts), softening),
+            jnp.full(len(grid_pts), -1, jnp.int32),
+            jnp.asarray(pos), jnp.asarray(mass * G),
+            jnp.full(n, softening), jnp.arange(n, dtype=jnp.int32),
+        ), float)
+
+    phi_vals = phi_vals.reshape(len(R_grid), len(z_grid), n_phi)
+
+    # Fourier analysis: Phi(phi) = sum_{m>=0} C_m cos(m phi)
+    #                             + sum_{m>0} S_m sin(m phi)
+    spec = np.fft.rfft(phi_vals, axis=2) / n_phi
+    m_values = list(range(-mmax, mmax + 1))
+    tables = []
+    for m in m_values:
+        am = abs(m)
+        if am >= spec.shape[2]:
+            tables.append(np.zeros((len(R_grid), len(z_grid))))
+        elif m == 0:
+            tables.append(spec[:, :, 0].real.copy())
+        elif m > 0:
+            tables.append(2.0 * spec[:, :, am].real)
+        else:
+            tables.append(-2.0 * spec[:, :, am].imag)
+    if symmetry.lower() in ("axisymmetric", "axisym", "a"):
+        m_values, tables = [0], [tables[mmax]]
+    return CylSplineCoefs(
+        R_grid=R_grid, z_grid=z_grid, m_values=m_values,
+        phi=np.stack(tables),
+        metadata={"type": "CylSpline", "mmax": str(mmax),
+                  "symmetry": symmetry, "n_particles": str(n)},
+    )
+
+
+def fit_potential(particles: dict, lmax: int = 8, mmax_cyl: int = 8,
+                  symmetry: str = "none",
+                  mult_species=("dark", "hot_gas"),
+                  cylspl_species=("star", "cold_gas", "gas"),
+                  center=None, G: float = G_DEFAULT, **kwargs):
+    """Fit a composite BFE potential from a particle snapshot.
+
+    ``particles``: {species: (pos (N,3), mass (N,) or float)}.  Extended
+    (spheroidal) components fit a Multipole, disky components a
+    CylSpline (the Arora+2022 split, reference: _fit.py:133-420).
+
+    Returns {'multipole': MultipoleCoefs | None,
+             'cylspline': CylSplineCoefs | None,
+             'potential': the combined evaluator}.
+    """
+    mult_pos, mult_m = [], []
+    cyl_pos, cyl_m = [], []
+    for name, (pos, mass) in particles.items():
+        pos = np.asarray(pos, float)
+        mass = np.broadcast_to(np.asarray(mass, float), (pos.shape[0],))
+        if name in cylspl_species:
+            cyl_pos.append(pos)
+            cyl_m.append(mass)
+        else:
+            mult_pos.append(pos)
+            mult_m.append(mass)
+
+    out = {"multipole": None, "cylspline": None}
+    pots = []
+    if mult_pos:
+        coefs = fit_multipole_from_particles(
+            np.concatenate(mult_pos), np.concatenate(mult_m),
+            lmax=lmax, symmetry=symmetry, center=center, G=G)
+        out["multipole"] = coefs
+        from .multipole import MultipolePotential
+
+        pots.append(MultipolePotential(coefs))
+    if cyl_pos:
+        coefs = fit_cylspline_from_particles(
+            np.concatenate(cyl_pos), np.concatenate(cyl_m),
+            mmax=mmax_cyl, center=center, G=G, symmetry=symmetry,
+            **kwargs)
+        out["cylspline"] = coefs
+        from .cylspline import CylSplinePotential
+
+        pots.append(CylSplinePotential(coefs))
+    out["potential"] = sum(pots) if pots else None
+    return out

@@ -80,6 +80,39 @@ class CallbackForceExtra(ForceExtra):
         return acc, state
 
 
+class _ChunkWatchdog:
+    """Per-chunk deadline (reference _StepWatchdog analogue,
+    run_gpu_tree.py:79-135): a daemon timer that, if a compiled chunk
+    exceeds its deadline, saves an emergency restart from the last host
+    state and interrupts the main thread (a hung device call cannot be
+    cancelled, but the run fails fast with state preserved)."""
+
+    def __init__(self, timeout_s: float, on_timeout):
+        self.timeout_s = timeout_s
+        self.on_timeout = on_timeout
+        self._timer = None
+
+    def __enter__(self):
+        import _thread
+        import threading
+
+        def fire():
+            try:
+                self.on_timeout()
+            finally:
+                _thread.interrupt_main()
+
+        self._timer = threading.Timer(self.timeout_s, fire)
+        self._timer.daemon = True
+        self._timer.start()
+        return self
+
+    def __exit__(self, *exc):
+        if self._timer is not None:
+            self._timer.cancel()
+        return False
+
+
 def _resolve_device(architecture: str):
     if architecture in ("auto", None):
         return None
@@ -133,6 +166,8 @@ def run_nbody(
     devices=None,
     block_size: int | None = None,
     nan_check: bool = True,
+    step_timeout_s: float | None = None,
+    profile_dir: str | None = None,
 ) -> np.ndarray:
     """Run a KDK leapfrog N-body integration; returns final (N, 6) float64.
 
@@ -295,13 +330,32 @@ def run_nbody(
         events.add(total_steps)
         boundaries = sorted(e for e in events if e > start_step)
 
+        if profile_dir:
+            jax.profiler.start_trace(profile_dir)
+
+        last_xv = xv  # emergency-restart payload for the watchdog
+
+        def emergency_restart():
+            _save_restart(last_xv, t_now, current, output_path,
+                          snapshot_counter, **restart_kwargs)
+            print(f"WATCHDOG: chunk exceeded {step_timeout_s}s/step "
+                  f"deadline at step ~{current}; emergency restart saved "
+                  f"to {output_path}/restart.npz", flush=True)
+
         t_wall0 = pytime.perf_counter()
         current = start_step
         for boundary in boundaries:
             n_steps = boundary - current
             if n_steps <= 0:
                 continue
-            state = run_chunk(step_fn, state, n_steps)
+            if step_timeout_s:
+                # generous deadline: first chunk pays compilation
+                deadline = step_timeout_s * n_steps + 600.0
+                with _ChunkWatchdog(deadline, emergency_restart):
+                    state = run_chunk(step_fn, state, n_steps)
+                    jax.block_until_ready(state.pos)
+            else:
+                state = run_chunk(step_fn, state, n_steps)
             current = boundary
             t_now = time_start + current * dt
 
@@ -311,6 +365,7 @@ def run_nbody(
                            ) or current == total_steps
             if due_snap or due_restart or debug_energy:
                 xv_host = fetch_xv(state)
+                last_xv = xv_host
                 if nan_check and not np.isfinite(xv_host).all():
                     _save_restart(xv_host, t_now, current, output_path,
                                   snapshot_counter, **restart_kwargs)
@@ -341,6 +396,9 @@ def run_nbody(
                     line += (f" | Q={float(ke) / abs(float(pe)):.3f} "
                              f"dE/E={(etot - e_ref) / abs(e_ref):+.2e}")
                 print(line, flush=True)
+
+        if profile_dir:
+            jax.profiler.stop_trace()
 
         xv_final = fetch_xv(state)
         _save_restart(xv_final, t_now, total_steps, output_path,

@@ -32,7 +32,7 @@ __all__ = ["run_simulation"]
 
 _DIRECT_KW = {
     "precision", "kernel", "external_update_interval", "impl", "devices",
-    "block_size", "nan_check",
+    "block_size", "nan_check", "step_timeout_s", "profile_dir",
 }
 _DF_KW = {
     "df_M_sat", "df_coulomb_mode", "df_fixed_ln_lambda", "df_core_gamma",
@@ -99,8 +99,7 @@ def run_simulation(
     kw = dict(kwargs)
     direct_kwargs = {k: kw.pop(k) for k in list(kw) if k in _DIRECT_KW}
     df_kwargs = {k: kw.pop(k) for k in list(kw) if k in _DF_KW}
-    for legacy in ("theta", "nleaf", "ncrit", "level_split",
-                   "step_timeout_s", "nthreads"):
+    for legacy in ("theta", "nleaf", "ncrit", "level_split", "nthreads"):
         if legacy in kw:
             kw.pop(legacy)
             if verbose:

@@ -1,0 +1,134 @@
+"""Potential fitting from particles, device info, FIRE helpers,
+watchdog/profiling plumbing."""
+import numpy as np
+import pytest
+
+from nbody_streams_tpu import (
+    Species,
+    device_alive,
+    get_device_info,
+    make_plummer_sphere,
+    run_simulation,
+)
+from nbody_streams_tpu.potentials import (
+    CylSplinePotential,
+    MultipolePotential,
+    PlummerPotential,
+    create_evolving_ini,
+    fit_cylspline_from_particles,
+    fit_multipole_from_particles,
+    fit_potential,
+    load_potential_ini,
+    read_snapshot_times,
+)
+
+
+@pytest.fixture(scope="module")
+def plummer_cluster():
+    xv, m = make_plummer_sphere(50000, M_total=1e9, a=1.0, seed=11)
+    return xv, m, PlummerPotential(mass=1e9, scaleRadius=1.0)
+
+
+def test_fit_multipole_accuracy(plummer_cluster, rng):
+    xv, m, pl = plummer_cluster
+    coefs = fit_multipole_from_particles(xv[:, :3], m, lmax=4)
+    mp = MultipolePotential(coefs)
+    pts = rng.normal(0, 3, (200, 3))
+    p_ref = np.asarray(pl.potential(pts))
+    assert np.abs(np.asarray(mp.potential(pts)) - p_ref).max() \
+        / np.abs(p_ref).max() < 0.02
+    # dPhi/dr tables present and force sane (shot-noise limited)
+    assert coefs.dphi_dr is not None
+    f_ref = np.asarray(pl.force(pts))
+    assert np.abs(np.asarray(mp.force(pts)) - f_ref).max() \
+        / np.abs(f_ref).max() < 0.1
+
+
+def test_fit_multipole_symmetry_filter(plummer_cluster):
+    xv, m, _ = plummer_cluster
+    coefs = fit_multipole_from_particles(xv[:5000, :3], m[:5000], lmax=4,
+                                         symmetry="spherical")
+    assert coefs.lm_labels == [(0, 0)]
+    coefs_ax = fit_multipole_from_particles(xv[:5000, :3], m[:5000],
+                                            lmax=4, symmetry="axisym")
+    assert all(mm == 0 for _, mm in coefs_ax.lm_labels)
+
+
+def test_fit_cylspline_accuracy(plummer_cluster, rng):
+    xv, m, pl = plummer_cluster
+    coefs = fit_cylspline_from_particles(xv[:, :3], m, mmax=2)
+    cs = CylSplinePotential(coefs)
+    pts = rng.normal(0, 2, (100, 3))
+    p_ref = np.asarray(pl.potential(pts))
+    assert np.abs(np.asarray(cs.potential(pts)) - p_ref).max() \
+        / np.abs(p_ref).max() < 0.02
+
+
+def test_fit_potential_driver(plummer_cluster):
+    xv, m, pl = plummer_cluster
+    res = fit_potential(
+        {"dark": (xv[:20000, :3], m[:20000]),
+         "star": (xv[20000:40000, :3], m[20000:40000])},
+        lmax=2, mmax_cyl=2,
+    )
+    assert res["multipole"] is not None and res["cylspline"] is not None
+    test_pt = np.array([2.0, 0.0, 0.0])
+    got = float(res["potential"].potential(test_pt))
+    want = float(pl.potential(test_pt)) * (40000 / 50000)
+    assert abs(got - want) / abs(want) < 0.05
+
+
+def test_device_info_and_alive():
+    info = get_device_info()
+    assert info["platform"] in ("cpu", "tpu", "axon", "gpu")
+    assert info["n_devices"] >= 1
+    assert device_alive()
+
+
+def test_snapshot_times_and_evolving_ini(tmp_path):
+    listing = tmp_path / "snapshot_times.txt"
+    listing.write_text(
+        "# i scale z time lookback\n"
+        "0 0.1 9.0 0.5 13.3\n"
+        "300 0.5 1.0 5.9 7.9\n"
+        "600 1.0 0.0 13.8 0.0\n"
+    )
+    st = read_snapshot_times(listing)
+    assert list(st["index"]) == [0, 300, 600]
+    assert st["time"][2] == pytest.approx(13.8)
+
+    # evolving ini referencing two generated coef files
+    from nbody_streams_tpu.potentials import PlummerPotential
+
+    for i, mass in enumerate([1e9, 2e9]):
+        pl = PlummerPotential(mass=mass, scaleRadius=1.0)
+        r = np.geomspace(0.05, 100, 25)
+        ptsr = np.column_stack([r, 0 * r, 0 * r])
+        from nbody_streams_tpu.potentials import MultipoleCoefs
+
+        coefs = MultipoleCoefs(
+            R_grid=r, lm_labels=[(0, 0)],
+            phi=np.asarray(pl.potential(ptsr))[:, None],
+            dphi_dr=(-np.asarray(pl.force(ptsr))[:, 0])[:, None])
+        (tmp_path / f"snap{i}.coef_mult").write_text(
+            coefs.to_coef_string())
+    ini = create_evolving_ini(
+        tmp_path / "ev.ini",
+        ["snap0.coef_mult", "snap1.coef_mult"], [0.0, 1.0])
+    pot = load_potential_ini(ini)
+    mid = float(pot.potential(np.array([3.0, 0, 0]), t=0.5))
+    a = float(PlummerPotential(mass=1e9, scaleRadius=1.0)
+              .potential(np.array([3.0, 0, 0])))
+    b = float(PlummerPotential(mass=2e9, scaleRadius=1.0)
+              .potential(np.array([3.0, 0, 0])))
+    assert abs(mid - 0.5 * (a + b)) / abs(mid) < 1e-4
+
+
+def test_watchdog_plumbing(tmp_path):
+    """step_timeout_s threads through without tripping on a fast run."""
+    xv, m = make_plummer_sphere(32, M_total=1e4, a=0.01, seed=1)
+    sp = [Species.dark(N=32, mass=float(m[0]), softening=0.003)]
+    res = run_simulation(xv, sp, 0.0, 5e-4, 1e-4, architecture="cpu",
+                         output_dir=str(tmp_path), verbose=False,
+                         save_snapshots=False, step_timeout_s=30.0)
+    assert np.isfinite(res["dark"]).all()
