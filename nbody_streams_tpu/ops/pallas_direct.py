@@ -49,7 +49,97 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..constants import PAIRWISE_EPS2
-from .kernels import force_factor, potential_factor
+from .kernels import force_factor, potential_factor  # noqa: F401 (oracle refs)
+
+# Per-pair softening via precomputed per-particle quantities:
+# h_eff = max(h_i, h_j)  <=>  h2_eff = max(h_i^2, h_j^2)
+#                        <=>  hinv_eff = min(1/h_i, 1/h_j)  (h >= 0),
+# so the kernels below receive h^2 (plummer/dehnen) or 1/h (spline)
+# directly and never re-derive them per pair (saves one rsqrt per pair
+# in the spline kernel — ~10% of its op budget).
+
+
+def _force_pre(kind, r2, pre):
+    """force_factor with the precomputed pair quantity `pre`."""
+    if kind == "plummer":
+        d = r2 + pre
+        inv = jax.lax.rsqrt(d)
+        return inv * inv * inv
+    if kind == "dehnen_k1":
+        d = r2 + pre
+        inv = jax.lax.rsqrt(d)
+        inv_d = inv * inv
+        inv_d32 = inv_d * inv
+        return inv_d32 + 1.5 * pre * (inv_d32 * inv_d)
+    if kind == "dehnen_k2":
+        d = r2 + pre
+        inv = jax.lax.rsqrt(d)
+        inv_d = inv * inv
+        inv_d32 = inv_d * inv
+        inv_d52 = inv_d32 * inv_d
+        return (inv_d32 + 1.5 * pre * inv_d52
+                + 3.75 * (pre * pre) * (inv_d52 * inv_d))
+    if kind == "newtonian":
+        inv = jax.lax.rsqrt(r2)
+        return inv * inv * inv
+    if kind == "spline":
+        # pre = 1/h (inf for h == 0)
+        inv_r = jax.lax.rsqrt(r2)
+        r = r2 * inv_r
+        newton = inv_r * inv_r * inv_r
+        hinv = pre
+        h3inv = hinv * hinv * hinv
+        q = r * hinv
+        q2 = q * q
+        inner = h3inv * (q2 * (32.0 * q - 38.4) + 10.666666666666666)
+        outer = h3inv * (
+            21.333333333333333
+            + q * (-48.0 + q * (38.4 - 10.666666666666667 * q))
+        ) - 0.0666666666666667 * newton
+        center = h3inv * 10.666666666666666
+        soft = jnp.where(q <= 0.5, inner, outer)
+        soft = jnp.where(q < 1e-8, center, soft)
+        return jnp.where(q >= 1.0, newton, soft)
+    raise ValueError(kind)
+
+
+def _pot_pre(kind, r2, pre):
+    """potential_factor with the precomputed pair quantity `pre`."""
+    if kind == "plummer":
+        return -jax.lax.rsqrt(r2 + pre)
+    if kind == "dehnen_k1":
+        d = r2 + pre
+        inv = jax.lax.rsqrt(d)
+        inv_d32 = inv * inv * inv
+        return -inv - 0.5 * pre * inv_d32
+    if kind == "dehnen_k2":
+        d = r2 + pre
+        inv = jax.lax.rsqrt(d)
+        inv_d32 = inv * inv * inv
+        inv_d52 = inv_d32 * inv * inv
+        return -inv - 0.5 * pre * inv_d32 - 0.375 * (pre * pre) * inv_d52
+    if kind == "newtonian":
+        return -jax.lax.rsqrt(r2)
+    if kind == "spline":
+        inv_r = jax.lax.rsqrt(r2)
+        r = r2 * inv_r
+        newton = -inv_r
+        hinv = pre
+        q = r * hinv
+        q2 = q * q
+        q4 = q2 * q2
+        inner = (-2.8 + q2 * (5.333333333333333
+                              + q4 * (6.4 * q - 9.6))) * hinv
+        outer = (
+            -3.2
+            + q2 * (10.666666666666666
+                    + q * (-16.0 + q * (9.6 - 2.1333333333333333 * q)))
+        ) * hinv + 0.06666666666666667 * inv_r
+        center = -2.8 * hinv
+        soft = jnp.where(q <= 0.5, inner, outer)
+        soft = jnp.where(q < 1e-8, center, soft)
+        return jnp.where(q >= 1.0, newton, soft)
+    raise ValueError(kind)
 
 __all__ = ["pallas_accel", "pallas_potential", "pallas_accel_2set",
            "pallas_potential_2set"]
@@ -63,7 +153,8 @@ MAX_SUB = 16    # sub-tiles per source superblock
 def _direct_kernel(xt_ref, yt_ref, zt_ref, ht_ref,
                    xs_ref, ys_ref, zs_ref, ms_ref, hs_ref,
                    out_ref, comp_ref,
-                   *, kind, kahan, eps2, tm, tn, n_sub, mode):
+                   *, kind, kahan, eps2, tm, tn, n_sub, mode, mask_self):
+    i = pl.program_id(0)
     jb = pl.program_id(1)
 
     @pl.when(jb == 0)
@@ -76,6 +167,10 @@ def _direct_kernel(xt_ref, yt_ref, zt_ref, ht_ref,
     yt = yt_ref[:]
     zt = zt_ref[:]
     ht = ht_ref[:]
+    if mask_self:
+        from jax import lax as _lax
+
+        iglob = i * tm + _lax.broadcasted_iota(jnp.int32, (tm, 1), 0)
 
     width = 3 if mode == "acc" else 1
     partial = jnp.zeros((tm, width), jnp.float32)
@@ -89,15 +184,26 @@ def _direct_kernel(xt_ref, yt_ref, zt_ref, ht_ref,
         dy = ys - yt
         dz = zs - zt
         r2 = dx * dx + dy * dy + dz * dz + eps2
-        h_eff = jnp.maximum(ht, hs)
+        # pair softening combine: h2_eff = max (h^2 inputs) for
+        # plummer/dehnen; hinv_eff = min (1/h inputs) for spline
+        if kind == "spline":
+            pre = jnp.minimum(ht, hs)
+        else:
+            pre = jnp.maximum(ht, hs)
         if mode == "acc":
-            s = gms * force_factor(kind, r2, h_eff)
+            s = gms * _force_pre(kind, r2, pre)
             ax = jnp.sum(s * dx, axis=1, keepdims=True)
             ay = jnp.sum(s * dy, axis=1, keepdims=True)
             az = jnp.sum(s * dz, axis=1, keepdims=True)
             partial = partial + jnp.concatenate([ax, ay, az], axis=1)
         else:
-            s = gms * potential_factor(kind, r2, h_eff)
+            s = gms * _pot_pre(kind, r2, pre)
+            if mask_self:
+                from jax import lax as _lax
+
+                jglob = (jb * (n_sub * tn) + k * tn
+                         + _lax.broadcasted_iota(jnp.int32, (1, tn), 1))
+                s = jnp.where(iglob == jglob, 0.0, s)
             partial = partial + jnp.sum(s, axis=1, keepdims=True)
 
     if kahan:
@@ -114,14 +220,24 @@ def _pad1(a, npad):
     return jnp.pad(a, ((0, npad - a.shape[0]),))
 
 
+def _soft_pre(kind, h):
+    """Per-particle precomputed softening quantity (see _force_pre)."""
+    if kind == "spline":
+        return jnp.where(h > 0, 1.0 / jnp.maximum(h, 1e-300), jnp.inf)
+    return h * h
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("kind", "kahan", "mode", "eps2", "tm", "tn", "max_sub",
-                     "interpret"),
+                     "interpret", "mask_self"),
 )
 def _pallas_direct(pos_t, soft_t, pos_s, gmass_s, soft_s,
                    kind, kahan, mode, eps2,
-                   tm=TM, tn=TN, max_sub=MAX_SUB, interpret=False):
+                   tm=TM, tn=TN, max_sub=MAX_SUB, interpret=False,
+                   mask_self=False):
+    soft_t = _soft_pre(kind, soft_t)
+    soft_s = _soft_pre(kind, soft_s)
     nt = pos_t.shape[0]
     ns = pos_s.shape[0]
     n_sub = max(1, min(max_sub, -(-ns // tn)))
@@ -146,7 +262,7 @@ def _pallas_direct(pos_t, soft_t, pos_s, gmass_s, soft_s,
     width = 3 if mode == "acc" else 1
     kernel = functools.partial(
         _direct_kernel, kind=kind, kahan=kahan, eps2=eps2, tm=tm, tn=tn,
-        n_sub=n_sub, mode=mode,
+        n_sub=n_sub, mode=mode, mask_self=mask_self,
     )
     t_spec = pl.BlockSpec((tm, 1), lambda i, jb: (i, 0),
                           memory_space=pltpu.VMEM)
@@ -188,17 +304,23 @@ def pallas_accel_2set(pos_t, soft_t, pos_s, gmass_s, soft_s, kind, kahan,
 
 
 def pallas_potential_2set(pos_t, soft_t, pos_s, gmass_s, soft_s, kind, kahan,
-                          eps2=PAIRWISE_EPS2, interpret=False):
-    """Raw (unmasked) potential of targets due to sources.
+                          eps2=PAIRWISE_EPS2, interpret=False,
+                          mask_self=False):
+    """Potential of targets due to sources.
 
-    Includes the self term when a target also appears in the sources;
-    callers subtract ``gmass_i * u(eps2, h_i)`` (see pallas_potential).
+    ``mask_self=True`` excludes pairs at identical global row index — use
+    it when targets and sources are the *same* array (single-chip path,
+    or the self-block step of the sharded ring).  An outside closed-form
+    subtraction would cancel catastrophically for h = 0 particles (the
+    self term is -G m / sqrt(eps2) ~ 1e7 x the physical potential in
+    fp32), so the exclusion happens in-kernel at zero cost off the
+    diagonal tiles' hot path.
     """
     return _pallas_direct(
         pos_t.astype(jnp.float32), soft_t.astype(jnp.float32),
         pos_s.astype(jnp.float32), gmass_s.astype(jnp.float32),
         soft_s.astype(jnp.float32), kind, kahan, "pot", float(eps2),
-        interpret=interpret,
+        interpret=interpret, mask_self=mask_self,
     )
 
 
@@ -213,11 +335,8 @@ def pallas_accel(pos, mass, soft, G, kind, kahan, eps2=PAIRWISE_EPS2,
 
 def pallas_potential(pos, mass, soft, G, kind, kahan, eps2=PAIRWISE_EPS2,
                      interpret=False):
-    """(N,) float32 self-gravity potential with the self term removed."""
+    """(N,) float32 self-gravity potential (self pair masked in-kernel)."""
     gmass = (mass * G).astype(jnp.float32)
     soft = soft.astype(jnp.float32)
-    raw = pallas_potential_2set(pos, soft, pos, gmass, soft, kind, kahan,
-                                eps2, interpret)
-    eps2_f = jnp.asarray(eps2, jnp.float32)
-    self_term = gmass * potential_factor(kind, eps2_f, soft)
-    return raw - self_term
+    return pallas_potential_2set(pos, soft, pos, gmass, soft, kind, kahan,
+                                 eps2, interpret, mask_self=True)

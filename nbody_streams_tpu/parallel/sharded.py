@@ -19,9 +19,8 @@ Algorithm (classic systolic ring, the N-body analogue of ring attention):
    steps (precision equivalent to the single-chip kahan path).
 
 Self-interactions need no masking in force mode (dx == 0 exactly for the
-self pair, eps2 > 0 keeps the kernel finite); the potential path carries
-global indices on the jnp tile and subtracts the closed-form self term on
-the Pallas path.
+self pair, eps2 > 0 keeps the kernel finite); the potential path masks
+the self pair in-kernel on the ring step that holds the local block.
 
 Diagnostics (energy, momentum) reduce with ``psum`` over the same axis.
 """
@@ -37,7 +36,6 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..constants import PAIRWISE_EPS2
 from ..ops import pairwise
-from ..ops.kernels import potential_factor
 
 __all__ = ["ShardedDirect", "make_particle_mesh"]
 
@@ -163,8 +161,18 @@ class ShardedDirect:
                 if mode == "acc":
                     return pallas_direct.pallas_accel_2set(
                         pos_l, h_l, ps, ms, hs, kind, kahan, eps2)
-                return pallas_direct.pallas_potential_2set(
-                    pos_l, h_l, ps, ms, hs, kind, kahan, eps2)
+                # mask the self pair on the step where the ring block is
+                # the local block (r == 0): local row indices align
+                return lax.cond(
+                    r == 0,
+                    lambda a: pallas_direct.pallas_potential_2set(
+                        pos_l, h_l, a[0], a[1], a[2], kind, kahan, eps2,
+                        mask_self=True),
+                    lambda a: pallas_direct.pallas_potential_2set(
+                        pos_l, h_l, a[0], a[1], a[2], kind, kahan, eps2,
+                        mask_self=False),
+                    (ps, ms, hs),
+                )
             # jnp path: exact self-handling via global indices
             src_dev = (me - r) % d
             idx_s = src_dev.astype(jnp.int32) * nl + local_idx
@@ -185,10 +193,6 @@ class ShardedDirect:
         init = (zero, jnp.zeros_like(zero), (pos_l, gm_l, h_l))
         (total, _, _), _ = lax.scan(body, init,
                                     jnp.arange(d, dtype=jnp.int32))
-        if mode == "pot" and self.use_pallas:
-            # Remove the self term included by the unmasked Pallas kernel.
-            total = total - gm_l * potential_factor(
-                kind, jnp.asarray(eps2, pos_l.dtype), h_l)
         return total
 
     # -- public ------------------------------------------------------------

@@ -59,3 +59,18 @@ def test_pallas_zero_softening_no_nan(cluster):
     a = np.asarray(pallas_accel(pos, mass, zero, 1.0, "newtonian", False,
                                 interpret=INTERPRET))
     assert np.isfinite(a).all()
+
+
+def test_pallas_potential_with_zero_softening_particles(cluster):
+    """h = 0 particles: the in-kernel self mask must avoid the
+    catastrophic cancellation an outside self-term subtraction causes."""
+    pos, mass, soft = cluster
+    s = np.asarray(soft).copy()
+    s[:50] = 0.0
+    s = jnp.asarray(s)
+    p_p = np.asarray(pallas_potential(pos, mass, s, 4.3e-6, "spline", True,
+                                      interpret=INTERPRET))
+    p_j = np.asarray(compute_potential_direct(
+        pos, mass, s, G=4.3e-6, kernel="spline",
+        precision="float32_kahan"))
+    np.testing.assert_allclose(p_p, p_j, atol=3e-6 * np.abs(p_j).max())
