@@ -181,3 +181,19 @@ def test_unknown_kwarg_rejected(tmp_path):
         run_simulation(xv, sp, 0.0, DT, DT, architecture="cpu",
                        output_dir=str(tmp_path), verbose=False,
                        bogus_option=1)
+
+
+def test_multifile_snapshots(tmp_path):
+    """num_files_to_write > 1 shards snapshots; ParticleReader globs."""
+    xv, m = small_plummer(n=40)
+    sp = [Species.dark(N=40, mass=float(m[0]), softening=SOFT)]
+    run_simulation(xv, sp, 0.0, 20 * DT, DT, architecture="cpu",
+                   output_dir=str(tmp_path), snapshots=6,
+                   num_files_to_write=3, verbose=False,
+                   precision="float64")
+    files = sorted(tmp_path.glob("snapshot.*.h5"))
+    assert len(files) == 3
+    reader = ParticleReader(str(tmp_path / "snapshot.*.h5"))
+    assert reader.Snapshots.size == 6
+    orbits = reader.extract_orbits("dark")
+    assert orbits.posvel.shape == (6, 40, 6)
