@@ -268,7 +268,21 @@ def _pallas_direct(pos_t, soft_t, pos_s, gmass_s, soft_s,
                           memory_space=pltpu.VMEM)
     s_spec = pl.BlockSpec((n_sub, tn), lambda i, jb: (jb, 0),
                           memory_space=pltpu.VMEM)
-    out = pl.pallas_call(
+    # Trace the kernel with x64 disabled: every value here is explicitly
+    # f32/i32, but global x64 mode leaks an i64 grid temporary into the
+    # Mosaic lowering ('failed to legalize func.return (i32, i64)').
+    with jax.enable_x64(False):
+        out = _call_kernel(kernel, n_i, n_jb, t_spec, s_spec, tm, width,
+                           nt_pad, ns_pad, n_sub, tn, interpret,
+                           xt, yt, zt, ht, xs, ys, zs, ms, hs)
+    out = out[:nt]
+    return out if mode == "acc" else out[:, 0]
+
+
+def _call_kernel(kernel, n_i, n_jb, t_spec, s_spec, tm, width, nt_pad,
+                 ns_pad, n_sub, tn, interpret,
+                 xt, yt, zt, ht, xs, ys, zs, ms, hs):
+    return pl.pallas_call(
         kernel,
         grid=(n_i, n_jb),
         in_specs=[t_spec, t_spec, t_spec, t_spec,
@@ -284,8 +298,6 @@ def _pallas_direct(pos_t, soft_t, pos_s, gmass_s, soft_s,
         ),
         interpret=interpret,
     )(xt, yt, zt, ht, xs, ys, zs, ms, hs)
-    out = out[:nt]
-    return out if mode == "acc" else out[:, 0]
 
 
 # ---------------------------------------------------------------------------
