@@ -106,8 +106,21 @@ class MultipolePotential(Potential):
 
         # Radial interpolation in x = ln r
         x = np.log(r)
-        f = phi
+        f = phi.copy()
         d1 = dphi_dr * r[:, None]                 # df/dx = r dPhi/dr
+
+        # Agama-style monopole log-scaling: when Phi_00 < 0 everywhere,
+        # interpolate log(-Phi_00) instead — near-linear in ln r for
+        # power-law-like potentials, which lifts the monopole accuracy
+        # floor by several orders (reference: _potential.py:183-263 uses
+        # the full invPhi0 variant; the log form captures most of it).
+        self._i_log = -1
+        if (0, 0) in self.labels:
+            i0 = self.labels.index((0, 0))
+            if np.all(phi[:, i0] < 0.0):
+                self._i_log = i0
+                d1[:, i0] = d1[:, i0] / phi[:, i0]   # d log(-phi)/dx
+                f[:, i0] = np.log(-phi[:, i0])
         from scipy.interpolate import CubicSpline
 
         d2 = CubicSpline(x, d1, axis=0)(x, 1)     # d2f/dx2 estimate
@@ -125,6 +138,13 @@ class MultipolePotential(Potential):
 
         v_in = _slope(f[0], d1[0], ls)
         v_out = _slope(f[-1], d1[-1], -(ls + 1.0))
+        islog = np.zeros(len(self.labels), bool)
+        if self._i_log >= 0:
+            # log-scaled column: extrapolate the *transformed* value
+            # linearly in ln r (== power law in -Phi)
+            islog[self._i_log] = True
+            v_in[self._i_log] = d1[0, self._i_log]
+            v_out[self._i_log] = d1[-1, self._i_log]
 
         dt = dtype or jnp.asarray(0.0).dtype
         self.x_grid = jnp.asarray(x, dt)
@@ -133,6 +153,7 @@ class MultipolePotential(Potential):
         self.v_in = jnp.asarray(v_in, dt)
         self.f_out = jnp.asarray(f[-1], dt)
         self.v_out = jnp.asarray(v_out, dt)
+        self.islog = jnp.asarray(islog)
         self.x0 = float(x[0])
         self.x1 = float(x[-1])
 
@@ -151,10 +172,20 @@ class MultipolePotential(Potential):
         val = c[5]
         for i in (4, 3, 2, 1, 0):
             val = val * dtc + c[i]
-        inner = self.f_in * jnp.exp(self.v_in * (xlog - self.x0))
-        outer = self.f_out * jnp.exp(self.v_out * (xlog - self.x1))
+        inner = jnp.where(self.islog,
+                          self.f_in + self.v_in * (xlog - self.x0),
+                          self.f_in * jnp.exp(self.v_in * (xlog - self.x0)))
+        outer = jnp.where(self.islog,
+                          self.f_out + self.v_out * (xlog - self.x1),
+                          self.f_out * jnp.exp(self.v_out
+                                               * (xlog - self.x1)))
         val = jnp.where(xlog < self.x0, inner, val)
         val = jnp.where(xlog > self.x1, outer, val)
+        # un-transform the log-scaled monopole column (inner where keeps
+        # exp's argument benign on the untaken branch: exp of a large
+        # positive phi_lm would be inf and poison the gradient)
+        val = jnp.where(self.islog,
+                        -jnp.exp(jnp.where(self.islog, val, 0.0)), val)
         return val
 
     # -- angular part -------------------------------------------------------

@@ -198,10 +198,24 @@ def test_multipole_spherical_accuracy(pts):
                                                  np.geomspace(0.05, 500, 40)))
     p_ref = np.asarray(pl.potential(pts))
     np.testing.assert_allclose(np.asarray(mp.potential(pts)), p_ref,
-                               atol=2e-6 * np.abs(p_ref).max())
+                               atol=3e-7 * np.abs(p_ref).max())
     f_ref = np.asarray(pl.force(pts))
     np.testing.assert_allclose(np.asarray(mp.force(pts)), f_ref,
-                               atol=1e-4 * np.abs(f_ref).max())
+                               atol=1e-5 * np.abs(f_ref).max())
+
+
+def test_multipole_monopole_log_scaling_nfw(pts):
+    """NFW monopole through the log-scaled radial interpolant: near
+    machine-accurate reconstruction (reference floor ~1e-12)."""
+    nfw = NFWPotential(mass=1e12, scaleRadius=20.0)
+    mp = MultipolePotential(make_spherical_coefs(
+        nfw, np.geomspace(0.05, 500, 40)))
+    p_ref = np.asarray(nfw.potential(pts))
+    np.testing.assert_allclose(np.asarray(mp.potential(pts)), p_ref,
+                               atol=1e-8 * np.abs(p_ref).max())
+    f_ref = np.asarray(nfw.force(pts))
+    np.testing.assert_allclose(np.asarray(mp.force(pts)), f_ref,
+                               atol=1e-6 * np.abs(f_ref).max())
 
 
 def test_multipole_projection_flattened(rng):
