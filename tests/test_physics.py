@@ -197,3 +197,30 @@ def test_multifile_snapshots(tmp_path):
     assert reader.Snapshots.size == 6
     orbits = reader.extract_orbits("dark")
     assert orbits.posvel.shape == (6, 40, 6)
+
+
+def test_evolving_external_potential_in_scan(tmp_path):
+    """Time-evolving external potential (the MW-LMC workflow pattern)
+    evaluated inside the scanned KDK step: a particle in a growing
+    potential gains binding energy monotonically."""
+    from nbody_streams_tpu.potentials import (EvolvingPotential,
+                                              PlummerPotential)
+
+    a = PlummerPotential(mass=1e11, scaleRadius=5.0)
+    b = PlummerPotential(mass=2e11, scaleRadius=5.0)
+    ev = EvolvingPotential([a, b], [0.0, 0.1])
+
+    xv, m = small_plummer(n=16)
+    xv[:, :3] += np.array([30.0, 0, 0])
+    sp = [Species.dark(N=16, mass=float(m[0]), softening=SOFT)]
+    res = run_simulation(
+        xv, sp, 0.0, 0.02, 1e-3, architecture="cpu",
+        external_potential=ev, external_update_interval=2,
+        output_dir=str(tmp_path), save_snapshots=False, verbose=False,
+        precision="float64",
+    )
+    assert np.isfinite(res["dark"]).all()
+    # the deepening potential accelerates the infall: net inward motion
+    r0 = np.linalg.norm(xv[:, :3].mean(0))
+    r1 = np.linalg.norm(res["dark"][:, :3].mean(0))
+    assert r1 < r0
