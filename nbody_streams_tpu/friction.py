@@ -102,6 +102,36 @@ def compute_sigma_r(pot, t_eval: float = 0.0, grid_r=None,
 # CoM finders
 # ---------------------------------------------------------------------------
 
+def bound_center_phi(pos, vel, mass, phi, r_prev, v_prev, dt,
+                     r_max: float = 10.0, n_iter: int = 10):
+    """Phi-energy iterative bound-particle centre (jittable).
+
+    Reference semantics (_chandrasekhar.py:273-363): predict the centre
+    kinematically, take the median phase-space point of particles that
+    are bound (phi + |v - v_com|^2/2 < 0) within an aperture, iterate
+    with a fixed trip count.  Returns (r_com, v_com, bound_mask,
+    M_bound).
+    """
+    xv = jnp.concatenate([pos, vel], axis=1)
+    f0 = jnp.concatenate([r_prev + v_prev * dt, v_prev])
+
+    def body(f_center, _):
+        dr2 = jnp.sum((pos - f_center[:3]) ** 2, axis=1)
+        vrel2 = jnp.sum((vel - f_center[3:]) ** 2, axis=1)
+        bound = (phi + 0.5 * vrel2) < 0.0
+        use = bound & (dr2 < r_max * r_max)
+        use = use | (jnp.sum(use) < 2)     # degenerate: fall back to all
+        med = jnp.nanmedian(
+            jnp.where(use[:, None], xv, jnp.nan), axis=0)
+        return med, None
+
+    f_center, _ = lax.scan(body, f0, None, length=n_iter)
+    vrel2 = jnp.sum((vel - f_center[3:]) ** 2, axis=1)
+    bound = (phi + 0.5 * vrel2) < 0.0
+    m_bound = jnp.sum(mass * bound)
+    return f_center[:3], f_center[3:], bound, m_bound
+
+
 def shrinking_sphere_com(pos, vel, mass, n_iter: int = 5,
                          frac: float = 0.5):
     """Fixed-iteration shrinking-sphere centre (jittable).
@@ -180,12 +210,23 @@ class ChandrasekharFriction(ForceExtra):
                  sigma_method: str = "jeans", apply_radius_factor=2.0,
                  shrink_n_iter: int = 5, shrink_frac: float = 0.5,
                  sigma_grid_r=None, t_start: float = 0.0,
-                 t_end: float = 0.0):
+                 t_end: float = 0.0, com_method: str = "shrinking_sphere",
+                 bound_r_max: float = 10.0):
         if M_sat <= 0:
             raise ValueError(f"M_sat must be positive, got {M_sat}")
         if update_interval < 1:
             raise ValueError(
                 f"update_interval must be >= 1, got {update_interval}")
+        if com_method not in ("shrinking_sphere", "bound_phi"):
+            raise ValueError(
+                f"com_method must be 'shrinking_sphere' or 'bound_phi', "
+                f"got {com_method!r}")
+        self.com_method = com_method
+        self.bound_r_max = float(bound_r_max)
+        #: run.py computes the self-gravity potential per step (one extra
+        #: O(N^2) pass) when this is True — the reference gets phi for
+        #: free only on its tree paths (run_gpu_tree.py:365-370)
+        self.needs_phi = com_method == "bound_phi"
         self.pot = pot
         self.M_sat = float(M_sat)
         self.G = float(G)
@@ -204,44 +245,69 @@ class ChandrasekharFriction(ForceExtra):
     def init_state(self, pos, vel, mass, t):
         com, v_com, r_sph = shrinking_sphere_com(
             pos, vel, mass, self.shrink_n_iter, self.shrink_frac)
-        return {
+        state = {
             "r_com": com,
             "v_com": v_com,
             "r_sphere": r_sph,
             "a_df": jnp.zeros_like(com),
             "t_prev": jnp.asarray(t, pos.dtype),
         }
+        if self.com_method == "bound_phi":
+            state["m_bound"] = jnp.asarray(self.M_sat, pos.dtype)
+            state["bound"] = jnp.ones(pos.shape[0], bool)
+        return state
 
     def __call__(self, state, pos, vel, mass, t, phi=None, step=0):
         dt = t - state["t_prev"]
-
-        def full_update(_):
-            com, v_com, r_sph = shrinking_sphere_com(
-                pos, vel, mass, self.shrink_n_iter, self.shrink_frac)
-            return com, v_com, r_sph
+        use_phi = self.com_method == "bound_phi" and phi is not None
 
         def predictor(_):
             a = state["a_df"]
             com = (state["r_com"] + state["v_com"] * dt
                    + 0.5 * a * dt * dt)
             v_com = state["v_com"] + a * dt
+            if use_phi:
+                return (com, v_com, state["r_sphere"], state["m_bound"],
+                        state["bound"])
             return com, v_com, state["r_sphere"]
 
-        refresh = (jnp.asarray(step) % self.update_interval) == 0
-        r_com, v_com, r_sph = lax.cond(refresh, full_update, predictor,
-                                       None)
+        if use_phi:
+            def full_update(_):
+                com, v_com, bound, m_b = bound_center_phi(
+                    pos, vel, mass, phi, state["r_com"], state["v_com"],
+                    dt, r_max=self.bound_r_max)
+                return com, v_com, state["r_sphere"], m_b, bound
+
+            refresh = (jnp.asarray(step) % self.update_interval) == 0
+            r_com, v_com, r_sph, m_bound, bound = lax.cond(
+                refresh, full_update, predictor, None)
+            # dynamic satellite mass tracks tidal stripping
+            m_eff = jnp.maximum(m_bound, 1e4)
+        else:
+            def full_update(_):
+                com, v_com, r_sph = shrinking_sphere_com(
+                    pos, vel, mass, self.shrink_n_iter, self.shrink_frac)
+                return com, v_com, r_sph
+
+            refresh = (jnp.asarray(step) % self.update_interval) == 0
+            r_com, v_com, r_sph = lax.cond(refresh, full_update,
+                                           predictor, None)
+            m_eff = self.M_sat
 
         r = jnp.linalg.norm(r_com)
         rho = self.pot.density(r_com, t=t)
         sig = self.sigma(r, t=t)
         a_df = chandrasekhar_accel(
-            r_com, v_com, self.M_sat, rho, sig, t, G=self.G,
+            r_com, v_com, m_eff, rho, sig, t, G=self.G,
             coulomb_mode=self.coulomb_mode,
             fixed_ln_lambda=self.fixed_ln_lambda,
             core_gamma=self.core_gamma, r_core=self.r_core,
         ).astype(pos.dtype)
 
-        if self.apply_radius_factor is not None:
+        if use_phi:
+            # phi path: DF applies to the bound particles
+            acc = jnp.where(bound[:, None], a_df[None, :], 0.0)
+        elif self.apply_radius_factor is not None:
             cutoff = self.apply_radius_factor * r_sph
             d = jnp.linalg.norm(pos - r_com, axis=1)
             acc = jnp.where((d <= cutoff)[:, None], a_df[None, :], 0.0)
@@ -255,6 +321,10 @@ class ChandrasekharFriction(ForceExtra):
             "a_df": a_df,
             "t_prev": jnp.asarray(t, pos.dtype),
         }
+        if self.com_method == "bound_phi":
+            new_state["m_bound"] = (m_bound if use_phi
+                                    else state["m_bound"])
+            new_state["bound"] = bound if use_phi else state["bound"]
         return acc, new_state
 
 

@@ -102,8 +102,13 @@ def make_accel_fn(
                 ext_acc = fresh(ext_acc)
             acc = acc + ext_acc
         if force_extra is not None:
+            # phi-aware terms (e.g. DF bound-centre tracking) get the
+            # self-gravity potential — one extra O(N^2) pass per step,
+            # matching the reference's direct-path cost trade-off
+            phi = (solver.potential(pos)
+                   if getattr(force_extra, "needs_phi", False) else None)
             extra, extra_state = force_extra(
-                extra_state, pos, vel, mass, t, step=step
+                extra_state, pos, vel, mass, t, phi=phi, step=step
             )
             acc = acc + extra.astype(acc.dtype)
         return acc, ext_acc, extra_state

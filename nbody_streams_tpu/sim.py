@@ -38,7 +38,7 @@ _DF_KW = {
     "df_M_sat", "df_coulomb_mode", "df_fixed_ln_lambda", "df_core_gamma",
     "df_r_core", "df_update_interval", "df_sigma_method",
     "df_apply_radius_factor", "df_shrink_n_iter", "df_shrink_frac",
-    "df_sigma_grid_r",
+    "df_sigma_grid_r", "df_com_method", "df_bound_r_max",
 }
 
 

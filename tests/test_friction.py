@@ -116,3 +116,50 @@ def test_df_requires_external_potential(tmp_path):
         run_simulation(xv, sp, 0.0, 1e-3, 1e-3, architecture="cpu",
                        dynamical_friction=True,
                        output_dir=str(tmp_path), verbose=False)
+
+
+def test_bound_center_phi_finds_cluster(rng):
+    """Phi-energy bound centre: recovers the satellite amid unbound
+    contaminants and reports the bound mass."""
+    import jax.numpy as jnp
+
+    from nbody_streams_tpu.friction import bound_center_phi
+    from nbody_streams_tpu.ops import compute_potential_direct
+
+    xv, m = make_plummer_sphere(400, M_total=1e8, a=0.3, seed=8)
+    offset = np.array([20.0, 5.0, -3.0])
+    vbulk = np.array([80.0, -40.0, 10.0])
+    pos = xv[:, :3] + offset
+    vel = xv[:, 3:] + vbulk
+    # unbound interlopers flying through
+    pos = np.vstack([pos, rng.normal(0, 30, (100, 3)) + offset])
+    vel = np.vstack([vel, rng.normal(0, 500, (100, 3))])
+    mass = np.concatenate([m, np.full(100, m[0])])
+    phi = np.asarray(compute_potential_direct(pos, mass, 0.01,
+                                              precision="float64"))
+    r_com, v_com, bound, m_b = bound_center_phi(
+        jnp.asarray(pos), jnp.asarray(vel), jnp.asarray(mass),
+        jnp.asarray(phi), jnp.asarray(offset + 1.0),
+        jnp.asarray(vbulk * 1.0), 0.0)
+    assert np.linalg.norm(np.asarray(r_com) - offset) < 0.5
+    assert np.linalg.norm(np.asarray(v_com) - vbulk) < 15.0
+    assert np.asarray(bound)[-100:].mean() < 0.2   # interlopers unbound
+    assert float(m_b) < mass.sum()
+
+
+def test_df_bound_phi_end_to_end(host, tmp_path):
+    """run_simulation with the phi-energy DF path: runs, decays."""
+    n = 50
+    xv, m = make_plummer_sphere(n, M_total=1e6, a=0.2, seed=9)
+    xv = place_on_orbit(xv, r_peri=28.0, r_apo=32.0, potential=host)
+    sp = [Species.dark(N=n, mass=float(m[0]), softening=0.05)]
+    res = run_simulation(
+        xv, sp, 0.0, 0.2, 2e-3, architecture="cpu",
+        external_potential=host, dynamical_friction=True,
+        df_M_sat=5e10, df_com_method="bound_phi", df_update_interval=5,
+        output_dir=str(tmp_path), save_snapshots=False, verbose=False,
+        precision="float64",
+    )
+    com = res["dark"][:, :3].mean(0)
+    assert np.isfinite(res["dark"]).all()
+    assert np.linalg.norm(com) < 31.0   # decaying from ~30 kpc
