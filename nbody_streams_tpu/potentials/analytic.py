@@ -149,33 +149,37 @@ class LogHaloPotential(Potential):
 class DiskAnsatzPotential(Potential):
     """Separable disk ansatz Phi(r, z) = f(r) H(z) (Kuijken & Dubinski):
 
-    f(r) = 4 pi G Sigma exp(-r/hr - hin/r), r = spherical radius;
-    H(z): exponential profile (scaleHeight > 0) or razor-thin (== 0).
-    (The reference's kernels implement the exponential branch,
-    _analytic_potentials.py:1066-1125.)
+    f(r) = 4 pi G Sigma exp(-(r/hr)^(1/n) - hin/r), r = spherical radius;
+    H(z): exponential (scaleHeight > 0), isothermal sech^2 (< 0), or
+    razor-thin (== 0).  (The reference's GPU kernel implements only the
+    exponential branch, _analytic_potentials.py:958-1078; here all three
+    are native, matching the GalPot residuals in potentials/galpot.py.)
     """
 
     def __init__(self, surfaceDensity: float = 1.0, scaleRadius: float = 1.0,
                  scaleHeight: float = 0.1, innerCutoffRadius: float = 0.0,
-                 G: float = G_DEFAULT):
-        if scaleHeight < 0:
-            raise NotImplementedError(
-                "isothermal (sech^2) vertical profile not yet implemented"
-            )
+                 sersicIndex: float = 1.0, G: float = G_DEFAULT):
         self.pref = 4.0 * jnp.pi * float(G) * float(surfaceDensity)
         self.hr = float(scaleRadius)
         self.hz = float(scaleHeight)
         self.hin = float(innerCutoffRadius)
+        self.inv_n = 1.0 / float(sersicIndex)
 
     def phi_point(self, xyz, t):
         r = _r(xyz)
-        f = self.pref * jnp.exp(-r / self.hr - self.hin / r)
+        f = self.pref * jnp.exp(-((r / self.hr) ** self.inv_n)
+                                - self.hin / r)
         az = jnp.abs(xyz[2])
-        if self.hz < 1e-10:
+        if abs(self.hz) < 1e-10:
             hval = 0.5 * az
-        else:
+        elif self.hz > 0:
             u = az / self.hz
             hval = 0.5 * self.hz * (jnp.exp(-u) - 1.0 + u)
+        else:
+            b = -self.hz
+            u = az / (2.0 * b)
+            # H = b ln cosh(z/2b), overflow-safe form
+            hval = b * (u - jnp.log(2.0) + jnp.log1p(jnp.exp(-2.0 * u)))
         return f * hval
 
 

@@ -16,10 +16,24 @@ header :1-36):
 * Fourier sum Phi = sum_m Phi_m(R, z) x {cos(m phi), m >= 0;
   sin(|m| phi), m < 0},
 * outside the grid: vacuum harmonic continuation
-  Phi_lm(r) = Phi_lm(r_b) (r/r_b)^-(l+1), coefficients obtained by
-  projecting the interior solution onto spherical harmonics on the
-  largest sphere inscribed in the grid cylinder (the reference
-  least-squares-fits the same PowerLaw multipole, _potential.py:1072).
+  Phi_lm(r) = W_lm (r/r0)^-(l+1) with two coefficient sets, blended by
+  radius:
+
+  - near the grid (r < r_enc, the sphere enclosing the grid cylinder):
+    W_lm least-squares fitted to the Fourier amplitude tables at the
+    grid *boundary nodes* (z caps + Rmax wall) — the same PowerLaw fit
+    as Agama's determineAsympt (reference: _determine_asympt_cylspline,
+    _potential.py:1072-1180).  For strongly disk-shaped grids this is a
+    compromise: no origin-centred truncated expansion is valid between
+    the z caps and r_enc (measured intrinsic floor ~ few %, same as the
+    reference/Agama).
+  - beyond r_enc: *exact* exterior multipole moments from Green's third
+    identity on the grid boundary surface,
+    W_lm = -(1/(4 pi (2l+1) r0)) \\oint [S_lm dPhi/dn - Phi dS_lm/dn] dA
+    with solid harmonics S_lm = (|y|/r0)^l Y_lm — accurate to the
+    surface quadrature + the (shared) no-mass-outside-grid assumption.
+    This goes beyond the reference, whose single fitted set keeps its
+    few-percent compromise error arbitrarily far out.
 
 Forces/Hessians via jax.grad through the evaluator (the interpolant is
 C1, so forces are continuous).
@@ -136,35 +150,33 @@ class CylSplinePotential(Potential):
 
         # ---- outer harmonic continuation -------------------------------
         self.r_b = min(self.r_max, self.z_max, -self.z_min)
-        self._build_outer(lmax_outer, dt)
+        self._build_outer(phi, m_vals, r_grid, z_grid, lmax_outer, dt)
 
     # ------------------------------------------------------------------
-    def _build_outer(self, lmax: int, dt):
-        """Project the interior solution onto Y_lm on the inscribed
-        sphere; store power-law continuation coefficients."""
-        mmax = min(lmax, self.mmax)
-        n_theta, n_phi = 48, max(8, 4 * mmax + 4)
-        nodes, weights = np.polynomial.legendre.leggauss(n_theta)
-        ct = np.repeat(nodes, n_phi)
-        st = np.sqrt(1.0 - ct**2)
-        pp = np.tile(2.0 * np.pi * np.arange(n_phi) / n_phi, n_theta)
-        wq = np.repeat(weights, n_phi) * (2.0 * np.pi / n_phi)
+    def _build_outer(self, phi, m_vals, r_grid, z_grid, lmax: int, dt):
+        """Least-squares PowerLaw multipole fit at the grid boundary
+        nodes (Agama determineAsympt; reference: _potential.py:1072)."""
+        from scipy.linalg import lstsq
 
-        r_b = self.r_b * 0.999
-        rr = r_b * st
-        zz = r_b * ct
-        # evaluate the interior part directly (numpy mirror via jnp call)
-        vals = np.asarray(self._interior_batch(
-            jnp.asarray(rr), jnp.asarray(zz), jnp.asarray(np.cos(pp)),
-            jnp.asarray(np.sin(pp))))
+        nR, nz = len(r_grid), len(z_grid)
+        # boundary nodes: both z caps (iR < nR-1) + the Rmax wall (all iz)
+        iR_cap = np.arange(nR - 1)
+        iR_b = np.concatenate([iR_cap, iR_cap, np.full(nz, nR - 1)])
+        iz_b = np.concatenate([np.full(nR - 1, nz - 1),
+                               np.zeros(nR - 1, int), np.arange(nz)])
+        Rp = r_grid[iR_b]
+        zp = z_grid[iz_b]
+        rp = np.hypot(Rp, zp)
+        ct = zp / rp
+        st = Rp / rp
 
-        labels = []
-        for l in range(lmax + 1):
-            for m in range(-min(l, mmax), min(l, mmax) + 1):
-                labels.append((l, m))
+        r0 = min(float(r_grid[-1]), float(np.max(np.abs(z_grid))))
+        self.r0_outer = r0
+        mmax_fit = min(lmax, self.mmax)
 
+        # orthonormalised associated Legendre at the boundary points
         pnorm = {}
-        for m in range(0, mmax + 1):
+        for m in range(0, mmax_fit + 1):
             pref = math.sqrt((2 * m + 1)
                              / (4.0 * math.pi * math.factorial(2 * m)))
             dfact = 1.0
@@ -181,19 +193,28 @@ class CylSplinePotential(Potential):
                 pnorm[(l, m)] = a * (ct * pnorm[(l - 1, m)]
                                      - b * pnorm[(l - 2, m)])
 
+        pow_tab = (rp[:, None] / r0) ** -(np.arange(lmax + 1)[None, :] + 1.0)
+
         w_coef, out_labels = [], []
-        for l, m in labels:
+        scale = np.abs(phi).max()
+        for i, m in enumerate(m_vals):
             am = abs(m)
+            if am > mmax_fit:
+                continue
             mul = MUL0 if m == 0 else MUL1
-            trig = np.cos(am * pp) if m >= 0 else np.sin(am * pp)
-            y = mul * pnorm[(l, am)] * trig
-            w = float((vals * y * wq).sum() / (4.0 * math.pi))
-            if abs(w) > 1e-12 * np.abs(vals).max():
-                w_coef.append(w)
-                out_labels.append((l, m))
-        if not out_labels:
+            ls = np.arange(am, lmax + 1)
+            design = np.stack([mul * pnorm[(l, am)] * pow_tab[:, l]
+                               for l in ls], axis=1)
+            rhs = phi[i][iR_b, iz_b]
+            sol = lstsq(design, rhs)[0]
+            for l, w in zip(ls, sol):
+                if abs(w) > 1e-12 * scale:
+                    out_labels.append((int(l), m))
+                    w_coef.append(float(w))
+        if not out_labels:           # safeguard: average monopole
             out_labels = [(0, 0)]
-            w_coef = [float((vals * wq).sum() / (4.0 * math.pi))]
+            i0 = m_vals.index(0)
+            w_coef = [float(np.mean(phi[i0][iR_b, iz_b] * rp / r0))]
         self.outer_labels = out_labels
         self.outer_w = jnp.asarray(np.array(w_coef), dt)
         self.outer_l = np.array([l for l, _ in out_labels])
@@ -208,8 +229,14 @@ class CylSplinePotential(Potential):
         """
         lr = jnp.arcsinh(R / self.rscale)
         lz = jnp.arcsinh(z / self.rscale)
-        lr = jnp.clip(lr, self.lr_grid[0], self.lr_grid[-1])
-        lz = jnp.clip(lz, self.lz_grid[0], self.lz_grid[-1])
+        # where-based clamp (NOT jnp.clip: min/max split the gradient
+        # 0.5/0.5 at exact ties, halving forces at boundary nodes)
+        lr = jnp.where(lr < self.lr_grid[0], self.lr_grid[0],
+                       jnp.where(lr > self.lr_grid[-1],
+                                 self.lr_grid[-1], lr))
+        lz = jnp.where(lz < self.lz_grid[0], self.lz_grid[0],
+                       jnp.where(lz > self.lz_grid[-1],
+                                 self.lz_grid[-1], lz))
 
         iu = jnp.clip(jnp.searchsorted(self.lr_grid, lr, side="right") - 1,
                       0, self.lr_grid.shape[0] - 2)
@@ -297,7 +324,7 @@ class CylSplinePotential(Potential):
                                  - b * p[(l - 2, m)])
 
         total = 0.0
-        ratio = self.r_b * 0.999 / r
+        ratio = self.r0_outer / r
         for i, (l, m) in enumerate(self.outer_labels):
             am = abs(m)
             mul = MUL0 if m == 0 else MUL1

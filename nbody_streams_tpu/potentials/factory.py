@@ -11,11 +11,11 @@ Reference-equivalent of ``PotentialGPU`` (reference: _potential.py:2620)
   Timestamps)
 * a coefs dataclass, an existing Potential, or a list (-> Composite)
 * modifiers ``center=`` (static/trajectory) and ``scale=``/``ampl=``
-
-Unsupported Agama density-fitting types (Disk, Spheroid, King, Sersic —
-the reference materialises these *through the Agama C++ library*,
-_potential.py:2109-2232) raise with guidance: build the equivalent with
-``fit_potential`` / ``MultipolePotential.from_projection`` instead.
+* Agama density types ``Disk``/``Spheroid``/``King``/``Sersic`` and
+  triaxial ``Dehnen`` — built natively by the GalPot-style solvers in
+  ``potentials/galpot.py`` (the reference materialises these *through
+  the Agama C++ library*, _potential.py:2109-2232); this makes the
+  shipped ``McMillan17.ini`` MW model load without Agama.
 """
 from __future__ import annotations
 
@@ -37,7 +37,24 @@ from .multipole import MultipolePotential
 
 __all__ = ["make_potential", "load_potential_ini"]
 
-_AGAMA_ONLY = {"disk", "spheroid", "king", "sersic", "nuker"}
+# camelCase canonical names for the GalPot-style builder kwargs
+_GALPOT_CANONICAL = {
+    "densitynorm": "densityNorm", "mass": "mass",
+    "scaleradius": "scaleRadius", "scaleheight": "scaleHeight",
+    "alpha": "alpha", "beta": "beta", "gamma": "gamma",
+    "axisratioy": "axisRatioY", "axisratioz": "axisRatioZ",
+    "outercutoffradius": "outerCutoffRadius",
+    "cutoffstrength": "cutoffStrength",
+    "innercutoffradius": "innerCutoffRadius",
+    "surfacedensity": "surfaceDensity", "sersicindex": "sersicIndex",
+    "w0": "W0", "trunc": "trunc", "lmax": "lmax",
+    "gridsizer": "gridSizeR", "rmin": "rmin", "rmax": "rmax",
+    "ntheta": "n_theta", "g": "G",
+}
+
+
+def _galpot_kwargs(params: dict) -> dict:
+    return {_GALPOT_CANONICAL.get(k, k): v for k, v in params.items()}
 
 
 def _coerce(v: str):
@@ -96,13 +113,28 @@ def _build_single(spec, base_dir: Path | None = None) -> Potential:
 
     kind = str(params.pop("type", "")).lower().replace("_", "") \
         .replace(" ", "")
-    if kind in _AGAMA_ONLY:
-        raise NotImplementedError(
-            f"type={kind!r} is an Agama density-fitting type; build the "
-            "equivalent with nbody_streams_tpu.potentials.fit_potential "
-            "(particle snapshots) or MultipolePotential.from_projection "
-            "(an arbitrary callable)."
-        )
+    if kind in ("disk", "spheroid", "king", "sersic"):
+        from . import galpot
+
+        builder = {"disk": galpot.build_disk,
+                   "spheroid": galpot.build_spheroid,
+                   "king": galpot.build_king,
+                   "sersic": galpot.build_sersic}[kind]
+        return _apply_modifiers(builder(**_galpot_kwargs(params)),
+                                center, scale, ampl)
+    if kind in ("dehnen", "dehnensph") and (
+            float(params.get("axisratioy", 1.0)) != 1.0
+            or float(params.get("axisratioz", 1.0)) != 1.0):
+        # triaxial Dehnen == Spheroid(alpha=1, beta=4) with
+        # densityNorm = (3 - gamma) M / (4 pi a^3 p q)
+        # (reference routes this through Agama, _potential.py:2122-2155)
+        from . import galpot
+
+        kw = _galpot_kwargs(params)
+        kw.setdefault("alpha", 1.0)
+        kw.setdefault("beta", 4.0)
+        return _apply_modifiers(galpot.build_spheroid(**kw),
+                                center, scale, ampl)
     if kind == "multipole":
         if "coefficients" in params:
             return _apply_modifiers(

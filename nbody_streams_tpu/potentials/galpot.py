@@ -1,0 +1,566 @@
+"""Native GalPot-style density -> potential builders.
+
+The reference materialises Agama density types (``Disk``, ``Spheroid``,
+``King``, ``Sersic``, triaxial ``Dehnen``) *through the Agama C++
+library*: it builds an ``agama.Potential`` on the CPU, exports the
+Multipole coefficients and re-loads them on the GPU (reference:
+agama_helper/_potential.py:2109-2232).  This module removes the Agama
+dependency entirely: densities are defined natively (NumPy, host-side)
+and converted to the framework's ``MultipolePotential`` with a
+spherical-harmonic Poisson solve.
+
+Mathematics (Kuijken & Dubinski 1995; Dehnen & Binney 1998 "GalPot"):
+
+* ``Spheroid``/``Sersic``/``King`` densities are solved directly:
+  with the framework's 4-pi-normalised real harmonics Y_lm
+  (<Y_i Y_j> = 4 pi delta_ij, see multipole.py),
+
+      rho_lm(s)  = (1 / 4 pi) \\int rho(s, Omega) Y_lm dOmega
+      Phi_lm(r)  = -4 pi G / (2l+1) [ \\int_0^r   rho_lm (s/r)^{l+1} s ds
+                                    + \\int_r^inf rho_lm (r/s)^{l}   s ds ]
+
+  All radius ratios are <= 1 so the quadrature is overflow-free at any
+  ``l`` (unlike the naive ``s^{l+2}`` prefix-sum form).
+
+* ``Disk`` uses the GalPot split: Phi = Phi_ansatz + Phi_multipole with
+  Phi_ansatz = 4 pi G Sigma(r) H(z) (spherical radius r!) handled by the
+  analytic ``DiskAnsatzPotential`` and the *residual* density
+
+      rho_res = Sigma(R) h(z) - Sigma(r) h(z)
+                - [Sigma'' + 2 Sigma'/r] H(z) - 2 Sigma' (z/r) H'(z)
+
+  (everywhere smooth: the |z| kink of the disk profile cancels exactly)
+  solved with an axisymmetric even-l Multipole.  Unlike the reference's
+  GPU DiskAnsatz — which only implements the exponential vertical
+  profile even for sech^2 disks (_analytic_potentials.py:958) — the
+  ansatz and the residual here always use the same vertical profile, so
+  the reconstruction is self-consistent for both branches.
+
+Build cost is a one-off host-side quadrature (a few 1e5 density
+evaluations, vectorised NumPy); the result is a jittable, autodiff-able
+``MultipolePotential`` usable on TPU like any other.
+"""
+from __future__ import annotations
+
+import math
+import warnings
+
+import numpy as np
+
+from ..constants import G_DEFAULT
+from .base import CompositePotential, Potential
+from .coefs import MultipoleCoefs
+from .fit import _real_sph_harm
+from .multipole import MultipolePotential
+
+__all__ = [
+    "SpheroidDensity",
+    "DiskDensity",
+    "SersicDensity",
+    "density_to_multipole",
+    "build_spheroid",
+    "build_disk",
+    "build_sersic",
+    "build_king",
+]
+
+
+# ---------------------------------------------------------------------------
+# density models (host-side NumPy callables: pts (N, 3) -> rho (N,))
+# ---------------------------------------------------------------------------
+class SpheroidDensity:
+    """Agama ``type=Spheroid`` double-power-law ellipsoidal density:
+
+    rho(m) = densityNorm (m/a)^-gamma (1 + (m/a)^alpha)^((gamma-beta)/alpha)
+             * exp(-(m / outerCutoffRadius)^cutoffStrength)
+
+    with the ellipsoidal radius m^2 = x^2 + (y/p)^2 + (z/q)^2.
+    (reference builds these through agama.Potential,
+    _potential.py:2109-2114)
+    """
+
+    def __init__(self, densityNorm: float = 1.0, scaleRadius: float = 1.0,
+                 alpha: float = 1.0, beta: float = 4.0, gamma: float = 1.0,
+                 axisRatioY: float = 1.0, axisRatioZ: float = 1.0,
+                 outerCutoffRadius: float = 0.0, cutoffStrength: float = 2.0):
+        if gamma >= 3.0:
+            raise ValueError(f"Spheroid gamma must be < 3, got {gamma}")
+        if beta <= 2.0 and outerCutoffRadius <= 0.0:
+            raise ValueError(
+                "Spheroid with beta <= 2 needs outerCutoffRadius > 0 "
+                "(infinite mass otherwise)")
+        self.rho0 = float(densityNorm)
+        self.a = float(scaleRadius)
+        self.alpha = float(alpha)
+        self.beta = float(beta)
+        self.gamma = float(gamma)
+        self.p = float(axisRatioY)
+        self.q = float(axisRatioZ)
+        self.rcut = float(outerCutoffRadius)
+        self.xi = float(cutoffStrength)
+
+    @property
+    def spherical(self) -> bool:
+        return abs(self.p - 1) < 1e-12 and abs(self.q - 1) < 1e-12
+
+    @property
+    def axisymmetric(self) -> bool:
+        return abs(self.p - 1) < 1e-12
+
+    def rho_m(self, m):
+        """Profile as a function of the ellipsoidal radius."""
+        u = np.maximum(np.asarray(m, float), 1e-300) / self.a
+        lg = -self.gamma * np.log(u) \
+            + (self.gamma - self.beta) / self.alpha \
+            * np.log1p(u ** self.alpha)
+        if self.rcut > 0:
+            lg = lg - (u * self.a / self.rcut) ** self.xi
+        return self.rho0 * np.exp(lg)
+
+    def __call__(self, pts):
+        pts = np.asarray(pts, float)
+        m = np.sqrt(pts[:, 0] ** 2 + (pts[:, 1] / self.p) ** 2
+                    + (pts[:, 2] / self.q) ** 2)
+        return self.rho_m(m)
+
+    def total_mass(self) -> float:
+        """p q 4 pi int rho(m) m^2 dm by log-panel quadrature."""
+        rmax = 5.0 * self.rcut if self.rcut > 0 else 1e6 * self.a
+        s, w = _log_gauss_panels(1e-8 * self.a, rmax, 400)
+        return float(self.p * self.q * 4.0 * np.pi
+                     * np.sum(w * self.rho_m(s) * s ** 2))
+
+
+def _disk_sigma_funcs(surfaceDensity, scaleRadius, innerCutoffRadius,
+                      sersicIndex):
+    """Sigma(x), Sigma'(x), Sigma''(x) for the GalPot radial profile
+    Sigma = Sigma0 exp(-(x/Rd)^(1/n) - R0/x); x may be R or spherical r."""
+    s0 = float(surfaceDensity)
+    rd = float(scaleRadius)
+    r0 = float(innerCutoffRadius)
+    inv_n = 1.0 / float(sersicIndex)
+
+    def sigma(x):
+        x = np.maximum(np.asarray(x, float), 1e-300)
+        return s0 * np.exp(-(x / rd) ** inv_n - r0 / x)
+
+    def d1(x):
+        x = np.maximum(np.asarray(x, float), 1e-300)
+        g1 = -(inv_n / rd) * (x / rd) ** (inv_n - 1.0) + r0 / x ** 2
+        return sigma(x) * g1
+
+    def d2(x):
+        x = np.maximum(np.asarray(x, float), 1e-300)
+        g1 = -(inv_n / rd) * (x / rd) ** (inv_n - 1.0) + r0 / x ** 2
+        g2 = -(inv_n * (inv_n - 1.0) / rd ** 2) * (x / rd) ** (inv_n - 2.0) \
+            - 2.0 * r0 / x ** 3
+        return sigma(x) * (g1 * g1 + g2)
+
+    return sigma, d1, d2
+
+
+def _vertical_funcs(scaleHeight):
+    """h(z), H(z), H'(z) with H'' = h and \\int h dz = 1.
+
+    scaleHeight > 0: exponential  h = exp(-|z|/hz) / (2 hz)
+    scaleHeight < 0: isothermal   h = sech^2(z / 2b) / (4 b), b = |hz|
+    (GalPot conventions; reference DiskAnsatz spec
+    _analytic_potentials.py:1066-1078)
+    """
+    hz = float(scaleHeight)
+    if hz > 0:
+        def h(z):
+            return np.exp(-np.abs(z) / hz) / (2.0 * hz)
+
+        def bigH(z):
+            u = np.abs(z) / hz
+            return 0.5 * hz * (np.exp(-u) - 1.0 + u)
+
+        def bigHp(z):
+            return np.sign(z) * 0.5 * (1.0 - np.exp(-np.abs(z) / hz))
+    else:
+        b = abs(hz)
+
+        def h(z):
+            u = np.abs(z) / (2.0 * b)
+            return 1.0 / (4.0 * b * np.cosh(np.minimum(u, 350.0)) ** 2)
+
+        def bigH(z):
+            u = np.abs(z) / (2.0 * b)
+            # ln cosh(u) = u - ln 2 + log1p(exp(-2u)), overflow-safe
+            return b * (u - math.log(2.0) + np.log1p(np.exp(-2.0 * u)))
+
+        def bigHp(z):
+            return 0.5 * np.tanh(z / (2.0 * b))
+    return h, bigH, bigHp
+
+
+class DiskDensity:
+    """Agama ``type=Disk`` density rho(R, z) = Sigma(R) h(z) and its
+    GalPot residual against the separable ansatz (see module docstring).
+    """
+
+    def __init__(self, surfaceDensity: float = 1.0, scaleRadius: float = 1.0,
+                 scaleHeight: float = 0.1, innerCutoffRadius: float = 0.0,
+                 sersicIndex: float = 1.0):
+        if abs(scaleHeight) < 1e-12:
+            raise NotImplementedError(
+                "razor-thin (scaleHeight=0) Disk has a delta-function "
+                "residual; use type='DiskAnsatz' directly")
+        self.params = dict(surfaceDensity=float(surfaceDensity),
+                           scaleRadius=float(scaleRadius),
+                           scaleHeight=float(scaleHeight),
+                           innerCutoffRadius=float(innerCutoffRadius),
+                           sersicIndex=float(sersicIndex))
+        self.sigma, self.sigma_d1, self.sigma_d2 = _disk_sigma_funcs(
+            surfaceDensity, scaleRadius, innerCutoffRadius, sersicIndex)
+        self.h, self.bigH, self.bigHp = _vertical_funcs(scaleHeight)
+
+    def __call__(self, pts):
+        pts = np.asarray(pts, float)
+        R = np.hypot(pts[:, 0], pts[:, 1])
+        return self.sigma(R) * self.h(pts[:, 2])
+
+    def residual(self, pts):
+        """rho_disk - laplacian(Phi_ansatz) / 4 pi G (smooth everywhere)."""
+        pts = np.asarray(pts, float)
+        R = np.hypot(pts[:, 0], pts[:, 1])
+        z = pts[:, 2]
+        r = np.maximum(np.sqrt(R * R + z * z), 1e-300)
+        return (self.sigma(R) - self.sigma(r)) * self.h(z) \
+            - (self.sigma_d2(r) + 2.0 * self.sigma_d1(r) / r) \
+            * self.bigH(z) \
+            - 2.0 * self.sigma_d1(r) * (z / r) * self.bigHp(z)
+
+    def total_mass(self) -> float:
+        rd = self.params["scaleRadius"]
+        s, w = _log_gauss_panels(1e-8 * rd, 200.0 * rd
+                                 + 20.0 * self.params["innerCutoffRadius"],
+                                 400)
+        return float(2.0 * np.pi * np.sum(w * self.sigma(s) * s))
+
+
+class SersicDensity:
+    """Spherical (optionally flattened) deprojected Sersic profile.
+
+    Surface density Sigma(R) = Sigma0 exp(-b_n (R/Re)^(1/n)); the 3-D
+    density comes from the exact Abel deprojection
+
+        rho(r) = -(1/pi) \\int_0^inf Sigma'(sqrt(r^2+s^2))
+                               / sqrt(r^2+s^2) ds
+
+    tabulated on a log grid and interpolated.  Flattening is applied by
+    ellipsoidal stratification (rho(m), m^2 = x^2 + (y/p)^2 + (z/q)^2),
+    with the mass normalisation corrected by p q.
+    """
+
+    def __init__(self, mass: float = 1.0, scaleRadius: float = 1.0,
+                 sersicIndex: float = 4.0, axisRatioY: float = 1.0,
+                 axisRatioZ: float = 1.0):
+        from scipy.special import gammaincinv
+
+        self.re = float(scaleRadius)
+        self.n = float(sersicIndex)
+        self.p = float(axisRatioY)
+        self.q = float(axisRatioZ)
+        self.b = float(gammaincinv(2.0 * self.n, 0.5))
+
+        # deproject with Sigma0 = 1, then normalise to the target mass
+        inv_n = 1.0 / self.n
+
+        def sigma_d1(x):
+            u = np.maximum(x, 1e-300) / self.re
+            return np.exp(-self.b * u ** inv_n) \
+                * (-self.b * inv_n / self.re) * u ** (inv_n - 1.0)
+
+        r_tab = np.geomspace(1e-6 * self.re, 300.0 * self.re, 520)
+        s, w = _log_gauss_panels(1e-8 * self.re, 600.0 * self.re, 400)
+        rr = np.sqrt(r_tab[:, None] ** 2 + s[None, :] ** 2)
+        rho_tab = -(1.0 / np.pi) * np.sum(w[None, :] * sigma_d1(rr) / rr,
+                                          axis=1)
+        rho_tab = np.maximum(rho_tab, 1e-300)
+        lr_mid = np.log(r_tab)
+        sq, wq = _log_gauss_panels(1e-7 * self.re, 290.0 * self.re, 500)
+        rho_q = np.exp(np.interp(np.log(sq), lr_mid, np.log(rho_tab)))
+        m_unit = self.p * self.q * 4.0 * np.pi * np.sum(wq * rho_q * sq**2)
+        self._lr = np.log(r_tab)
+        self._lrho = np.log(rho_tab * (float(mass) / m_unit))
+        # power-law tails for out-of-table radii
+        self._s_in = (self._lrho[1] - self._lrho[0]) \
+            / (self._lr[1] - self._lr[0])
+        self._s_out = (self._lrho[-1] - self._lrho[-2]) \
+            / (self._lr[-1] - self._lr[-2])
+
+    @property
+    def spherical(self) -> bool:
+        return abs(self.p - 1) < 1e-12 and abs(self.q - 1) < 1e-12
+
+    @property
+    def axisymmetric(self) -> bool:
+        return abs(self.p - 1) < 1e-12
+
+    def rho_m(self, m):
+        lm = np.log(np.maximum(np.asarray(m, float), 1e-300))
+        out = np.interp(lm, self._lr, self._lrho)
+        out = np.where(lm < self._lr[0],
+                       self._lrho[0] + self._s_in * (lm - self._lr[0]), out)
+        out = np.where(lm > self._lr[-1],
+                       self._lrho[-1] + self._s_out * (lm - self._lr[-1]),
+                       out)
+        return np.exp(out)
+
+    def __call__(self, pts):
+        pts = np.asarray(pts, float)
+        m = np.sqrt(pts[:, 0] ** 2 + (pts[:, 1] / self.p) ** 2
+                    + (pts[:, 2] / self.q) ** 2)
+        return self.rho_m(m)
+
+
+# ---------------------------------------------------------------------------
+# quadrature helpers
+# ---------------------------------------------------------------------------
+_GL_NODES, _GL_WEIGHTS = np.polynomial.legendre.leggauss(8)
+
+
+def _log_gauss_panels(a: float, b: float, n_panels: int):
+    """Gauss-Legendre-8 nodes/weights on log-spaced panels of [a, b]."""
+    edges = np.geomspace(a, b, n_panels + 1)
+    lo, hi = edges[:-1], edges[1:]
+    mid = 0.5 * (lo + hi)
+    half = 0.5 * (hi - lo)
+    s = (mid[:, None] + half[:, None] * _GL_NODES[None, :]).ravel()
+    w = (half[:, None] * _GL_WEIGHTS[None, :]).ravel()
+    return s, w
+
+
+def _panel_nodes(edges: np.ndarray):
+    """GL-8 nodes/weights for panels given by consecutive *edges*."""
+    lo, hi = edges[:-1], edges[1:]
+    mid = 0.5 * (lo + hi)
+    half = 0.5 * (hi - lo)
+    s = (mid[:, None] + half[:, None] * _GL_NODES[None, :]).ravel()
+    w = (half[:, None] * _GL_WEIGHTS[None, :]).ravel()
+    return s, w
+
+
+def _angular_grid(n_theta: int, n_phi: int, theta_cluster: float = 0.0):
+    """cos/sin-theta, phi nodes and solid-angle weights (sum = 4 pi).
+
+    ``theta_cluster`` = a > 0 applies the sinh substitution
+    cos(theta) = sinh(a t) / sinh(a), clustering nodes toward the
+    equatorial plane (needed to resolve thin-disk residual densities).
+    """
+    t, wt = np.polynomial.legendre.leggauss(n_theta)
+    if theta_cluster > 1e-6:
+        a = float(theta_cluster)
+        ct = np.sinh(a * t) / math.sinh(a)
+        wt = wt * a * np.cosh(a * t) / math.sinh(a)
+    else:
+        ct = t
+    phis = 2.0 * np.pi * (np.arange(n_phi) + 0.5) / n_phi
+    wp = 2.0 * np.pi / n_phi
+    ct_g = np.repeat(ct, n_phi)
+    st_g = np.sqrt(np.maximum(1.0 - ct_g ** 2, 0.0))
+    pp_g = np.tile(phis, n_theta)
+    w_g = np.repeat(wt, n_phi) * wp
+    return ct_g, st_g, pp_g, w_g
+
+
+def density_to_multipole(rho_fn, r_grid, labels, n_theta: int = 64,
+                         n_phi: int = 1, theta_cluster: float = 0.0,
+                         inner_decades: float = 4.0,
+                         outer_decades: float = 3.0,
+                         G: float = G_DEFAULT) -> MultipoleCoefs:
+    """Solve Poisson's equation for ``rho_fn`` as a Multipole expansion.
+
+    ``rho_fn``: (N, 3) -> (N,) host density callable.
+    ``r_grid``: output radii (log-spaced recommended).
+    ``labels``: list of (l, m) harmonics to compute.
+    Axisymmetric densities should pass ``n_phi=1`` and m=0 labels only.
+
+    Native replacement for Agama's Multipole-from-density construction,
+    which the reference can only reach through the Agama C++ library
+    (reference: _potential.py:2109-2232).
+    """
+    r_grid = np.asarray(r_grid, float)
+    k_out = r_grid.size
+
+    # radial quadrature: log extensions + 2 sub-panels per grid interval
+    r0, r1 = r_grid[0], r_grid[-1]
+    inner = np.geomspace(r0 * 10.0 ** (-inner_decades), r0,
+                         int(8 * inner_decades) + 1)[:-1]
+    outer = np.geomspace(r1, r1 * 10.0 ** outer_decades,
+                         int(8 * outer_decades) + 1)[1:]
+    mids = np.sqrt(r_grid[:-1] * r_grid[1:])
+    interior = np.sort(np.concatenate([r_grid, mids]))
+    edges = np.concatenate([inner, interior, outer])
+    s, w = _panel_nodes(edges)                     # (n_q,)
+
+    # angular quadrature and harmonic values
+    ct, st, pp, w_ang = _angular_grid(n_theta, n_phi, theta_cluster)
+    unit = np.column_stack([st * np.cos(pp), st * np.sin(pp), ct])
+    y = _real_sph_harm(labels, unit)               # (n_lm, n_ang)
+
+    # rho_lm(s) = (1/4pi) sum_ang rho * Y * w  -> (n_q, n_lm)
+    pts = (s[:, None, None] * unit[None, :, :]).reshape(-1, 3)
+    rho = np.asarray(rho_fn(pts), float).reshape(s.size, -1)
+    rho_lm = rho @ (y * w_ang[None, :]).T / (4.0 * np.pi)
+
+    # Phi_lm(r_k) with overflow-free scaled ratio powers
+    phi = np.zeros((k_out, len(labels)))
+    dphi = np.zeros((k_out, len(labels)))
+    sw = s * w
+    in_mask = s[None, :] < r_grid[:, None]         # (K, n_q)
+    ratio_in = np.where(in_mask, s[None, :] / r_grid[:, None], 0.0)
+    ratio_out = np.where(in_mask, 0.0, r_grid[:, None]
+                         / np.maximum(s[None, :], 1e-300))
+    for l in sorted({l for l, _ in labels}):
+        with np.errstate(under="ignore"):
+            a_in = ratio_in ** (l + 1) * sw[None, :]
+            a_out = ratio_out ** l * sw[None, :] * (~in_mask)
+        pref = -4.0 * np.pi * G / (2.0 * l + 1.0)
+        cols = [i for i, (li, _) in enumerate(labels) if li == l]
+        p_in = a_in @ rho_lm[:, cols]
+        p_out = a_out @ rho_lm[:, cols]
+        phi[:, cols] = pref * (p_in + p_out)
+        dphi[:, cols] = pref * (-(l + 1) * p_in + l * p_out) \
+            / r_grid[:, None]
+
+    return MultipoleCoefs(
+        R_grid=r_grid, lm_labels=list(labels), phi=phi, dphi_dr=dphi,
+        metadata={"type": "Multipole",
+                  "lmax": str(max(l for l, _ in labels)),
+                  "source": "density_to_multipole"},
+    )
+
+
+# ---------------------------------------------------------------------------
+# builders (factory entry points)
+# ---------------------------------------------------------------------------
+def _even_l_labels(lmax: int):
+    return [(l, 0) for l in range(0, lmax + 1, 2)]
+
+
+def build_spheroid(densityNorm: float | None = None, mass: float | None = None,
+                   scaleRadius: float = 1.0, alpha: float = 1.0,
+                   beta: float = 4.0, gamma: float = 1.0,
+                   axisRatioY: float = 1.0, axisRatioZ: float = 1.0,
+                   outerCutoffRadius: float = 0.0,
+                   cutoffStrength: float = 2.0, lmax: int = 16,
+                   gridSizeR: int = 48, rmin: float | None = None,
+                   rmax: float | None = None,
+                   G: float = G_DEFAULT) -> Potential:
+    """Native ``type=Spheroid`` (reference: _build_spheroid_gpu,
+    _potential.py:2109 — via Agama).  Accepts ``mass=`` as an alternative
+    normalisation to ``densityNorm=``."""
+    if axisRatioY != 1.0 and axisRatioZ == 1.0:
+        raise NotImplementedError(
+            "axisRatioY != 1 with axisRatioZ == 1 (prolate about y) is "
+            "not supported; set axisRatioZ instead")
+    dens = SpheroidDensity(
+        densityNorm=1.0 if densityNorm is None else densityNorm,
+        scaleRadius=scaleRadius, alpha=alpha, beta=beta, gamma=gamma,
+        axisRatioY=axisRatioY, axisRatioZ=axisRatioZ,
+        outerCutoffRadius=outerCutoffRadius, cutoffStrength=cutoffStrength)
+    if densityNorm is None:
+        if mass is None:
+            raise ValueError("Spheroid needs densityNorm= or mass=")
+        dens.rho0 = float(mass) / dens.total_mass()
+
+    a = float(scaleRadius)
+    if rmin is None:
+        rmin = a / 200.0
+    if rmax is None:
+        rmax = 5.0 * outerCutoffRadius if outerCutoffRadius > 0 \
+            else 2000.0 * a
+    r_grid = np.geomspace(rmin, rmax, gridSizeR)
+
+    if dens.spherical:
+        labels, n_theta = [(0, 0)], 8
+    elif dens.axisymmetric:
+        labels, n_theta = _even_l_labels(lmax), max(64, 4 * lmax)
+    else:  # triaxial: even l, even m >= 0 (cos terms only)
+        labels = [(l, m) for l in range(0, lmax + 1, 2)
+                  for m in range(0, l + 1, 2)]
+        n_theta = max(64, 4 * lmax)
+    n_phi = 1 if dens.axisymmetric else max(16, 4 * lmax)
+    coefs = density_to_multipole(dens, r_grid, labels, n_theta=n_theta,
+                                 n_phi=n_phi, G=G)
+    return MultipolePotential(coefs)
+
+
+def build_disk(surfaceDensity: float = 1.0, scaleRadius: float = 1.0,
+               scaleHeight: float = 0.1, innerCutoffRadius: float = 0.0,
+               sersicIndex: float = 1.0, lmax: int = 32,
+               gridSizeR: int = 48, rmin: float | None = None,
+               rmax: float | None = None, n_theta: int = 320,
+               G: float = G_DEFAULT) -> Potential:
+    """Native ``type=Disk``: DiskAnsatz + axisymmetric Multipole of the
+    GalPot residual density (reference: _build_disk_gpu,
+    _potential.py:2157 — via Agama export)."""
+    from .analytic import DiskAnsatzPotential
+
+    dens = DiskDensity(surfaceDensity=surfaceDensity,
+                       scaleRadius=scaleRadius, scaleHeight=scaleHeight,
+                       innerCutoffRadius=innerCutoffRadius,
+                       sersicIndex=sersicIndex)
+    rd = float(scaleRadius)
+    hz = abs(float(scaleHeight))
+    if rmin is None:
+        rmin = min(rd / 50.0, hz / 4.0)
+    if rmax is None:
+        rmax = 100.0 * rd + 10.0 * float(innerCutoffRadius)
+    r_grid = np.geomspace(rmin, rmax, gridSizeR)
+
+    # sinh clustering toward the plane to resolve the h(z) scale of the
+    # residual out to radii ~ r_grid where it still carries mass
+    cluster = max(0.0, math.log(max(4.0 * rd / hz, 2.0)))
+    coefs = density_to_multipole(dens.residual, r_grid,
+                                 _even_l_labels(lmax), n_theta=n_theta,
+                                 n_phi=1, theta_cluster=cluster, G=G)
+    ansatz = DiskAnsatzPotential(surfaceDensity=surfaceDensity,
+                                 scaleRadius=scaleRadius,
+                                 scaleHeight=scaleHeight,
+                                 innerCutoffRadius=innerCutoffRadius,
+                                 sersicIndex=sersicIndex, G=G)
+    return CompositePotential([ansatz, MultipolePotential(coefs)])
+
+
+def build_sersic(mass: float = 1.0, scaleRadius: float = 1.0,
+                 sersicIndex: float = 4.0, axisRatioY: float = 1.0,
+                 axisRatioZ: float = 1.0, lmax: int = 16,
+                 gridSizeR: int = 48, G: float = G_DEFAULT) -> Potential:
+    """Native ``type=Sersic`` (deprojected Sersic sphere/spheroid)."""
+    dens = SersicDensity(mass=mass, scaleRadius=scaleRadius,
+                         sersicIndex=sersicIndex, axisRatioY=axisRatioY,
+                         axisRatioZ=axisRatioZ)
+    re = float(scaleRadius)
+    # the stretched-exponential envelope exp(-b (r/re)^(1/n)) is very
+    # extended for large n; scale the grid so < ~1e-4 of the mass is
+    # outside it (beyond the grid the evaluator is Keplerian)
+    rmax = re * max(50.0, 15.0 * float(sersicIndex) ** 2)
+    r_grid = np.geomspace(re / 300.0, rmax, gridSizeR)
+    if dens.spherical:
+        labels, n_theta, n_phi = [(0, 0)], 8, 1
+    elif dens.axisymmetric:
+        labels, n_theta, n_phi = _even_l_labels(lmax), max(64, 4 * lmax), 1
+    else:
+        labels = [(l, m) for l in range(0, lmax + 1, 2)
+                  for m in range(0, l + 1, 2)]
+        n_theta, n_phi = max(64, 4 * lmax), max(16, 4 * lmax)
+    coefs = density_to_multipole(dens, r_grid, labels, n_theta=n_theta,
+                                 n_phi=n_phi, G=G)
+    return MultipolePotential(coefs)
+
+
+def build_king(mass: float = 1.0, scaleRadius: float = 1.0, W0: float = 3.0,
+               trunc: float | None = None, G: float = G_DEFAULT) -> Potential:
+    """Native ``type=King`` via the framework's King-model ODE solver
+    (reference: _build_king_gpu, _potential.py:2116 — via Agama)."""
+    if trunc is not None and abs(float(trunc) - 1.0) > 1e-12:
+        warnings.warn("King trunc != 1 (generalised lowered isothermal) "
+                      "is not implemented; using the classic King (1966) "
+                      "model", stacklevel=2)
+    from ..fast_sims.king import make_king_potential
+
+    return make_king_potential(mass=mass, r_core=scaleRadius, W0=W0, G=G)

@@ -167,18 +167,27 @@ class MultipolePotential(Potential):
             jnp.searchsorted(self.x_grid, xlog, side="right") - 1,
             0, self.x_grid.shape[0] - 2,
         )
-        dtc = jnp.clip(xlog, self.x0, self.x1) - self.x_grid[k]
+        # clamp via where (NOT jnp.clip: min/max split the gradient 0.5/0.5
+        # at exact ties, which would halve d Phi/dr at the boundary nodes)
+        xc = jnp.where(xlog < self.x0, self.x0,
+                       jnp.where(xlog > self.x1, self.x1, xlog))
+        dtc = xc - self.x_grid[k]
         c = self.coeffs[k]                        # (6, C)
         val = c[5]
         for i in (4, 3, 2, 1, 0):
             val = val * dtc + c[i]
+        # clamp the extrapolation arguments to their own branch's domain:
+        # the untaken branch must stay finite (exp of a large positive
+        # argument is inf in float32, and where() gradients turn the
+        # untaken-branch inf into NaN)
+        d_in = jnp.minimum(xlog - self.x0, 0.0)
+        d_out = jnp.maximum(xlog - self.x1, 0.0)
         inner = jnp.where(self.islog,
-                          self.f_in + self.v_in * (xlog - self.x0),
-                          self.f_in * jnp.exp(self.v_in * (xlog - self.x0)))
+                          self.f_in + self.v_in * d_in,
+                          self.f_in * jnp.exp(self.v_in * d_in))
         outer = jnp.where(self.islog,
-                          self.f_out + self.v_out * (xlog - self.x1),
-                          self.f_out * jnp.exp(self.v_out
-                                               * (xlog - self.x1)))
+                          self.f_out + self.v_out * d_out,
+                          self.f_out * jnp.exp(self.v_out * d_out))
         val = jnp.where(xlog < self.x0, inner, val)
         val = jnp.where(xlog > self.x1, outer, val)
         # un-transform the log-scaled monopole column (inner where keeps
