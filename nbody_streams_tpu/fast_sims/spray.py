@@ -50,7 +50,16 @@ def get_jacobi_radius(pot_host, orbit_sat, mass_sat, G: float = G_DEFAULT,
     ang_mag = np.linalg.norm(ang, axis=1)
     omega_sq = (ang_mag / (r**2 + 1e-50)) ** 2
 
-    _, der2 = pot_host.forceDeriv(pos, t=t)
+    if np.ndim(t) == 0:
+        _, der2 = pot_host.forceDeriv(pos, t=t)
+    else:
+        # per-release-event times (evolving hosts, e.g. MW + moving LMC)
+        import jax
+        import jax.numpy as jnp
+
+        der2 = jax.vmap(
+            lambda p, tt: pot_host._hess_v(p[None], tt)[0]
+        )(jnp.asarray(pos), jnp.asarray(np.asarray(t, float)))
     der2 = np.asarray(der2, float)          # -hessian, Agama 6-vector
 
     if eigenvalue_method:
@@ -248,10 +257,11 @@ def create_particle_spray_stream(
     rel_states = traj_fwd[rel_idx]
     rel_times = times_fwd[rel_idx]
 
-    # 4) tidal radii and ICs at the release points
+    # 4) tidal radii and ICs at the release points (evaluated at the
+    # release times — the host may be evolving)
     mass_for_rj = initmass
     r_j, v_j, rot = get_jacobi_radius(pot_host, rel_states, mass_for_rj,
-                                      G=G, t=0.0,
+                                      G=G, t=rel_times,
                                       eigenvalue_method=eigenvalue_method)
     if create_ic_method is create_ic_particle_spray_chen2025:
         ics = create_ic_method(rel_states, mass_for_rj, r_j, rot, G=G,

@@ -91,14 +91,15 @@ def _force_pre(kind, r2, pre):
         h3inv = hinv * hinv * hinv
         q = r * hinv
         q2 = q * q
+        # no q ~ 0 special case: eps2 > 0 keeps q finite and the inner
+        # polynomial evaluates to the exact centre value h3inv * 32/3
+        # as q -> 0 (saves a select + constant load per pair)
         inner = h3inv * (q2 * (32.0 * q - 38.4) + 10.666666666666666)
         outer = h3inv * (
             21.333333333333333
             + q * (-48.0 + q * (38.4 - 10.666666666666667 * q))
         ) - 0.0666666666666667 * newton
-        center = h3inv * 10.666666666666666
         soft = jnp.where(q <= 0.5, inner, outer)
-        soft = jnp.where(q < 1e-8, center, soft)
         return jnp.where(q >= 1.0, newton, soft)
     raise ValueError(kind)
 
@@ -128,6 +129,8 @@ def _pot_pre(kind, r2, pre):
         q = r * hinv
         q2 = q * q
         q4 = q2 * q2
+        # no q ~ 0 special case: the inner polynomial tends to the exact
+        # centre value -2.8 * hinv as q -> 0
         inner = (-2.8 + q2 * (5.333333333333333
                               + q4 * (6.4 * q - 9.6))) * hinv
         outer = (
@@ -135,17 +138,16 @@ def _pot_pre(kind, r2, pre):
             + q2 * (10.666666666666666
                     + q * (-16.0 + q * (9.6 - 2.1333333333333333 * q)))
         ) * hinv + 0.06666666666666667 * inv_r
-        center = -2.8 * hinv
         soft = jnp.where(q <= 0.5, inner, outer)
-        soft = jnp.where(q < 1e-8, center, soft)
         return jnp.where(q >= 1.0, newton, soft)
     raise ValueError(kind)
 
 __all__ = ["pallas_accel", "pallas_potential", "pallas_accel_2set",
            "pallas_potential_2set"]
 
-# Default tile geometry (tuned on TPU v5e; see bench.py / tile sweep)
-TM = 256        # targets per grid step
+# Default tile geometry (tuned on TPU v5e; see bench.py / tile sweep:
+# 512/512/16 beat 256/512/16 by ~8%, 1024-row tiles fail to compile)
+TM = 512        # targets per grid step
 TN = 512        # source sub-tile width (lanes)
 MAX_SUB = 16    # sub-tiles per source superblock
 
@@ -183,7 +185,8 @@ def _direct_kernel(xt_ref, yt_ref, zt_ref, ht_ref,
         dx = xs - xt
         dy = ys - yt
         dz = zs - zt
-        r2 = dx * dx + dy * dy + dz * dz + eps2
+        # fma-chained with eps2 folded into the innermost term
+        r2 = dx * dx + (dy * dy + (dz * dz + eps2))
         # pair softening combine: h2_eff = max (h^2 inputs) for
         # plummer/dehnen; hinv_eff = min (1/h inputs) for spline
         if kind == "spline":

@@ -184,14 +184,43 @@ class DiskAnsatzPotential(Potential):
 
 
 class UniformAcceleration(Potential):
-    """Constant acceleration field: Phi = -(a . x)."""
+    """Spatially uniform acceleration field: Phi = -(a(t) . x).
 
-    def __init__(self, ax: float = 0.0, ay: float = 0.0, az: float = 0.0):
-        self.a = jnp.array([float(ax), float(ay), float(az)])
+    Either constant (``ax, ay, az``) or time-dependent via ``table`` =
+    (T, 4) rows [t, ax, ay, az] (cubic spline in t, clamped outside the
+    range) — the Agama ``type=UniformAcceleration, file=...`` form used
+    for the non-inertial MW-frame correction in the MW-LMC workflow
+    (reference: examples/MW_LMC_evolv.ipynb, agama 'accMW' table).
+    """
+
+    def __init__(self, ax: float = 0.0, ay: float = 0.0, az: float = 0.0,
+                 table=None, file=None):
+        import numpy as np
+
+        if file is not None and table is None:
+            table = np.loadtxt(file)
+        if table is not None:
+            arr = np.asarray(table, float)
+            if arr.ndim != 2 or arr.shape[1] != 4:
+                raise ValueError(
+                    f"UniformAcceleration table must be (T, 4) rows "
+                    f"[t, ax, ay, az]; got shape {arr.shape}")
+            from ..utils.interp import spline_coeffs
+
+            order = np.argsort(arr[:, 0])
+            self._a_of_t = spline_coeffs(arr[order, 0], arr[order, 1:4])
+            self.a = None
+            self.time_dependent = True
+        else:
+            self._a_of_t = None
+            self.a = jnp.array([float(ax), float(ay), float(az)])
+
+    def accel(self, t):
+        return self.a if self._a_of_t is None else self._a_of_t(t)
 
     def phi_point(self, xyz, t):
-        return -(self.a[0] * xyz[0] + self.a[1] * xyz[1]
-                 + self.a[2] * xyz[2])
+        a = self.accel(t)
+        return -(a[0] * xyz[0] + a[1] * xyz[1] + a[2] * xyz[2])
 
 
 ANALYTIC_TYPE_MAP = {

@@ -58,6 +58,10 @@ def _galpot_kwargs(params: dict) -> dict:
 
 
 def _coerce(v: str):
+    if isinstance(v, str):
+        # Agama INI files may carry trailing commas on values
+        # (e.g. 'mass = 1.5e11,' in LMC_vasiliev21.ini)
+        v = v.strip().rstrip(",")
     try:
         return int(v)
     except ValueError:
@@ -148,6 +152,19 @@ def _build_single(spec, base_dir: Path | None = None) -> Potential:
                 CylSplinePotential(read_coefs(params["coefficients"])),
                 center, scale, ampl)
         return _apply_modifiers(_build_single(params["file"], base_dir),
+                                center, scale, ampl)
+    if kind == "uniformacceleration" and "file" in params:
+        # time-dependent table (T,4) [t, ax, ay, az]; resolve the path
+        # relative to the INI file that referenced it
+        src = params.pop("file")
+        if isinstance(src, (str, Path)):
+            path = Path(src)
+            if base_dir is not None and not path.is_absolute():
+                path = base_dir / path
+            src = np.loadtxt(path)
+        from .analytic import UniformAcceleration
+
+        return _apply_modifiers(UniformAcceleration(table=src),
                                 center, scale, ampl)
     if kind in ANALYTIC_TYPE_MAP:
         # normalise Agama kwarg capitalisation

@@ -7,13 +7,19 @@ Multipole coefficient tables in, Phi/force/density out — different
 engineering:
 
 * Radial interpolation: C2 quintic *Hermite* segments in x = ln r, built
-  host-side from the tabulated Phi_lm and dPhi_lm/dr (second derivatives
-  estimated from a cubic spline of the first); evaluation is a gather +
-  Horner chain, which the VPU vectorises perfectly.  (The reference
-  replicates Agama's quintic-from-d2 construction with log-scaled values;
-  our Hermite form uses the *provided* first derivatives directly, which
-  pins the force — the physically important quantity — exactly to the
-  tabulated dPhi/dr at the nodes.)
+  host-side from the tabulated Phi_lm and dPhi_lm/dr, with node second
+  derivatives from the same tridiagonal 'natural quintic' system Agama
+  uses (continuous 4th derivative; _quintic_d2).  Evaluation is a
+  gather + Horner chain, which the VPU vectorises perfectly, and the
+  force is pinned exactly to the tabulated dPhi/dr at the nodes.
+* Monopole scaling: the full Agama invPhi0 treatment — interpolate
+  P = log(invPhi0 - 1/Phi_00) with invPhi0 from the Lambert-W inner
+  power-law fit, plus two-term inner U r^s + W and outer
+  W/r + U r^s (or the degenerate (W + U ln r)/r, exact for NFW halos)
+  extrapolations (reference: _potential.py:183-331, which carries an
+  inverted Lambert branch — see _powerlaw_match).  Absolute accuracy is
+  grid-limited at O(h^4): ~3e-8 at 8 nodes/decade, ~1e-10 at 32;
+  exactly representable profiles (Hernquist) hit machine precision.
 * Angular part: Agama's exact basis (verified against the reference
   kernel spec, _multipole_potential_kernel.cu:14-46): orthonormalised
   associated Legendre recurrence with Condon-Shortley phase, multiplier
@@ -44,6 +50,48 @@ MUL0 = 2.0 * math.sqrt(math.pi)        # m = 0 angular multiplier
 MUL1 = 2.0 * math.sqrt(2.0 * math.pi)  # m != 0
 
 
+def _quintic_d2(x, f, d1):
+    """Node second derivatives for the C2 quintic spline through
+    (f, d1), from the tridiagonal system enforcing a continuous 4th
+    derivative at interior nodes and f'''' = 0 at the ends (the
+    'natural quintic'; same construction as Agama constructQuinticSpline
+    / the reference's _solve_quintic_d2, _potential.py:331-404).
+
+    x (K,), f/d1 (K, C); returns (K, C).
+    """
+    from scipy.linalg import solve_banded
+
+    n = x.shape[0]
+    hi = 1.0 / np.diff(x)                       # (n-1,)
+    hi2 = (hi * hi)[:, None]
+    df = f[1:] - f[:-1]
+
+    diag = np.zeros(n)
+    diag[1:] += 3.0 * hi
+    diag[:-1] += 3.0 * hi
+    sup = -hi.copy()                            # A[i, i+1]
+    sub = -hi.copy()                            # A[i+1, i]
+    rhs = np.zeros_like(f)
+    rhs[1:] -= (20.0 * df * hi[:, None] - 12.0 * d1[1:]
+                - 8.0 * d1[:-1]) * hi2
+    rhs[:-1] += (20.0 * df * hi[:, None] - 12.0 * d1[:-1]
+                 - 8.0 * d1[1:]) * hi2
+
+    # natural ends: f'''' = 0
+    sup[0] = -2.0 * hi[0]
+    rhs[0] = (30.0 * df[0] * hi[0] - 14.0 * d1[1]
+              - 16.0 * d1[0]) * hi[0] ** 2
+    sub[-1] = -2.0 * hi[-1]
+    rhs[-1] = (-30.0 * df[-1] * hi[-1] + 14.0 * d1[-2]
+               + 16.0 * d1[-1]) * hi[-1] ** 2
+
+    ab = np.zeros((3, n))
+    ab[0, 1:] = sup
+    ab[1] = diag
+    ab[2, :-1] = sub
+    return solve_banded((1, 1), ab, rhs)
+
+
 def _quintic_hermite_coeffs(x, f, d1, d2):
     """Per-interval quintic coefficients (ascending powers of dt).
 
@@ -65,6 +113,113 @@ def _quintic_hermite_coeffs(x, f, d1, d2):
     a4 = (-15.0 * A + 7.0 * B * h - C * h2) / (h2 * h2)
     a5 = (6.0 * A - 3.0 * B * h + 0.5 * C * h2) / (h2 * h2 * h)
     return np.stack([a0, a1, a2, a3, a4, a5], axis=1)  # (K-1, 6, C)
+
+
+def _powerlaw_match(v, r1, r2, phi1, phi2, dphi1):
+    """Fit Phi(r) = U (r/r1)^s + W (r/r1)^v through (phi1, dphi1) at r1
+    and phi2 at r2, solving for the exponent s with the Lambert W
+    function (Agama's computeExtrapolationCoefs; cf. the reference
+    replica _potential.py:183-331 — NOTE the reference inverts the
+    branch choice, returning the equation's trivial root s == v, which
+    blows U/W up to +-1e16 pairs; the non-trivial root lives on the
+    *other* branch: k = -1 for A > -1, k = 0 for A < -1).
+
+    Returns (s, U, W, degenerate); ``degenerate`` means s -> v, where
+    the second solution is (r/r1)^v * ln(r/r1) and (U, W) are its
+    coefficients: Phi = (W + U ln(r/r1)) (r/r1)^v.
+    """
+    from scipy.special import lambertw
+
+    lnr = math.log(r2 / r1)
+    g1 = r1 * dphi1                       # dPhi/d ln r at r1
+    num = g1 - v * phi1
+    den = phi1 - phi2 * math.exp(-v * lnr)
+    tiny = 100.0 * np.finfo(float).eps
+    if (abs(num) <= tiny * max(abs(g1), abs(v * phi1))
+            or abs(den) <= tiny * max(abs(phi1), abs(phi2))):
+        return None
+    a = lnr * num / den
+    if not np.isfinite(a) or a >= 0.0:
+        return None
+    if abs(a + 1.0) < math.sqrt(np.finfo(float).eps):
+        s = float(v)
+    else:
+        branch = -1 if a > -1.0 else 0
+        s = v + (a - float(np.real(lambertw(a * math.exp(a),
+                                            k=branch)))) / lnr
+    if not np.isfinite(s):
+        return None
+    # near-degenerate: prefer the log solution — it is exact for
+    # NFW-family halos, while the two-term pair's U, W blow up like
+    # 1/(s - v) and extrapolate poorly; for a profile whose true s is
+    # genuinely this close to v the penalty is only O((s-v)^2 ln^2 r)
+    if abs(s - v) < 0.05:
+        return float(v), float(g1 - v * phi1), float(phi1), True
+    u = (g1 - v * phi1) / (s - v)
+    w = (g1 - s * phi1) / (v - s)
+    return float(s), float(u), float(w), False
+
+
+def _monopole_scaling(r, phi0, dphi0):
+    """Agama invPhi0 monopole treatment: the transform
+    P(x) = log(invPhi0 - 1/Phi) (near-linear in x = ln r for
+    double-power-law potentials — this is what buys the ~1e-12 monopole
+    floor) plus two-term inner/outer extrapolation coefficients.
+
+    Returns (P, dP/dx, params) or None if ineligible.
+    params = (invPhi0, s_in, U_in, W_in, s_out, U_out, W_out,
+    outer_log) — outer_log selects the degenerate
+    (W + U ln(r/rN)) / r continuation (exact for NFW-like halos).
+    """
+    # ---- inner: Phi = U (r/r0)^s + W, v = 0 -----------------------------
+    fit = _powerlaw_match(0, r[0], r[1], phi0[0], phi0[1], dphi0[0])
+    if fit is None or fit[3] or fit[0] == 0.0:
+        # degenerate s -> 0 would be a log divergence at the centre;
+        # use the constant-density-core form instead (Agama fallback)
+        s_in = 2.0
+        u_in = 0.5 * r[0] * dphi0[0]
+        w_in = phi0[0] - u_in
+    else:
+        s_in, u_in, w_in = fit[:3]
+        # Agama's model selection: if a cubic through the first two
+        # nodes predicts dPhi(r2) better than the power law does,
+        # adopt the constant-density-core (s = 2) form instead
+        r0_, r1_ = r[0], r[1]
+        dphi_pl = u_in * s_in * (r1_ / r0_) ** s_in / r1_
+        dphi_cub = (r1_ / r0_ * (6.0 * r0_ * (phi0[1] - phi0[0])
+                                 / (r1_ - r0_)
+                                 - dphi0[0] * (2 * r0_ + r1_))) \
+            / (2 * r1_ + r0_)
+        if abs(dphi0[1] - dphi_cub) < abs(dphi0[1] - dphi_pl):
+            s_in = 2.0
+            u_in = 0.5 * r0_ * dphi0[0]
+            w_in = phi0[0] - u_in
+    inv_phi0 = 1.0 / w_in if (s_in > 0.0 and w_in != 0.0) else 0.0
+    if inv_phi0 != 0.0 and np.any(phi0 * inv_phi0 >= 1.0):
+        inv_phi0 = 0.0
+
+    # ---- outer: Phi = W (r/rN)^-1 + U (r/rN)^s, v = -1 ------------------
+    outer_log = False
+    fit = _powerlaw_match(-1, r[-1], r[-2], phi0[-1], phi0[-2], dphi0[-1])
+    if fit is None or (fit[0] >= 0.0 and not fit[3]):
+        # near-Keplerian: derivative-matched rho ~ r^-4 fallback
+        s_out = -2.0
+        g1 = r[-1] * dphi0[-1]
+        u_out = (g1 + phi0[-1]) / (s_out + 1.0)
+        w_out = phi0[-1] - u_out
+    else:
+        s_out, u_out, w_out, outer_log = fit
+
+    # ---- the transform ---------------------------------------------------
+    arg = inv_phi0 - 1.0 / phi0
+    if np.any(arg <= 0.0):
+        return None
+    p = np.log(arg)
+    dp = (dphi0 * r / phi0 ** 2) / arg
+    if not (np.all(np.isfinite(p)) and np.all(np.isfinite(dp))):
+        return None
+    return p, dp, (inv_phi0, s_in, u_in, w_in, s_out, u_out, w_out,
+                   outer_log)
 
 
 class MultipolePotential(Potential):
@@ -109,27 +264,27 @@ class MultipolePotential(Potential):
         f = phi.copy()
         d1 = dphi_dr * r[:, None]                 # df/dx = r dPhi/dr
 
-        # Agama-style monopole log-scaling: when Phi_00 < 0 everywhere,
-        # interpolate log(-Phi_00) instead — near-linear in ln r for
-        # power-law-like potentials, which lifts the monopole accuracy
-        # floor by several orders (reference: _potential.py:183-263 uses
-        # the full invPhi0 variant; the log form captures most of it).
+        # Agama invPhi0 monopole scaling (the full Lambert-W variant,
+        # reference: _potential.py:183-331): interpolate
+        # P = log(invPhi0 - 1/Phi_00), which is near-linear in ln r for
+        # double-power-law potentials; with the two-term inner/outer
+        # extrapolations this reaches the reference's ~1e-12 monopole
+        # floor.  Guards: requires a strictly negative, bounded-slope
+        # monopole (signed-mass residual tables fall back to the plain
+        # per-column treatment).
         self._i_log = -1
+        self._mono = None
         if (0, 0) in self.labels:
             i0 = self.labels.index((0, 0))
             slopes = d1[:, i0] / np.where(phi[:, i0] != 0.0,
                                           phi[:, i0], 1.0)
-            # log-scale only when the monopole is strictly negative AND
-            # power-law-like: signed-mass tables (e.g. GalPot disk
-            # residuals) can approach a zero crossing where the log
-            # slope diverges and the extrapolation explodes
             if np.all(phi[:, i0] < 0.0) and np.all(np.abs(slopes) < 3.0):
-                self._i_log = i0
-                d1[:, i0] = slopes                   # d log(-phi)/dx
-                f[:, i0] = np.log(-phi[:, i0])
-        from scipy.interpolate import CubicSpline
-
-        d2 = CubicSpline(x, d1, axis=0)(x, 1)     # d2f/dx2 estimate
+                mono = _monopole_scaling(r, phi[:, i0], dphi_dr[:, i0])
+                if mono is not None:
+                    self._i_log = i0
+                    f[:, i0], d1[:, i0] = mono[0], mono[1]
+                    self._mono = mono[2]
+        d2 = _quintic_d2(x, f, d1)
         coeffs = _quintic_hermite_coeffs(x, f, d1, d2)  # (K-1, 6, C)
 
         # Power-law asymptotes: Phi_lm = A (r/R_end)^v, matched in value
@@ -155,23 +310,23 @@ class MultipolePotential(Potential):
         lo_in = np.where(np.abs(f[0]) > 1e-2 * colmax, -(ls + 1.0), 0.0)
         v_in = _slope(f[0], d1[0], ls, lo_in)
         v_out = _slope(f[-1], d1[-1], -(ls + 1.0), -(ls + 1.0))
-        islog = np.zeros(len(self.labels), bool)
+        f_in = f[0].copy()
+        f_out = f[-1].copy()
         if self._i_log >= 0:
-            # log-scaled column: extrapolate the *transformed* value
-            # linearly in ln r (== power law in -Phi); slope of
-            # log(-Phi) for a positive-mass monopole lies in [-1, 0]
-            islog[self._i_log] = True
-            v_in[self._i_log] = np.clip(d1[0, self._i_log], -1.0, 0.0)
-            v_out[self._i_log] = np.clip(d1[-1, self._i_log], -1.0, 0.0)
+            # the scaled monopole has its own closed-form extrapolations
+            # (see _radial); keep the generic path benign for its column
+            v_in[self._i_log] = 0.0
+            v_out[self._i_log] = 0.0
+            f_in[self._i_log] = 0.0
+            f_out[self._i_log] = 0.0
 
         dt = dtype or jnp.asarray(0.0).dtype
         self.x_grid = jnp.asarray(x, dt)
         self.coeffs = jnp.asarray(coeffs, dt)
-        self.f_in = jnp.asarray(f[0], dt)
+        self.f_in = jnp.asarray(f_in, dt)
         self.v_in = jnp.asarray(v_in, dt)
-        self.f_out = jnp.asarray(f[-1], dt)
+        self.f_out = jnp.asarray(f_out, dt)
         self.v_out = jnp.asarray(v_out, dt)
-        self.islog = jnp.asarray(islog)
         self.x0 = float(x[0])
         self.x1 = float(x[-1])
 
@@ -200,19 +355,31 @@ class MultipolePotential(Potential):
         # untaken-branch inf into NaN)
         d_in = jnp.minimum(xlog - self.x0, 0.0)
         d_out = jnp.maximum(xlog - self.x1, 0.0)
-        inner = jnp.where(self.islog,
-                          self.f_in + self.v_in * d_in,
-                          self.f_in * jnp.exp(self.v_in * d_in))
-        outer = jnp.where(self.islog,
-                          self.f_out + self.v_out * d_out,
-                          self.f_out * jnp.exp(self.v_out * d_out))
-        val = jnp.where(xlog < self.x0, inner, val)
-        val = jnp.where(xlog > self.x1, outer, val)
-        # un-transform the log-scaled monopole column (inner where keeps
-        # exp's argument benign on the untaken branch: exp of a large
-        # positive phi_lm would be inf and poison the gradient)
-        val = jnp.where(self.islog,
-                        -jnp.exp(jnp.where(self.islog, val, 0.0)), val)
+        if self._i_log >= 0:
+            p_mid = val[self._i_log]      # quintic of the scaled monopole
+        val = jnp.where(xlog < self.x0,
+                        self.f_in * jnp.exp(self.v_in * d_in), val)
+        val = jnp.where(xlog > self.x1,
+                        self.f_out * jnp.exp(self.v_out * d_out), val)
+        if self._i_log >= 0:
+            # monopole: un-transform Phi = 1/(invPhi0 - e^P) in-grid and
+            # use the Agama two-term closed forms beyond the grid
+            inv0, s_i, u_i, w_i, s_o, u_o, w_o, olog = self._mono
+            phi_mid = 1.0 / (inv0 - jnp.exp(p_mid))
+            # s_i < 0 diverges inward (Keplerian-like); cap the exponent
+            # so float32 stays finite at absurd radii
+            phi_in = u_i * jnp.exp(jnp.minimum(s_i * d_in, 60.0)) + w_i
+            if olog:
+                # degenerate s -> -1: (W + U ln(r/rN)) / (r/rN), the
+                # exact NFW-like halo continuation
+                phi_out = (w_o + u_o * d_out) * jnp.exp(-d_out)
+            else:
+                phi_out = (w_o * jnp.exp(-d_out)
+                           + u_o * jnp.exp(jnp.minimum(s_o, 0.0)
+                                           * d_out))
+            mono = jnp.where(xlog < self.x0, phi_in,
+                             jnp.where(xlog > self.x1, phi_out, phi_mid))
+            val = val.at[self._i_log].set(mono)
         return val
 
     # -- angular part -------------------------------------------------------

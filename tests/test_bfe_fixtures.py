@@ -30,16 +30,16 @@ PTS = np.array([
 
 GOLDEN = {
     "100.LMC.none_8.coef_mult": {
-        "phi": [-33007.07271915, -21969.62807594, -35006.85192545,
-                -8800.83459927, -17838.52501579, -24366.03888724],
-        "fx": [-1606.10721671, -707.36680959, -841.99858091,
-               -126.92681902, -28.70764425, 884.77237398],
+        "phi": [-33007.10943781, -21969.73359662, -35006.76248579,
+                -8800.80405605, -17838.54591934, -24365.97788615],
+        "fx": [-1607.41052, -707.367684, -842.876425,
+               -126.918290, -28.6996577, 884.734087],
     },
     "600.dark.none_8.coef_mul_DR": {
-        "phi": [-124135.93354276, -95467.71649771, -128762.57571533,
-                -57879.43942119, -79604.48377961, -101727.66346773],
-        "fx": [-4412.41318014, -1695.60451224, -2049.19983064,
-               -498.57816537, 30.37851361, 2158.55739852],
+        "phi": [-124135.86440557, -95467.58629703, -128762.55253354,
+                -57880.10717158, -79604.99097467, -101727.79104151],
+        "fx": [-4412.19515, -1695.71707, -2049.27976,
+               -498.125690, 30.3577542, 2158.55638],
     },
     "600.bar.none_8.coef_cylsp_DR": {
         "phi": [-119705.54336191, -34803.85697019, -159505.85364444,

@@ -204,18 +204,55 @@ def test_multipole_spherical_accuracy(pts):
                                atol=1e-5 * np.abs(f_ref).max())
 
 
-def test_multipole_monopole_log_scaling_nfw(pts):
-    """NFW monopole through the log-scaled radial interpolant: near
-    machine-accurate reconstruction (reference floor ~1e-12)."""
+def test_multipole_monopole_invphi0_nfw(pts):
+    """NFW monopole through the full Agama invPhi0 (Lambert-W) transform
+    (reference: _potential.py:183-331).  Accuracy is grid-limited at
+    O(h^4) — the reference's quoted ~1e-12 'floor' is CPU<->GPU
+    consistency of the *same* spline, not absolute error; this asserts
+    the absolute level of the construction at two grid densities."""
+    nfw = NFWPotential(mass=1e12, scaleRadius=20.0)
+    for k, tol_p, tol_f in ((40, 2e-8, 3e-7), (160, 1e-10, 3e-9)):
+        mp = MultipolePotential(make_spherical_coefs(
+            nfw, np.geomspace(0.05, 500, k)))
+        p_ref = np.asarray(nfw.potential(pts))
+        np.testing.assert_allclose(np.asarray(mp.potential(pts)), p_ref,
+                                   atol=tol_p * np.abs(p_ref).max())
+        f_ref = np.asarray(nfw.force(pts))
+        np.testing.assert_allclose(np.asarray(mp.force(pts)), f_ref,
+                                   atol=tol_f * np.abs(f_ref).max())
+
+
+def test_multipole_hernquist_exact_transform(pts):
+    """For Hernquist 1/Phi is linear in r, so the invPhi0 transform is
+    exactly representable: the monopole hits machine precision even on
+    a coarse grid."""
+    from nbody_streams_tpu.potentials.analytic import HernquistPotential
+
+    hq = HernquistPotential(mass=1e12, scaleRadius=20.0)
+    mp = MultipolePotential(make_spherical_coefs(
+        hq, np.geomspace(0.05, 500, 40)))
+    p_ref = np.asarray(hq.potential(pts))
+    np.testing.assert_allclose(np.asarray(mp.potential(pts)), p_ref,
+                               rtol=1e-11)
+
+
+def test_multipole_nfw_outer_log_continuation():
+    """Beyond the grid an NFW needs the degenerate (W + U ln r)/r form;
+    whether the fit lands exactly on it is grid-dependent, but the
+    two-term continuation must stay accurate to ~1e-2 at 5x the grid
+    edge either way (the 2-node fit cannot see the O(rs/r) correction)."""
     nfw = NFWPotential(mass=1e12, scaleRadius=20.0)
     mp = MultipolePotential(make_spherical_coefs(
-        nfw, np.geomspace(0.05, 500, 40)))
-    p_ref = np.asarray(nfw.potential(pts))
-    np.testing.assert_allclose(np.asarray(mp.potential(pts)), p_ref,
-                               atol=1e-8 * np.abs(p_ref).max())
-    f_ref = np.asarray(nfw.force(pts))
-    np.testing.assert_allclose(np.asarray(mp.force(pts)), f_ref,
-                               atol=1e-6 * np.abs(f_ref).max())
+        nfw, np.geomspace(0.01, 1000, 40)))
+    assert mp._mono is not None and mp._mono[-1] is True  # log form hit
+    for grid in (np.geomspace(0.01, 1000, 40),
+                 np.geomspace(0.05, 500, 40)):
+        mp = MultipolePotential(make_spherical_coefs(nfw, grid))
+        r = grid[-1] * np.array([1.5, 3.0, 5.0])
+        tp = np.column_stack([r, 0 * r, 0 * r])
+        rel = np.abs(np.asarray(mp.potential(tp))
+                     / np.asarray(nfw.potential(tp)) - 1)
+        assert rel.max() < 1e-2
 
 
 def test_multipole_projection_flattened(rng):
