@@ -226,6 +226,14 @@ class ShardedDirect:
         and XLA inserts the reshard.
         """
         if self.solver.n % self.n_dev != 0:
+            import warnings
+
+            warnings.warn(
+                f"N = {self.solver.n} is not divisible by the "
+                f"{self.n_dev}-device mesh: state stays unsharded and "
+                "XLA pays a reshard every step. Pad the particle count "
+                "to a multiple of the device count for full speed.",
+                stacklevel=2)
             return tree
 
         def put(x):

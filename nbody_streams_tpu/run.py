@@ -333,14 +333,26 @@ def run_nbody(
         if profile_dir:
             jax.profiler.start_trace(profile_dir)
 
-        last_xv = xv  # emergency-restart payload for the watchdog
+        last_xv = xv          # emergency payload: last *completed* state
+        wd_step = start_step
+        wd_t = time_start + start_step * dt
 
         def emergency_restart():
-            _save_restart(last_xv, t_now, current, output_path,
+            _save_restart(last_xv, wd_t, wd_step, output_path,
                           snapshot_counter, **restart_kwargs)
-            print(f"WATCHDOG: chunk exceeded {step_timeout_s}s/step "
-                  f"deadline at step ~{current}; emergency restart saved "
-                  f"to {output_path}/restart.npz", flush=True)
+            print(f"WATCHDOG: sub-chunk exceeded the {step_timeout_s}s/"
+                  f"step deadline after step {wd_step}; emergency "
+                  f"restart (all completed work) saved to "
+                  f"{output_path}/restart.npz", flush=True)
+
+        # watchdog granularity: arm the deadline over sub-chunks of at
+        # most 50 steps and refresh the restart payload after each, so a
+        # hang loses <= 50 steps instead of a whole chunk (the reference
+        # interrupts per step, run_gpu_tree.py:79-135; per-step host
+        # sync would defeat the scanned-chunk design, 50 is the
+        # compromise)
+        wd_sub = 50
+        compiled_lengths: set = set()
 
         t_wall0 = pytime.perf_counter()
         current = start_step
@@ -349,11 +361,19 @@ def run_nbody(
             if n_steps <= 0:
                 continue
             if step_timeout_s:
-                # generous deadline: first chunk pays compilation
-                deadline = step_timeout_s * n_steps + 600.0
-                with _ChunkWatchdog(deadline, emergency_restart):
-                    state = run_chunk(step_fn, state, n_steps)
-                    jax.block_until_ready(state.pos)
+                done = 0
+                while done < n_steps:
+                    s = min(wd_sub, n_steps - done)
+                    allow = 600.0 if s not in compiled_lengths else 30.0
+                    with _ChunkWatchdog(step_timeout_s * s + allow,
+                                        emergency_restart):
+                        state = run_chunk(step_fn, state, s)
+                        jax.block_until_ready(state.pos)
+                    compiled_lengths.add(s)
+                    done += s
+                    last_xv = fetch_xv(state)
+                    wd_step = current + done
+                    wd_t = time_start + wd_step * dt
             else:
                 state = run_chunk(step_fn, state, n_steps)
             current = boundary

@@ -74,3 +74,35 @@ def test_pallas_potential_with_zero_softening_particles(cluster):
         pos, mass, s, G=4.3e-6, kernel="spline",
         precision="float32_kahan"))
     np.testing.assert_allclose(p_p, p_j, atol=3e-6 * np.abs(p_j).max())
+
+
+def test_two_pass_sorted_matches_single_pass(cluster):
+    """The slab-sorted two-pass split (Newtonian base outside each
+    tile's band + full-spline band pass) must agree with the single-pass
+    spline kernel to f32 summation-reorder level, and the static-band
+    overflow case must fall back to the single-pass kernel."""
+    from nbody_streams_tpu.ops.pallas_direct import (
+        _pallas_direct,
+        _pallas_self_sorted,
+    )
+
+    pos, mass, soft = cluster
+    gm = mass * 4.3e-6
+    for mode in ("acc", "pot"):
+        ref = _pallas_direct(pos, soft, pos, gm, soft, "spline", True,
+                             mode, 1e-15, interpret=INTERPRET,
+                             mask_self=(mode == "pot"))
+        two = _pallas_self_sorted(pos, gm, soft, "spline", True, mode,
+                                  1e-15, interpret=INTERPRET)
+        d = np.abs(np.asarray(ref) - np.asarray(two)).max()
+        assert d < 1e-6 * np.abs(np.asarray(ref)).max(), mode
+
+    # softening comparable to the system size: band cannot fit ->
+    # lax.cond fallback to the single-pass spline kernel
+    hbig = jnp.full(pos.shape[0], 5.0, jnp.float32)
+    ref = _pallas_direct(pos, hbig, pos, gm, hbig, "spline", True, "acc",
+                         1e-15, interpret=INTERPRET)
+    two = _pallas_self_sorted(pos, gm, hbig, "spline", True, "acc",
+                              1e-15, interpret=INTERPRET)
+    d = np.abs(np.asarray(ref) - np.asarray(two)).max()
+    assert d < 1e-6 * np.abs(np.asarray(ref)).max()
