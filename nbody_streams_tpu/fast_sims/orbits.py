@@ -17,7 +17,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-__all__ = ["integrate_orbit", "integrate_orbits_released"]
+__all__ = ["integrate_orbit", "integrate_orbit_adaptive",
+           "integrate_orbits_released"]
 
 
 def _accel_fn(pot, extra_accel=None):
@@ -113,3 +114,113 @@ def integrate_orbits_released(pot, xv_release, t_release, t0: float,
             sel = np.append(sel, n_steps)
         return times[sel], traj[sel]
     return times, xv
+
+
+# ---------------------------------------------------------------------------
+# Error-controlled integration: embedded Dormand-Prince 5(4)
+# ---------------------------------------------------------------------------
+# Butcher tableau (Dormand & Prince 1980; the DOP853 family's little
+# sibling — the reference leans on agama.orbit's DOP853 for rewinding,
+# spray.py:478).  Fixed OUTPUT grid + adaptive substepping inside each
+# output interval keeps everything scan-able: the outer loop is a
+# lax.scan over output nodes, the inner loop a lax.while_loop with a
+# PI-controlled step size shared across the batch.
+_DP_C = np.array([0.0, 1 / 5, 3 / 10, 4 / 5, 8 / 9, 1.0, 1.0])
+_DP_A = np.zeros((7, 7))
+_DP_A[1, 0] = 1 / 5
+_DP_A[2, :2] = (3 / 40, 9 / 40)
+_DP_A[3, :3] = (44 / 45, -56 / 15, 32 / 9)
+_DP_A[4, :4] = (19372 / 6561, -25360 / 2187, 64448 / 6561, -212 / 729)
+_DP_A[5, :5] = (9017 / 3168, -355 / 33, 46732 / 5247, 49 / 176,
+                -5103 / 18656)
+_DP_A[6, :6] = (35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784,
+                11 / 84)
+_DP_B5 = _DP_A[6, :7].copy()                       # 5th-order weights
+_DP_B4 = np.array([5179 / 57600, 0.0, 7571 / 16695, 393 / 640,
+                   -92097 / 339200, 187 / 2100, 1 / 40])
+
+
+def _dp45_step(deriv, xv, t, h):
+    """One embedded DP5(4) step: returns (xv5, err_estimate)."""
+    ks = []
+    for i in range(7):
+        acc = xv
+        for j in range(i):
+            acc = acc + (h * _DP_A[i, j]) * ks[j]
+        ks.append(deriv(acc if i else xv, t + _DP_C[i] * h))
+    xv5 = xv
+    err = jnp.zeros_like(xv)
+    for i in range(7):
+        xv5 = xv5 + (h * _DP_B5[i]) * ks[i]
+        err = err + (h * (_DP_B5[i] - _DP_B4[i])) * ks[i]
+    return xv5, err
+
+
+def integrate_orbit_adaptive(pot, xv0, t0: float, t1: float,
+                             n_out: int = 256, rtol: float = 1e-9,
+                             atol: float = 1e-12, extra_accel=None,
+                             max_substeps: int = 100_000,
+                             dtype=None):
+    """Error-controlled orbit integration on a fixed output grid.
+
+    Adaptive Dormand-Prince 5(4) with a PI step controller replaces the
+    fixed-step RK4 where accuracy matters (central cusps, highly
+    eccentric orbits — the documented RK4 post-pericentre blow-up mode).
+    The step size is shared across the batch (max error norm), so the
+    output has the same (n_out+1, ..., 6) shape contract as
+    ``integrate_orbit``.  Forward or backward (t1 < t0).
+
+    ``max_substeps`` bounds the inner while_loop per output interval
+    (a safety net, not a budget: hitting it leaves the remaining
+    interval integrated with the last step size).
+    """
+    dtype = dtype or (jnp.float64 if jax.config.jax_enable_x64
+                      else jnp.float32)
+    xv0 = jnp.asarray(xv0, dtype)
+    acc = _accel_fn(pot, extra_accel)
+
+    def deriv(state, tt):
+        return jnp.concatenate([state[..., 3:], acc(state, tt)], axis=-1)
+
+    h_out = (t1 - t0) / n_out
+    sign = 1.0 if t1 >= t0 else -1.0
+
+    def err_norm(err, xv_a, xv_b):
+        scale = atol + rtol * jnp.maximum(jnp.abs(xv_a), jnp.abs(xv_b))
+        return jnp.sqrt(jnp.mean((err / scale) ** 2))
+
+    def advance_interval(carry, i):
+        xv, h = carry
+        t_start = t0 + i * h_out
+        t_end = t0 + (i + 1) * h_out
+
+        def cond(c):
+            _xv, t, _h, n = c
+            return ((t - t_end) * sign < 0) & (n < max_substeps)
+
+        def body(c):
+            xv_c, t, h_c, n = c
+            # clip the trial step to the interval end
+            h_try = jnp.where((t + h_c - t_end) * sign > 0,
+                              t_end - t, h_c)
+            xv_new, err = _dp45_step(deriv, xv_c, t, h_try)
+            e = err_norm(err, xv_c, xv_new)
+            accept = e <= 1.0
+            # PI controller, safety 0.9, order 5
+            fac = jnp.clip(0.9 * e ** -0.2, 0.2, 5.0)
+            h_next = jnp.where(jnp.abs(h_try * fac) < jnp.abs(h_c * 5.0),
+                               h_try * fac, h_c * 5.0)
+            xv_c = jnp.where(accept, xv_new, xv_c)
+            t = jnp.where(accept, t + h_try, t)
+            return xv_c, t, h_next, n + 1
+
+        xv, _t, h, _n = lax.while_loop(
+            cond, body, (xv, jnp.asarray(t_start, dtype), h, 0))
+        return (xv, h), xv
+
+    h0 = jnp.asarray(h_out / 16.0, dtype)
+    (_, _), traj = lax.scan(advance_interval, (xv0, h0),
+                            jnp.arange(n_out, dtype=dtype))
+    times = t0 + h_out * np.arange(n_out + 1)
+    traj = jnp.concatenate([xv0[None], traj], axis=0)
+    return times, traj

@@ -219,9 +219,16 @@ def create_particle_spray_stream(
                                         t_start, time_end, G=G)
         pot_rewind = pot_host + pert
 
-    # 1) rewind, then flip to a forward trajectory
-    _, traj_back = integrate_orbit(pot_rewind, sat_now, time_end, t_start,
-                                   n_steps=n_steps)
+    # 1) rewind, then flip to a forward trajectory.  The rewind uses the
+    # error-controlled DP5(4) integrator (the reference uses
+    # agama.orbit's DOP853 here, spray.py:478): fixed-step RK4 has a
+    # documented blow-up mode on cusp-plunging progenitor orbits.
+    from .orbits import integrate_orbit_adaptive
+
+    _, traj_back = integrate_orbit_adaptive(pot_rewind, sat_now,
+                                            time_end, t_start,
+                                            n_out=n_steps, rtol=1e-10,
+                                            atol=1e-10)
     traj_fwd = np.asarray(traj_back)[::-1]
     times_fwd = np.linspace(t_start, time_end, n_steps + 1)
     if verbose:

@@ -281,8 +281,12 @@ class ChandrasekharFriction(ForceExtra):
             refresh = (jnp.asarray(step) % self.update_interval) == 0
             r_com, v_com, r_sph, m_bound, bound = lax.cond(
                 refresh, full_update, predictor, None)
-            # dynamic satellite mass tracks tidal stripping
-            m_eff = jnp.maximum(m_bound, 1e4)
+            # dynamic satellite mass tracks tidal stripping; floor at a
+            # small fraction of the initial satellite mass so a fully
+            # stripped remnant decays the friction smoothly to ~zero
+            # instead of hitting an arbitrary unit-dependent constant
+            # (r1 review: the old floor was a hardcoded 1e4 Msun)
+            m_eff = jnp.maximum(m_bound, 1e-4 * self.M_sat)
         else:
             def full_update(_):
                 com, v_com, r_sph = shrinking_sphere_com(

@@ -12,7 +12,7 @@ matter/hot gas -> Multipole, stars/cold gas -> CylSpline):
   interpolation is pinned to the exact particle forces at the nodes.
 * CylSpline: the potential is evaluated on an azimuthal ring of points
   per (R, z) node by direct summation over all particles (the Pallas
-  2-set kernel on TPU — O(N_grid x N) at ~60 Gint/s), then Fourier
+  2-set kernel on TPU — O(N_grid x N)), then Fourier
   analysed into the per-m tables.
 
 Overflow note: the r^l prefix sums are evaluated in float64 with radii
@@ -196,6 +196,11 @@ def fit_cylspline_from_particles(pos, mass, R_grid=None, z_grid=None,
     # direct potential of all particles at the grid points
     import jax
 
+    # grid nodes are massless probe points: their own softening is zero
+    # and the pair rule h_eff = max(h_i, h_j) picks up the *source*
+    # particles' softening alone (r1 review weak #10: passing the
+    # source value as the probes' softening was correct only by the
+    # max() accident)
     use_pallas = jax.default_backend() in ("tpu", "axon")
     if use_pallas:
         from ..ops.pallas_direct import pallas_potential_2set
@@ -214,7 +219,7 @@ def fit_cylspline_from_particles(pos, mass, R_grid=None, z_grid=None,
         phi_vals = np.asarray(_tile_potential_blocked(
             "plummer" if softening > 0 else "newtonian", True, 2048,
             1e-15,
-            jnp.asarray(grid_pts), jnp.full(len(grid_pts), softening),
+            jnp.asarray(grid_pts), jnp.zeros(len(grid_pts)),
             jnp.full(len(grid_pts), -1, jnp.int32),
             jnp.asarray(pos), jnp.asarray(mass * G),
             jnp.full(n, softening), jnp.arange(n, dtype=jnp.int32),

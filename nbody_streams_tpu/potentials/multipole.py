@@ -222,6 +222,39 @@ def _monopole_scaling(r, phi0, dphi0):
                    outer_log)
 
 
+def _radial_plain(xlog, x_grid, coeffs, f_in, v_in, f_out, v_out,
+                  x0, x1):
+    """Quintic-Hermite radial evaluation with plain power asymptotes.
+
+    Shared by MultipolePotential._radial and the stacked evolving fast
+    path (modifiers.EvolvingPotential), which lerps the coefficient
+    tensors in time and evaluates through this same function.  Returns
+    (values (C,), raw quintic values (C,), d_in, d_out).
+    """
+    k = jnp.clip(
+        jnp.searchsorted(x_grid, xlog, side="right") - 1,
+        0, x_grid.shape[0] - 2,
+    )
+    # clamp via where (NOT jnp.clip: min/max split the gradient 0.5/0.5
+    # at exact ties, which would halve d Phi/dr at the boundary nodes)
+    xc = jnp.where(xlog < x0, x0, jnp.where(xlog > x1, x1, xlog))
+    dtc = xc - x_grid[k]
+    c = coeffs[k]                        # (6, C)
+    val = c[5]
+    for i in (4, 3, 2, 1, 0):
+        val = val * dtc + c[i]
+    p_quintic = val
+    # clamp the extrapolation arguments to their own branch's domain:
+    # the untaken branch must stay finite (exp of a large positive
+    # argument is inf in float32, and where() gradients turn the
+    # untaken-branch inf into NaN)
+    d_in = jnp.minimum(xlog - x0, 0.0)
+    d_out = jnp.maximum(xlog - x1, 0.0)
+    val = jnp.where(xlog < x0, f_in * jnp.exp(v_in * d_in), val)
+    val = jnp.where(xlog > x1, f_out * jnp.exp(v_out * d_out), val)
+    return val, p_quintic, d_in, d_out
+
+
 class MultipolePotential(Potential):
     """Evaluate an Agama Multipole expansion on device.
 
@@ -231,10 +264,11 @@ class MultipolePotential(Potential):
     dtype : jnp dtype for the stored tables (float64 recommended off-TPU).
     """
 
-    def __init__(self, coefs, dtype=None):
+    def __init__(self, coefs, dtype=None, monopole_scaling: bool = True):
         if not isinstance(coefs, MultipoleCoefs):
             coefs = read_mult_coefs(coefs)
         self.coefs = coefs
+        self._mono_enabled = bool(monopole_scaling)
 
         r = np.asarray(coefs.R_grid, float)
         phi = np.asarray(coefs.phi, float)
@@ -274,7 +308,7 @@ class MultipolePotential(Potential):
         # per-column treatment).
         self._i_log = -1
         self._mono = None
-        if (0, 0) in self.labels:
+        if self._mono_enabled and (0, 0) in self.labels:
             i0 = self.labels.index((0, 0))
             slopes = d1[:, i0] / np.where(phi[:, i0] != 0.0,
                                           phi[:, i0], 1.0)
@@ -336,32 +370,11 @@ class MultipolePotential(Potential):
     # -- radial part --------------------------------------------------------
     def _radial(self, xlog):
         """All harmonic radial functions Phi_lm at one log-radius: (C,)."""
-        k = jnp.clip(
-            jnp.searchsorted(self.x_grid, xlog, side="right") - 1,
-            0, self.x_grid.shape[0] - 2,
-        )
-        # clamp via where (NOT jnp.clip: min/max split the gradient 0.5/0.5
-        # at exact ties, which would halve d Phi/dr at the boundary nodes)
-        xc = jnp.where(xlog < self.x0, self.x0,
-                       jnp.where(xlog > self.x1, self.x1, xlog))
-        dtc = xc - self.x_grid[k]
-        c = self.coeffs[k]                        # (6, C)
-        val = c[5]
-        for i in (4, 3, 2, 1, 0):
-            val = val * dtc + c[i]
-        # clamp the extrapolation arguments to their own branch's domain:
-        # the untaken branch must stay finite (exp of a large positive
-        # argument is inf in float32, and where() gradients turn the
-        # untaken-branch inf into NaN)
-        d_in = jnp.minimum(xlog - self.x0, 0.0)
-        d_out = jnp.maximum(xlog - self.x1, 0.0)
+        val, p_quintic, d_in, d_out = _radial_plain(
+            xlog, self.x_grid, self.coeffs, self.f_in, self.v_in,
+            self.f_out, self.v_out, self.x0, self.x1)
         if self._i_log >= 0:
-            p_mid = val[self._i_log]      # quintic of the scaled monopole
-        val = jnp.where(xlog < self.x0,
-                        self.f_in * jnp.exp(self.v_in * d_in), val)
-        val = jnp.where(xlog > self.x1,
-                        self.f_out * jnp.exp(self.v_out * d_out), val)
-        if self._i_log >= 0:
+            p_mid = p_quintic[self._i_log]  # quintic of scaled monopole
             # monopole: un-transform Phi = 1/(invPhi0 - e^P) in-grid and
             # use the Agama two-term closed forms beyond the grid
             inv0, s_i, u_i, w_i, s_o, u_o, w_o, olog = self._mono

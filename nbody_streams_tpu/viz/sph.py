@@ -5,8 +5,13 @@ viz/sph_kernels.py:118-775 — Numba-CUDA atomic scatter / Numba-prange
 gather).  Here each particle deposits a 2-D cubic-spline kernel footprint
 onto a fixed (2K+1)^2 pixel stencil via XLA scatter-adds: deterministic,
 race-free by construction (XLA serialises scatter), and jittable.
-Smoothing lengths come from kNN distances (SciPy cKDTree host-side, the
-reference's CPU path).
+Smoothing lengths come from kNN distances: the native C++ host-ops
+library (Morton pre-sort + grid-hash kNN, ``nbody_streams_tpu.native``)
+when built, else SciPy cKDTree (the reference's CPU path,
+sph_kernels.py:118-275).  On this container's single core the native
+grid kNN wins on quasi-uniform data and loses to cKDTree on strongly
+clustered data, so it is only used for large N where its O(N) hashing
+amortises; pass ``method=`` to force either.
 """
 from __future__ import annotations
 
@@ -23,11 +28,33 @@ __all__ = [
 ]
 
 
-def get_smoothing_lengths(pos, n_neighbors: int = 32):
-    """Per-particle smoothing length = distance to the n-th neighbour."""
+def get_smoothing_lengths(pos, n_neighbors: int = 32,
+                          method: str = "auto"):
+    """Per-particle smoothing length = distance to the n-th neighbour.
+
+    method: 'auto' | 'native' (C++ grid-hash kNN) | 'ckdtree'.
+    """
+    pos = np.asarray(pos, float)
+    if method not in ("auto", "native", "ckdtree"):
+        raise ValueError(f"unknown kNN method {method!r}")
+    use_native = method == "native"
+    if method == "auto" and len(pos) >= 500_000:
+        from .. import native
+
+        use_native = native.native_available()
+    if use_native:
+        from .. import native
+
+        if not native.native_available():
+            raise RuntimeError(
+                "native host-ops library not built; run "
+                "`nbody-build-tree` or use method='ckdtree'")
+        order = native.morton_argsort(pos)   # locality for the grid hash
+        h = np.empty(len(pos))
+        h[order] = native.knn_radius(pos[order], k=n_neighbors)
+        return h
     from scipy.spatial import cKDTree
 
-    pos = np.asarray(pos, float)
     tree = cKDTree(pos)
     d, _ = tree.query(pos, k=min(n_neighbors + 1, len(pos)))
     return d[:, -1]

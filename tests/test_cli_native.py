@@ -66,3 +66,24 @@ def test_knn_matches_kdtree(rng):
                     reason="native lib not built (run make in native/)")
 def test_native_lib_loaded():
     assert native_available()
+
+
+def test_sph_smoothing_lengths_native_wiring():
+    """viz.get_smoothing_lengths routes through the native grid-hash kNN
+    (r1 review: the native layer was orphaned — no product path called
+    it)."""
+    import numpy as np
+
+    from nbody_streams_tpu import native
+    from nbody_streams_tpu.viz.sph import get_smoothing_lengths
+
+    rng = np.random.default_rng(3)
+    pos = rng.normal(0, 1, (3000, 3))
+    h_ck = get_smoothing_lengths(pos, 16, method="ckdtree")
+    if native.native_available():
+        h_nat = get_smoothing_lengths(pos, 16, method="native")
+        np.testing.assert_allclose(h_nat, h_ck, rtol=1e-12)
+    import pytest
+
+    with pytest.raises(ValueError):
+        get_smoothing_lengths(pos, 16, method="nope")

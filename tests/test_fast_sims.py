@@ -206,3 +206,49 @@ def test_spherical_refit_matches_plummer(rng):
     pts = np.array([[1.0, 0, 0], [0, 3.0, 0], [0, 0, 10.0]])
     np.testing.assert_allclose(np.asarray(pot.potential(pts)),
                                np.asarray(pl.potential(pts)), rtol=0.05)
+
+
+def test_adaptive_orbit_cusp_round_trip():
+    """DP5(4) with error control round-trips a cusp-plunging orbit in a
+    Dehnen gamma=1.5 potential to ~1e-7; fixed-step RK4 at comparable
+    output resolution fails by orders of magnitude (the documented
+    post-pericentre blow-up; VERDICT r1 item 7)."""
+    from nbody_streams_tpu.fast_sims.orbits import (
+        integrate_orbit,
+        integrate_orbit_adaptive,
+    )
+    from nbody_streams_tpu.potentials.analytic import DehnenPotential
+
+    pot = DehnenPotential(mass=1e11, scaleRadius=5.0, gamma=1.5)
+    xv0 = np.array([8.0, 0.0, 0.0, 5.0, 12.0, 3.0])
+    _, back = integrate_orbit_adaptive(pot, xv0, 0.0, -3.0, n_out=128,
+                                       rtol=1e-11, atol=1e-10)
+    _, fwd = integrate_orbit_adaptive(pot, np.asarray(back)[-1], -3.0,
+                                      0.0, n_out=128, rtol=1e-11,
+                                      atol=1e-10)
+    rel = np.abs(np.asarray(fwd)[-1] - xv0).max() / np.abs(xv0).max()
+    assert rel < 1e-7
+
+    _, b2 = integrate_orbit(pot, xv0, 0.0, -3.0, n_steps=2048)
+    _, f2 = integrate_orbit(pot, np.asarray(b2)[-1], -3.0, 0.0,
+                            n_steps=2048)
+    rel_rk4 = np.abs(np.asarray(f2)[-1] - xv0).max() / np.abs(xv0).max()
+    assert rel_rk4 > 100 * rel   # adaptive is decisively better here
+
+
+def test_adaptive_orbit_energy_conservation():
+    from nbody_streams_tpu.fast_sims.orbits import integrate_orbit_adaptive
+    from nbody_streams_tpu.potentials.analytic import NFWPotential
+
+    pot = NFWPotential(mass=1e12, scaleRadius=20.0)
+    xv0 = np.array([30.0, 0.0, 10.0, 0.0, 150.0, 30.0])
+
+    def energy(xv):
+        return (0.5 * np.sum(xv[3:] ** 2)
+                + float(np.asarray(pot.potential(xv[None, :3]))[0]))
+
+    _, traj = integrate_orbit_adaptive(pot, xv0, 0.0, 10.0, n_out=64,
+                                       rtol=1e-10, atol=1e-10)
+    e = [energy(np.asarray(traj)[k]) for k in (0, 32, 64)]
+    assert abs(e[2] - e[0]) / abs(e[0]) < 1e-8
+    assert abs(e[1] - e[0]) / abs(e[0]) < 1e-8

@@ -432,3 +432,40 @@ def test_load_evolving_from_archive(tmp_path, pts):
     exp = 0.5 * (np.asarray(a.potential(pts))
                  + np.asarray(b.potential(pts)))
     np.testing.assert_allclose(mid, exp, rtol=1e-4)
+
+
+def test_evolving_multipole_stacked_fast_path():
+    """Homogeneous Multipole snapshot sequences stack into a single
+    lerped-coefficient evaluation (r1 weak #8: lax.switch over dozens of
+    snapshots blew up compile time)."""
+    from nbody_streams_tpu.potentials.modifiers import EvolvingPotential
+
+    def make(mass):
+        nfw = NFWPotential(mass=mass, scaleRadius=20.0)
+        return MultipolePotential(make_spherical_coefs(
+            nfw, np.geomspace(0.05, 500, 40)))
+
+    T = 16
+    masses = np.linspace(0.8e12, 1.4e12, T)
+    times = np.linspace(0.0, 10.0, T)
+    pots = [make(m) for m in masses]
+    ev = EvolvingPotential(pots, times)
+    assert ev._stacked is not None
+
+    pts = np.array([[30.0, 5.0, -8.0], [100.0, 0.0, 0.0]])
+    tq = 3.21
+    i = int(np.searchsorted(times, tq) - 1)
+    a = (tq - times[i]) / (times[i + 1] - times[i])
+    expected = ((1 - a) * np.asarray(pots[i].potential(pts))
+                + a * np.asarray(pots[i + 1].potential(pts)))
+    got = np.asarray(ev.potential(pts, t=tq))
+    np.testing.assert_allclose(got, expected, rtol=1e-6)
+    assert np.isfinite(np.asarray(ev.force(pts, t=tq))).all()
+
+    # heterogeneous sequences keep the switch path
+    from nbody_streams_tpu.potentials.analytic import PlummerPotential
+
+    ev2 = EvolvingPotential([make(1e12), PlummerPotential(mass=1e12),
+                             make(1.1e12)], [0.0, 1.0, 2.0])
+    assert ev2._stacked is None
+    assert np.isfinite(np.asarray(ev2.potential(pts, t=0.5))).all()
