@@ -9,6 +9,11 @@ about a minute; on TPU the orbit integration jits onto the device.
 
 Usage:  python examples/mw_lmc_stream.py
 """
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
 import time
 
 import numpy as np
