@@ -18,8 +18,10 @@ Physics preserved exactly:
 * Read+2006 core-stalling suppression min(1, (r/r_core)^gamma)
 * sigma(r): isotropic Jeans integral tabulated host-side into a
   jittable log-log spline, or the cheap local-circular estimate
-  sqrt(r |g_r| / 2) evaluated in-graph ('quasispherical' falls back to
-  Jeans — it needs Agama's DF machinery, reference :672-680)
+  sqrt(r |g_r| / 2) evaluated in-graph, or 'quasispherical' — a native
+  Eddington inversion of the host (rho, Phi) into f(E) whose velocity
+  moments give sigma_r (the reference delegates this to Agama's
+  QuasiSpherical DF machinery, reference :672-680)
 * CoM tracking: fixed-iteration shrinking sphere every
   ``update_interval`` steps, kinematic predictor in between; DF applied
   only within ``apply_radius_factor`` x the final sphere radius.
@@ -55,17 +57,13 @@ def compute_sigma_r(pot, t_eval: float = 0.0, grid_r=None,
     """Radial velocity dispersion profile as a jittable callable.
 
     'jeans': isotropic spherical Jeans equation,
-    sigma_r^2(r) = (1/rho) int_r^inf rho(s) |g_r(s)| ds, tabulated on a
-    log grid and returned as a clamped log-log spline (reference:
-    _chandrasekhar.py:70-145).
+    sigma_r^2(r) = (1/rho) int_r^inf rho(s) |g_r(s)| ds;
+    'quasispherical': Eddington-inversion DF moments (see below);
+    'local_circular': sqrt(r |g_r| / 2) in-graph.
+    The first two tabulate on a log grid and return a clamped log-log
+    spline (reference: _chandrasekhar.py:70-266).
     """
-    if method == "quasispherical":
-        warnings.warn(
-            "sigma_method='quasispherical' requires Agama DF moments; "
-            "falling back to the Jeans equation", RuntimeWarning,
-            stacklevel=2)
-        method = "jeans"
-    if method not in ("jeans", "local_circular"):
+    if method not in ("jeans", "local_circular", "quasispherical"):
         raise ValueError(f"unknown sigma method {method!r}")
 
     if method == "local_circular":
@@ -80,15 +78,62 @@ def compute_sigma_r(pot, t_eval: float = 0.0, grid_r=None,
          else np.geomspace(1e-2, 2e3, 200))
     pts = np.column_stack([r, np.zeros_like(r), np.zeros_like(r)])
     rho = np.maximum(np.asarray(pot.density(pts, t=t_eval), float), 1e-300)
-    g_r = np.abs(np.asarray(pot.force(pts, t=t_eval), float)[:, 0])
 
-    # integrate rho*g from the outside in (log-spaced trapezoid)
-    integrand = rho * g_r * r            # d s = s d ln s
-    lnr = np.log(r)
-    seg = 0.5 * (integrand[1:] + integrand[:-1]) * np.diff(lnr)
-    cum_out = np.concatenate([np.cumsum(seg[::-1])[::-1], [0.0]])
-    sigma2 = cum_out / rho
-    sigma_tab = np.sqrt(np.maximum(sigma2, 1e-12))
+    if method == "quasispherical":
+        # Native Eddington inversion (the reference delegates this to
+        # Agama's QuasiSpherical DF moments, _chandrasekhar.py:178-266):
+        #   f(E) = (8)^{-1/2} pi^{-2} int_0^E (d2rho/dpsi2) dpsi
+        #                                     / sqrt(E - psi)
+        # with psi = -Phi; then sigma_r^2 = (int f v^4 dv)/(3 int f v^2
+        # dv).  For isotropic self-consistent systems this equals the
+        # Jeans solution (cross-checked in tests); it differs when the
+        # supplied density is a tracer in a deeper host.
+        psi = -np.asarray(pot.potential(pts, t=t_eval), float)
+        if np.any(np.diff(psi) >= 0):
+            raise ValueError(
+                "quasispherical sigma needs psi = -Phi monotonically "
+                "decreasing in r (is the potential spherical-ish?)")
+        from scipy.interpolate import CubicSpline
+
+        rho_of_psi = CubicSpline(psi[::-1], rho[::-1])
+        d2rho = rho_of_psi.derivative(2)
+
+        # f(E) on the psi grid; substitute psi = E(1 - u^2) to remove
+        # the inverse-sqrt endpoint singularity
+        u, wu = np.polynomial.legendre.leggauss(64)
+        u = 0.5 * (u + 1.0)
+        wu = 0.5 * wu
+        e_grid = psi[::-1]                     # increasing
+        vals = d2rho(e_grid[:, None] * (1.0 - u[None, :] ** 2))
+        f_e = (2.0 * np.sqrt(e_grid) * (vals * wu[None, :]).sum(1)
+               / (np.sqrt(8.0) * np.pi ** 2))
+        f_e = np.maximum(f_e, 0.0)             # clip quadrature noise
+        ln_f = CubicSpline(e_grid, np.log(f_e + 1e-300))
+
+        # velocity moments at each radius: v in (0, sqrt(2 psi))
+        vq, wv = np.polynomial.legendre.leggauss(96)
+        vq = 0.5 * (vq + 1.0)
+        wv = 0.5 * wv
+        sigma2 = np.empty_like(r)
+        for i, (ps, _rh) in enumerate(zip(psi, rho)):
+            vmax = np.sqrt(2.0 * ps)
+            v = vmax * vq
+            fE = np.exp(ln_f(np.maximum(ps - 0.5 * v * v, e_grid[0])))
+            m2 = (fE * v ** 2 * wv).sum() * vmax
+            m4 = (fE * v ** 4 * wv).sum() * vmax
+            sigma2[i] = m4 / (3.0 * m2) if m2 > 0 else 0.0
+        sigma_tab = np.sqrt(np.maximum(sigma2, 1e-12))
+        lnr = np.log(r)
+    else:
+        g_r = np.abs(np.asarray(pot.force(pts, t=t_eval), float)[:, 0])
+
+        # integrate rho*g from the outside in (log-spaced trapezoid)
+        integrand = rho * g_r * r            # d s = s d ln s
+        lnr = np.log(r)
+        seg = 0.5 * (integrand[1:] + integrand[:-1]) * np.diff(lnr)
+        cum_out = np.concatenate([np.cumsum(seg[::-1])[::-1], [0.0]])
+        sigma2 = cum_out / rho
+        sigma_tab = np.sqrt(np.maximum(sigma2, 1e-12))
 
     spline = spline_coeffs(lnr, np.log(sigma_tab), extrapolate="clamp")
 

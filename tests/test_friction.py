@@ -32,9 +32,11 @@ def test_sigma_methods_agree_roughly(host):
         assert 20.0 < a < 300.0  # physically sane for a MW-mass halo
 
 
-def test_quasispherical_falls_back(host):
-    with pytest.warns(RuntimeWarning, match="Jeans"):
-        compute_sigma_r(host, method="quasispherical")
+def test_quasispherical_is_native(host):
+    # r1: this used to warn and fall back to Jeans; now it is a native
+    # Eddington inversion (see test_quasispherical_sigma_matches_jeans)
+    s = compute_sigma_r(host, method="quasispherical")
+    assert float(s(jnp.asarray([10.0]))[0]) > 0
 
 
 def test_shrinking_sphere_finds_offset_cluster(rng):
@@ -163,3 +165,22 @@ def test_df_bound_phi_end_to_end(host, tmp_path):
     com = res["dark"][:, :3].mean(0)
     assert np.isfinite(res["dark"]).all()
     assert np.linalg.norm(com) < 31.0   # decaying from ~30 kpc
+
+
+def test_quasispherical_sigma_matches_jeans_for_isotropic():
+    """Native Eddington-inversion sigma (r1 missing #6): for a
+    self-consistent isotropic system the DF-moment dispersion equals the
+    Jeans solution."""
+    import jax.numpy as jnp
+
+    from nbody_streams_tpu.friction import compute_sigma_r
+    from nbody_streams_tpu.potentials.analytic import HernquistPotential
+
+    pot = HernquistPotential(mass=1e12, scaleRadius=20.0)
+    s_j = compute_sigma_r(pot, method="jeans")
+    s_q = compute_sigma_r(pot, method="quasispherical")
+    r = jnp.asarray(np.geomspace(0.5, 300, 12))
+    np.testing.assert_allclose(np.asarray(s_q(r)), np.asarray(s_j(r)),
+                               rtol=8e-3)
+    with pytest.raises(ValueError):
+        compute_sigma_r(pot, method="nope")
