@@ -469,3 +469,24 @@ def test_evolving_multipole_stacked_fast_path():
                              make(1.1e12)], [0.0, 1.0, 2.0])
     assert ev2._stacked is None
     assert np.isfinite(np.asarray(ev2.potential(pts, t=0.5))).all()
+
+
+def test_multipole_high_lmax_triaxial():
+    """lmax=16 triaxial (45 surviving terms) and lmax=32 axisymmetric
+    (17 pruned terms, via the GalPot disks) are the reference kernel's
+    supported regimes; r1 review flagged the unrolled recurrence as a
+    compile risk above lmax=8 — this pins that it builds, compiles and
+    stays accurate."""
+    from nbody_streams_tpu.potentials.analytic import LogHaloPotential
+
+    lh = LogHaloPotential(velocity=200.0, coreRadius=5.0,
+                          axisRatioY=0.8, axisRatioZ=0.6)
+    mp = MultipolePotential.from_projection(
+        lambda p: np.asarray(lh.potential(p)),
+        np.geomspace(0.5, 300, 40), lmax=16)
+    assert len(mp.labels) > 30          # many m-terms survive
+    pts = np.random.default_rng(0).normal(0, 15, (50, 3))
+    rel = np.abs(np.asarray(mp.potential(pts))
+                 / np.asarray(lh.potential(pts)) - 1)
+    assert rel.max() < 1e-5
+    assert np.isfinite(np.asarray(mp.force(pts))).all()
