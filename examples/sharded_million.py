@@ -30,6 +30,12 @@ devices = jax.devices()
 print(f"{len(devices)} device(s): {devices[0].platform}")
 
 xv, masses = make_plummer_sphere(N, M_total=1e10, a=2.0, seed=3)
+
+# slab-sort before sharding: each device then owns a thin x-slab, so
+# non-adjacent ring blocks take the compact-support Newtonian fast path
+from nbody_streams_tpu.parallel.sharded import slab_sort_for_sharding
+
+xv, masses = slab_sort_for_sharding(xv, masses)
 species = [Species.dark(N=N, mass=float(masses[0]), softening=0.1)]
 
 t0 = time.perf_counter()

@@ -37,7 +37,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..constants import PAIRWISE_EPS2
 from ..ops import pairwise
 
-__all__ = ["ShardedDirect", "make_particle_mesh"]
+__all__ = ["ShardedDirect", "make_particle_mesh",
+           "slab_sort_for_sharding"]
 
 AXIS = "shards"
 
@@ -159,6 +160,30 @@ class ShardedDirect:
                 from ..ops import pallas_direct
 
                 if mode == "acc":
+                    if kind == "spline":
+                        # compact support at block level: when the
+                        # incoming ring block's x-interval is farther
+                        # than max(h) from the local targets', every
+                        # pair has r > h_eff and the spline IS the bare
+                        # Newtonian factor — run the ~16-op kernel
+                        # (XLA-level cond: only the taken branch
+                        # executes).  Fires when particles are
+                        # slab-sorted before sharding; always correct.
+                        gap = jnp.maximum(
+                            jnp.min(pos_l[:, 0]) - jnp.max(ps[:, 0]),
+                            jnp.min(ps[:, 0]) - jnp.max(pos_l[:, 0]))
+                        far = gap > jnp.maximum(jnp.max(h_l),
+                                                jnp.max(hs))
+                        return lax.cond(
+                            far,
+                            lambda a: pallas_direct.pallas_accel_2set(
+                                pos_l, h_l, a[0], a[1], a[2],
+                                "newtonian", kahan, eps2),
+                            lambda a: pallas_direct.pallas_accel_2set(
+                                pos_l, h_l, a[0], a[1], a[2],
+                                kind, kahan, eps2),
+                            (ps, ms, hs),
+                        )
                     return pallas_direct.pallas_accel_2set(
                         pos_l, h_l, ps, ms, hs, kind, kahan, eps2)
                 # mask the self pair on the step where the ring block is
@@ -244,3 +269,19 @@ class ShardedDirect:
             return x
 
         return jax.tree_util.tree_map(put, tree)
+
+
+def slab_sort_for_sharding(phase_space, *arrays):
+    """Order particles by x so block-sharding hands each device a thin
+    slab.  With slab shards, all non-adjacent ring blocks are farther
+    than max(h) from the local targets and take the compact-support
+    Newtonian fast path (see ShardedDirect._ring) — on a D-device mesh
+    that is ~(D-2)/D of the ring steps at ~16 ops/pair instead of ~29.
+
+    Returns (phase_space[order], *arrays[order]).  Purely a performance
+    transform: results are exact in any order.
+    """
+    phase_space = np.asarray(phase_space)
+    order = np.argsort(phase_space[:, 0], kind="stable")
+    return (phase_space[order],
+            *(np.asarray(a)[order] for a in arrays))

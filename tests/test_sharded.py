@@ -66,3 +66,32 @@ def test_method_tree_runs_sharded_end_to_end(tmp_path):
                               method="tree", devices=jax.devices(), **kw)
     np.testing.assert_allclose(res_tree["dark"], res_direct["dark"],
                                rtol=1e-10, atol=1e-12)
+
+
+def test_slab_sort_for_sharding_preserves_physics(rng):
+    """Slab sorting is pure bookkeeping: the 8-device ring on sorted
+    input matches the unsorted result after unpermuting."""
+    import numpy as np
+
+    from nbody_streams_tpu.ops.dispatch import DirectGravity
+    from nbody_streams_tpu.parallel.sharded import slab_sort_for_sharding
+
+    n = 512
+    xv = rng.normal(0, 1, (n, 6))
+    m = rng.uniform(0.5, 1.5, n)
+    h = np.full(n, 0.05)
+    xv_s, m_s, h_s = slab_sort_for_sharding(xv, m, h)
+    assert np.all(np.diff(xv_s[:, 0]) >= 0)
+
+    import jax
+    import jax.numpy as jnp
+
+    devs = jax.devices()
+    s0 = DirectGravity(m, h, kernel="spline", impl="sharded",
+                       devices=devs)
+    s1 = DirectGravity(m_s, h_s, kernel="spline", impl="sharded",
+                       devices=devs)
+    a0 = np.asarray(s0.accel(jnp.asarray(xv[:, :3], s0.dtype)))
+    a1 = np.asarray(s1.accel(jnp.asarray(xv_s[:, :3], s1.dtype)))
+    order = np.argsort(xv[:, 0], kind="stable")
+    np.testing.assert_allclose(a1, a0[order], rtol=2e-5, atol=1e-8)
