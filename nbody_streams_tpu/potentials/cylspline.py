@@ -89,7 +89,9 @@ def _h11(s):
 class CylSplinePotential(Potential):
     """Evaluate an Agama CylSpline expansion on device."""
 
-    def __init__(self, coefs, lmax_outer: int = 8, dtype=None):
+    def __init__(self, coefs, lmax_outer: int = 8, dtype=None,
+                 log_scaling: bool = True, rscale: float | None = None,
+                 prune: bool = True):
         if not isinstance(coefs, CylSplineCoefs):
             coefs = read_cylspl_coefs(coefs)
         self.coefs = coefs
@@ -99,8 +101,9 @@ class CylSplinePotential(Potential):
         m_vals = [int(m) for m in coefs.m_values]
         phi = np.asarray(coefs.phi, float)        # (n_m, nR, nz)
 
-        # prune zero harmonics
-        tol = 1e-14 * np.abs(phi).max()
+        # prune zero harmonics (disabled for stacked evolving sequences,
+        # where all snapshots must share a harmonic list)
+        tol = 1e-14 * np.abs(phi).max() if prune else -1.0
         keep = [i for i, m in enumerate(m_vals)
                 if m == 0 or np.abs(phi[i]).max() > tol]
         m_vals = [m_vals[i] for i in keep]
@@ -115,16 +118,17 @@ class CylSplinePotential(Potential):
         iz_mid = int(np.argmin(np.abs(z_grid)))
         phi_c = phi0[0, iz_mid]
         mtot_g = -phi0[-1, iz_mid] * r_grid[-1]    # G*Mtot estimate
-        if phi_c < 0.0 and mtot_g > 0.0:
-            rscale = -mtot_g / phi_c
-        else:
-            rscale = float(r_grid[len(r_grid) // 2])
+        if rscale is None:
+            if phi_c < 0.0 and mtot_g > 0.0:
+                rscale = -mtot_g / phi_c
+            else:
+                rscale = float(r_grid[len(r_grid) // 2])
         self.rscale = float(rscale)
 
         lr = np.arcsinh(r_grid / rscale)
         lz = np.arcsinh(z_grid / rscale)
 
-        log_scaling = bool(np.all(phi0 < 0.0))
+        log_scaling = bool(log_scaling) and bool(np.all(phi0 < 0.0))
         self.log_scaling = log_scaling
 
         nodes = []
@@ -153,6 +157,7 @@ class CylSplinePotential(Potential):
         self.r_b = min(self.r_max, self.z_max, -self.z_min)
         self.r_enc = math.hypot(self.r_max, max(self.z_max, -self.z_min))
         self.r0_outer = min(self.r_max, max(self.z_max, -self.z_min))
+        self._prune = bool(prune)
         self._build_outer(lmax_outer, dt)
 
     # ------------------------------------------------------------------
@@ -204,8 +209,9 @@ class CylSplinePotential(Potential):
         sol = lstsq(design * w_row[:, None], vals * w_row)[0]
 
         scale = np.abs(vals).max()
+        tol = 1e-13 * scale if self._prune else -1.0
         keep = [(k, float(v)) for k, v in zip(labels, sol)
-                if abs(v) > 1e-13 * scale]
+                if abs(v) > tol]
         if not keep:
             keep = [((0, 0), float(np.mean(vals * r / r0)))]
         self.outer_labels = [k for k, _ in keep]
@@ -213,7 +219,7 @@ class CylSplinePotential(Potential):
         self.outer_w = jnp.asarray(np.array([v for _, v in keep]), dt)
 
     # ------------------------------------------------------------------
-    def _interior_point(self, R, z, cos_p, sin_p):
+    def _interior_point(self, R, z, cos_p, sin_p, nodes=None):
         """Interior spline sum at one (R, z, azimuth); inputs clamped.
 
         Azimuth enters as (cos, sin) rather than an angle: atan2 has a
@@ -243,8 +249,10 @@ class CylSplinePotential(Potential):
         bu = jnp.stack([_h00(s), _h10(s) * hu, _h01(s), _h11(s) * hu])
         bv = jnp.stack([_h00(t), _h10(t) * hv, _h01(t), _h11(t) * hv])
 
+        node_arr = self.nodes if nodes is None else nodes
+
         def cell_eval(mm):
-            n = self.nodes[mm]
+            n = node_arr[mm]
             c00 = n[iu, iv]          # (4,): f, fx, fy, fxy
             c10 = n[iu + 1, iv]
             c01 = n[iu, iv + 1]
@@ -287,7 +295,8 @@ class CylSplinePotential(Potential):
         return jax.vmap(self._interior_point)(R, z, cos_p, sin_p)
 
     # ------------------------------------------------------------------
-    def _outer_point(self, r, cos_t, sin_t, cos_p, sin_p):
+    def _outer_point(self, r, cos_t, sin_t, cos_p, sin_p,
+                     outer_w=None):
         lmax = int(self.outer_l.max()) if len(self.outer_labels) else 0
         mmax = max(abs(m) for _, m in self.outer_labels)
         r = jnp.maximum(r, 0.5 * self.r_b)
@@ -316,18 +325,19 @@ class CylSplinePotential(Potential):
                 p[(l, m)] = a * (cos_t * p[(l - 1, m)]
                                  - b * p[(l - 2, m)])
 
+        w = self.outer_w if outer_w is None else outer_w
         total = 0.0
         ratio = self.r0_outer / r
         for i, (l, m) in enumerate(self.outer_labels):
             am = abs(m)
             mul = MUL0 if m == 0 else MUL1
             trig = cos_m[am] if m >= 0 else sin_m[am]
-            total = total + (self.outer_w[i] * ratio ** (l + 1)
+            total = total + (w[i] * ratio ** (l + 1)
                              * mul * p[(l, am)] * trig)
         return total
 
     # ------------------------------------------------------------------
-    def phi_point(self, xyz, t):
+    def phi_point(self, xyz, t, nodes=None, outer_w=None):
         eps = 1e-30
         R = jnp.sqrt(xyz[0] ** 2 + xyz[1] ** 2 + eps)
         z = xyz[2]
@@ -339,8 +349,9 @@ class CylSplinePotential(Potential):
 
         inside = ((R <= self.r_max) & (z <= self.z_max)
                   & (z >= self.z_min))
-        interior = self._interior_point(R, z, cos_p, sin_p)
-        outer = self._outer_point(r, cos_t, sin_t, cos_p, sin_p)
+        interior = self._interior_point(R, z, cos_p, sin_p, nodes=nodes)
+        outer = self._outer_point(r, cos_t, sin_t, cos_p, sin_p,
+                                  outer_w=outer_w)
         return jnp.where(inside, interior, outer)
 
     @classmethod

@@ -169,6 +169,8 @@ class EvolvingPotential(Potential):
         self._stacked = None
         if self.interpolate and len(self.pots) >= 3:
             self._stacked = self._try_stack_multipole()
+            if self._stacked is None:
+                self._stacked = self._try_stack_cylspline()
 
     def _try_stack_multipole(self):
         """Stack homogeneous Multipole snapshots for O(1)-trace eval."""
@@ -187,12 +189,50 @@ class EvolvingPotential(Potential):
         if not all(p.labels == plain[0].labels for p in plain[1:]):
             return None
         return {
+            "kind": "multipole",
             "template": plain[0],
             "coeffs": jnp.stack([p.coeffs for p in plain]),
             "f_in": jnp.stack([p.f_in for p in plain]),
             "v_in": jnp.stack([p.v_in for p in plain]),
             "f_out": jnp.stack([p.f_out for p in plain]),
             "v_out": jnp.stack([p.v_out for p in plain]),
+        }
+
+    def _try_stack_cylspline(self):
+        """Stack homogeneous CylSpline snapshots (FIRE star/gas
+        sequences): lerp the bicubic node tensors and outer PowerLaw
+        coefficients in time — both constructions are linear in the
+        tables once log-scaling/pruning are disabled and the asinh
+        rscale is shared."""
+        from .cylspline import CylSplinePotential
+
+        if not all(isinstance(p, CylSplinePotential) for p in self.pots):
+            return None
+        c0 = self.pots[0].coefs
+        r0 = np.asarray(c0.R_grid)
+        z0 = np.asarray(c0.z_grid)
+        m0 = [int(m) for m in c0.m_values]
+        for p in self.pots[1:]:
+            c = p.coefs
+            if (np.asarray(c.R_grid).shape != r0.shape
+                    or not np.allclose(np.asarray(c.R_grid), r0)
+                    or np.asarray(c.z_grid).shape != z0.shape
+                    or not np.allclose(np.asarray(c.z_grid), z0)
+                    or [int(m) for m in c.m_values] != m0):
+                return None
+        rscale = self.pots[0].rscale       # shared asinh scale
+        plain = [CylSplinePotential(p.coefs, log_scaling=False,
+                                    rscale=rscale, prune=False)
+                 for p in self.pots]
+        if not all(p.m_vals == plain[0].m_vals
+                   and p.outer_labels == plain[0].outer_labels
+                   for p in plain[1:]):
+            return None
+        return {
+            "kind": "cylspline",
+            "template": plain[0],
+            "nodes": jnp.stack([p.nodes for p in plain]),
+            "outer_w": jnp.stack([p.outer_w for p in plain]),
         }
 
     def _stacked_tables(self, t):
@@ -206,6 +246,15 @@ class EvolvingPotential(Potential):
                                            "f_out", "v_out"))
 
     def _stacked_phi_point(self, xyz, t):
+        if self._stacked["kind"] == "cylspline":
+            i, alpha = self._weights(t)
+            st = self._stacked
+            nodes = (1.0 - alpha) * st["nodes"][i] \
+                + alpha * st["nodes"][i + 1]
+            outer_w = (1.0 - alpha) * st["outer_w"][i] \
+                + alpha * st["outer_w"][i + 1]
+            return st["template"].phi_point(xyz, t, nodes=nodes,
+                                            outer_w=outer_w)
         from .multipole import _radial_plain
 
         tmpl = self._stacked["template"]

@@ -490,3 +490,40 @@ def test_multipole_high_lmax_triaxial():
                  / np.asarray(lh.potential(pts)) - 1)
     assert rel.max() < 1e-5
     assert np.isfinite(np.asarray(mp.force(pts))).all()
+
+
+def test_evolving_cylspline_stacked_fast_path():
+    """Homogeneous CylSpline snapshot sequences also stack (FIRE
+    star/gas components): node tensors + outer PowerLaw coefficients
+    lerp in time through one traced evaluation."""
+    from nbody_streams_tpu.potentials.modifiers import EvolvingPotential
+
+    def make(mass):
+        mn = MiyamotoNagaiPotential(mass=mass, scaleRadius=3.0,
+                                    scaleHeight=0.4)
+        r_grid = np.concatenate([[0.0], np.geomspace(0.1, 60.0, 24)])
+        zp = np.geomspace(0.05, 12.0, 12)
+        z_grid = np.concatenate([-zp[::-1], [0.0], zp])
+        rr, zz = np.meshgrid(r_grid, z_grid, indexing="ij")
+        p = np.column_stack([rr.ravel(), np.zeros(rr.size), zz.ravel()])
+        tab = np.asarray(mn.potential(p)).reshape(rr.shape)
+        return CylSplinePotential(CylSplineCoefs(
+            R_grid=r_grid, z_grid=z_grid, m_values=[0], phi=tab[None]))
+
+    T = 6
+    times = np.linspace(0, 7, T)
+    pots = [make(m) for m in np.linspace(4e10, 6e10, T)]
+    ev = EvolvingPotential(pots, times)
+    assert ev._stacked is not None and ev._stacked["kind"] == "cylspline"
+
+    pts = np.array([[8.0, 2.0, 0.5], [20.0, 0.0, 3.0]])
+    tq = 2.6
+    i = int(np.searchsorted(times, tq) - 1)
+    a = (tq - times[i]) / (times[i + 1] - times[i])
+    expected = ((1 - a) * np.asarray(pots[i].potential(pts))
+                + a * np.asarray(pots[i + 1].potential(pts)))
+    got = np.asarray(ev.potential(pts, t=tq))
+    # plain-scaling + shared-rscale rebuild differs from the members'
+    # per-snapshot construction at the interpolant level only
+    np.testing.assert_allclose(got, expected, rtol=2e-4)
+    assert np.isfinite(np.asarray(ev.force(pts, t=tq))).all()
