@@ -112,6 +112,16 @@ def main(argv=None):
     return 0
 
 
+def build_native_main(argv=None):
+    """Entry point for nbody-build-tree: compile the native host-ops
+    library (Morton sort + grid-hash kNN; the reference's script builds
+    libtreeGPU.so, tree_gpu/_build.py:27)."""
+    from . import native
+
+    ok = native.build(verbose=True)
+    return 0 if ok else 1
+
+
 def bench_main(argv=None):
     """Entry point for nbody-bench."""
     import runpy
