@@ -7,6 +7,24 @@ potentials, dynamical friction, analysis utilities and SPH visualization —
 built TPU-first (Pallas tiled kernels, jitted lax.scan integration,
 mesh-sharded direct summation over ICI).
 """
+import os as _os
+
+# Persistent XLA compilation cache: Pallas kernels cost minutes through
+# remote compile services; cache them across processes unless the user
+# chose a location already.  Set both the env var and the live config
+# (jax may already be imported by the caller).
+_cache = _os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    _os.path.join(_os.path.expanduser("~"), ".cache",
+                  "nbody_streams_tpu_xla"))
+try:
+    import jax as _jax
+
+    if not _jax.config.jax_compilation_cache_dir:
+        _jax.config.update("jax_compilation_cache_dir", _cache)
+except Exception:  # pragma: no cover - never block import on cache setup
+    pass
+
 from .__version__ import __version__
 from .constants import G_DEFAULT, NBODY_UNITS, KERNEL_IDS
 from .species import Species, PerformanceWarning

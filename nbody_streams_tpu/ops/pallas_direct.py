@@ -535,20 +535,12 @@ def _pallas_self_sorted(pos, gmass, soft, kind, kahan, mode, eps2,
                               mode, eps2, interpret=interpret,
                               mask_self=mask_self)
 
-    # static band ladder: small fixed rungs + a ~6%-of-rows rung for
-    # large N; runtime picks the smallest rung that covers max_width
-    ladder = sorted({min(12, rows), min(64, rows),
-                     min(max(12, rows // 16), rows)})
-
-    def build(rungs):
-        if not rungs:
-            return slow
-        nb, rest = rungs[0], rungs[1:]
-        nxt = build(rest)
-        return lambda p: jax.lax.cond(max_width <= nb, fast_with(nb),
-                                      nxt, p)
-
-    out_s = build(ladder)(ps)
+    # one static band size (~6% of rows, floor 12): every extra Pallas
+    # kernel variant costs a full remote compile on this platform, so a
+    # multi-rung ladder traded ~4% runtime for minutes of first-run
+    # compilation; a single rung + fallback keeps it to three kernels
+    nb = min(max(12, rows // 16), rows)
+    out_s = jax.lax.cond(max_width <= nb, fast_with(nb), slow, ps)
     return jnp.zeros_like(out_s).at[order].set(out_s)
 
 

@@ -290,10 +290,13 @@ def run_nbody(
         )
 
         e_ref = None
+        energy_fn = None
         if debug_energy:
-            ke, pe = jax.jit(
-                lambda s: system_energy(s, solver, mass_dev)
-            )(state)
+            # jit ONCE: re-wrapping a fresh lambda per report would
+            # retrace every time (2+ s through remote compile services)
+            energy_fn = jax.jit(
+                lambda s: system_energy(s, solver, mass_dev))
+            ke, pe = energy_fn(state)
             e_ref = float(ke) + float(pe)
             if verbose:
                 print(f"[energy t0] KE={float(ke):.4e} PE={float(pe):.4e} "
@@ -409,9 +412,7 @@ def run_nbody(
                         f"| {rate:.1f} steps/s | "
                         f"avg {1e3 * elapsed / max(done, 1):.1f} ms/step")
                 if debug_energy and e_ref:
-                    ke, pe = jax.jit(
-                        lambda s: system_energy(s, solver, mass_dev)
-                    )(state)
+                    ke, pe = energy_fn(state)
                     etot = float(ke) + float(pe)
                     line += (f" | Q={float(ke) / abs(float(pe)):.3f} "
                              f"dE/E={(etot - e_ref) / abs(e_ref):+.2e}")
