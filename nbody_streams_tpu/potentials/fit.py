@@ -256,22 +256,52 @@ def fit_potential(particles: dict, lmax: int = 8, mmax_cyl: int = 8,
                   symmetry: str = "none",
                   mult_species=("dark", "hot_gas"),
                   cylspl_species=("star", "cold_gas", "gas"),
-                  center=None, G: float = G_DEFAULT, **kwargs):
+                  center=None, rotation=None,
+                  subsample_factor: float = 1.0, seed: int = 0,
+                  G: float = G_DEFAULT, **kwargs):
     """Fit a composite BFE potential from a particle snapshot.
 
     ``particles``: {species: (pos (N,3), mass (N,) or float)}.  Extended
     (spheroidal) components fit a Multipole, disky components a
     CylSpline (the Arora+2022 split, reference: _fit.py:133-420).
 
+    ``rotation``: optional (3, 3) matrix applied to positions after the
+    ``center`` shift (disk-plane alignment, reference ``rotation=``);
+    ``subsample_factor`` < 1 fits a random subset with masses reweighted
+    by 1/f (reference ``subsample_factor``).
+
     Returns {'multipole': MultipoleCoefs | None,
              'cylspline': CylSplineCoefs | None,
              'potential': the combined evaluator}.
     """
+    if rotation is not None:
+        rotation = np.asarray(rotation, float)
+        if rotation.shape != (3, 3):
+            raise ValueError(f"rotation must be (3, 3), got "
+                             f"{rotation.shape}")
+    if not 0.0 < subsample_factor <= 1.0:
+        raise ValueError("subsample_factor must be in (0, 1]")
+    rng = np.random.default_rng(seed)
+
+    def prep(pos, mass):
+        pos = np.asarray(pos, float)
+        mass = np.broadcast_to(np.asarray(mass, float),
+                               (pos.shape[0],)).copy()
+        if center is not None:
+            pos = pos - np.asarray(center, float)
+        if rotation is not None:
+            pos = pos @ rotation.T
+        if subsample_factor < 1.0:
+            k = max(1, int(round(pos.shape[0] * subsample_factor)))
+            sel = rng.choice(pos.shape[0], size=k, replace=False)
+            pos = pos[sel]
+            mass = mass[sel] / subsample_factor   # conserve total mass
+        return pos, mass
+
     mult_pos, mult_m = [], []
     cyl_pos, cyl_m = [], []
     for name, (pos, mass) in particles.items():
-        pos = np.asarray(pos, float)
-        mass = np.broadcast_to(np.asarray(mass, float), (pos.shape[0],))
+        pos, mass = prep(pos, mass)
         if name in cylspl_species:
             cyl_pos.append(pos)
             cyl_m.append(mass)
@@ -284,7 +314,7 @@ def fit_potential(particles: dict, lmax: int = 8, mmax_cyl: int = 8,
     if mult_pos:
         coefs = fit_multipole_from_particles(
             np.concatenate(mult_pos), np.concatenate(mult_m),
-            lmax=lmax, symmetry=symmetry, center=center, G=G)
+            lmax=lmax, symmetry=symmetry, G=G)
         out["multipole"] = coefs
         from .multipole import MultipolePotential
 
@@ -292,7 +322,7 @@ def fit_potential(particles: dict, lmax: int = 8, mmax_cyl: int = 8,
     if cyl_pos:
         coefs = fit_cylspline_from_particles(
             np.concatenate(cyl_pos), np.concatenate(cyl_m),
-            mmax=mmax_cyl, center=center, G=G, symmetry=symmetry,
+            mmax=mmax_cyl, G=G, symmetry=symmetry,
             **kwargs)
         out["cylspline"] = coefs
         from .cylspline import CylSplinePotential

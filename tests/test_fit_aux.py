@@ -168,3 +168,26 @@ def test_watchdog_hang_saves_post_progress_restart(tmp_path):
     # the first 50-step sub-chunk completed before the hang
     assert step >= 50
     assert np.isfinite(xv_saved).all()
+
+
+def test_fit_potential_rotation_and_subsample():
+    """rotation= frame transform and subsample_factor reweighting match
+    the reference's fit workflow options (reference: _fit.py:146-149)."""
+    from nbody_streams_tpu.potentials.fit import fit_potential
+
+    xv, m = make_plummer_sphere(8000, M_total=1e9, a=1.0, seed=0)
+    full = fit_potential({"dark": (xv[:, :3], m)}, lmax=2,
+                         symmetry="spherical")
+    rot = np.array([[0.0, 1, 0], [-1, 0, 0], [0, 0, 1]])
+    sub = fit_potential({"dark": (xv[:, :3], m)}, lmax=2,
+                        symmetry="spherical", rotation=rot,
+                        subsample_factor=0.25)
+    pts = np.array([[3.0, 0, 0], [10.0, 0, 0]])
+    p1 = np.asarray(full["potential"].potential(pts))
+    p2 = np.asarray(sub["potential"].potential(pts))
+    # spherical: rotation is a no-op; 25% subsample -> ~percent noise
+    np.testing.assert_allclose(p2, p1, rtol=0.05)
+    with pytest.raises(ValueError):
+        fit_potential({"dark": (xv[:, :3], m)}, subsample_factor=0.0)
+    with pytest.raises(ValueError):
+        fit_potential({"dark": (xv[:, :3], m)}, rotation=np.eye(2))
