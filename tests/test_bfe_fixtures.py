@@ -76,8 +76,9 @@ def test_fixture_force_is_minus_grad_phi(name):
         for k in range(3):
             dp = np.zeros(3)
             dp[k] = h
-            fd[k] = -(float(np.asarray(pot.potential((p + dp)[None])))
-                      - float(np.asarray(pot.potential((p - dp)[None])))) \
+            fd[k] = -(float(np.asarray(pot.potential((p + dp)[None]))[0])
+                      - float(np.asarray(pot.potential(
+                          (p - dp)[None]))[0])) \
                 / (2 * h)
         np.testing.assert_allclose(f, fd, rtol=2e-4, atol=1e-3)
 
@@ -98,8 +99,8 @@ def test_fixture_far_field_and_boundary_continuity(name):
     r_edge = float(np.asarray(c.R_grid).max())
     lo = np.array([[r_edge * 0.999, 0.0, 0.0]])
     hi = np.array([[r_edge * 1.001, 0.0, 0.0]])
-    p_lo = float(np.asarray(pot.potential(lo)))
-    p_hi = float(np.asarray(pot.potential(hi)))
+    p_lo = float(np.asarray(pot.potential(lo))[0])
+    p_hi = float(np.asarray(pot.potential(hi))[0])
     assert p_hi == pytest.approx(p_lo, rel=5e-3)
 
 

@@ -40,17 +40,17 @@ def test_lmc_moves_and_deepens_potential(mwlmc):
         i = np.argmin(np.abs(traj[:, 0] - t_probe))
         x_lmc = traj[i, 1:4]
         near = float(np.asarray(pot.potential(
-            x_lmc[None] + np.array([[0.5, 0, 0]]), t=traj[i, 0])))
+            x_lmc[None] + np.array([[0.5, 0, 0]]), t=traj[i, 0]))[0])
         far = float(np.asarray(pot.potential(
-            x_lmc[None] + np.array([[80.0, 0, 0]]), t=traj[i, 0])))
+            x_lmc[None] + np.array([[80.0, 0, 0]]), t=traj[i, 0]))[0])
         assert near < far < 0.0
 
 
 def test_time_continuity_and_frame_acceleration(mwlmc):
     pot, _ = mwlmc
     x = np.array([[20.0, 5.0, -3.0]])
-    p1 = float(np.asarray(pot.potential(x, t=-2.0)))
-    p2 = float(np.asarray(pot.potential(x, t=-2.0 + 1e-4)))
+    p1 = float(np.asarray(pot.potential(x, t=-2.0))[0])
+    p2 = float(np.asarray(pot.potential(x, t=-2.0 + 1e-4))[0])
     assert p2 == pytest.approx(p1, rel=1e-5)
     # the non-inertial term: force at the origin equals -a_MW(t)
     # (MW contributes ~0 by symmetry; LMC pull is what a_MW encodes, so

@@ -360,8 +360,8 @@ def test_cylspline_outer_exponential_disk():
     # polar direction: no far boundary data exists above the caps, the
     # fit extrapolates in angle there — slightly looser
     pole = np.array([[0.0, 0.0, 40.0]])
-    rel_pole = abs(float(np.asarray(cs.potential(pole))
-                         / np.asarray(disk.potential(pole))) - 1)
+    rel_pole = abs(float((np.asarray(cs.potential(pole))
+                          / np.asarray(disk.potential(pole)))[0]) - 1)
     assert rel_pole < 3e-3
     # buffer region (outside the caps, inside r_enc): intrinsic limit of
     # any origin-centred truncated expansion, same class as Agama
