@@ -54,17 +54,21 @@ def main():
     state = run_chunk(step_fn, state, STEPS)
     jax.device_get(state.pos)
 
-    t0 = time.perf_counter()
-    state = run_chunk(step_fn, state, STEPS)
-    jax.device_get(state.pos)  # axon note: block_until_ready may not block
-    dt_step = (time.perf_counter() - t0) / STEPS
+    # best of 3 windows: the remote-device tunnel adds multi-ms jitter
+    # per dispatch, and contention can slow whole windows by ~10%
+    dt_step = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        state = run_chunk(step_fn, state, STEPS)
+        jax.device_get(state.pos)  # axon: block_until_ready may not block
+        dt_step = min(dt_step, (time.perf_counter() - t0) / STEPS)
 
     ke1, pe1 = energy(state)
     de = abs((float(ke1) + float(pe1) - e0) / e0)
     gint = N * N / dt_step / 1e9
 
     print(f"# N={N} {dt_step * 1e3:.2f} ms/step  |dE/E|={de:.2e} "
-          f"({2 * STEPS} steps)  backend={jax.default_backend()} "
+          f"(best of 3x{STEPS} steps)  backend={jax.default_backend()} "
           f"impl={solver.impl}", file=sys.stderr)
 
     print(json.dumps({
