@@ -33,6 +33,7 @@ from .ops import (
     compute_potential_direct,
 )
 from .ic import make_plummer_sphere, place_on_orbit
+from .df import sample_quasispherical, sample_disk, eddington_df
 from .run import run_nbody, run_nbody_tpu, run_nbody_cpu
 from .sim import run_simulation
 from .nbody_io import ParticleReader
@@ -68,6 +69,9 @@ __all__ = [
     "ParticleReader",
     "make_plummer_sphere",
     "place_on_orbit",
+    "sample_quasispherical",
+    "sample_disk",
+    "eddington_df",
     "compute_forces_direct",
     "compute_potential_direct",
     "compute_nbody_forces_gpu",

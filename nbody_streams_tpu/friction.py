@@ -108,7 +108,16 @@ def compute_sigma_r(pot, t_eval: float = 0.0, grid_r=None,
         f_e = (2.0 * np.sqrt(e_grid) * (vals * wu[None, :]).sum(1)
                / (np.sqrt(8.0) * np.pi ** 2))
         f_e = np.maximum(f_e, 0.0)             # clip quadrature noise
-        ln_f = CubicSpline(e_grid, np.log(f_e + 1e-300))
+        # piecewise-linear ln f(ln E): a cubic spline oscillates and
+        # overflows exp() across clipped f = 0 stretches (tracer
+        # densities in a deeper host can have d2rho/dpsi2 < 0 noise
+        # near the outer boundary)
+        ln_e_tab = np.log(e_grid)
+        ln_f_tab = np.log(f_e + 1e-300)
+
+        def ln_f(e):
+            return np.interp(np.log(np.maximum(e, e_grid[0])),
+                             ln_e_tab, ln_f_tab)
 
         # velocity moments at each radius: v in (0, sqrt(2 psi))
         vq, wv = np.polynomial.legendre.leggauss(96)
