@@ -489,7 +489,8 @@ def build_spheroid(densityNorm: float | None = None, mass: float | None = None,
     return MultipolePotential(coefs)
 
 
-def build_disk(surfaceDensity: float = 1.0, scaleRadius: float = 1.0,
+def build_disk(surfaceDensity: float | None = None,
+               mass: float | None = None, scaleRadius: float = 1.0,
                scaleHeight: float = 0.1, innerCutoffRadius: float = 0.0,
                sersicIndex: float = 1.0, lmax: int = 32,
                gridSizeR: int = 48, rmin: float | None = None,
@@ -497,8 +498,19 @@ def build_disk(surfaceDensity: float = 1.0, scaleRadius: float = 1.0,
                G: float = G_DEFAULT) -> Potential:
     """Native ``type=Disk``: DiskAnsatz + axisymmetric Multipole of the
     GalPot residual density (reference: _build_disk_gpu,
-    _potential.py:2157 — via Agama export)."""
+    _potential.py:2157 — via Agama export).  Accepts ``mass=`` as an
+    alternative normalisation to ``surfaceDensity=`` (Agama semantics).
+    """
     from .analytic import DiskAnsatzPotential
+
+    if surfaceDensity is None:
+        if mass is None:
+            raise ValueError("Disk needs surfaceDensity= or mass=")
+        unit = DiskDensity(surfaceDensity=1.0, scaleRadius=scaleRadius,
+                           scaleHeight=scaleHeight,
+                           innerCutoffRadius=innerCutoffRadius,
+                           sersicIndex=sersicIndex)
+        surfaceDensity = float(mass) / unit.total_mass()
 
     dens = DiskDensity(surfaceDensity=surfaceDensity,
                        scaleRadius=scaleRadius, scaleHeight=scaleHeight,

@@ -48,6 +48,8 @@ def plot_density(pos, mass=1.0, method: str = "sph", npix: int = 256,
         lim = np.percentile(
             np.abs(pos[:, [i, j]]), 99.0) * 1.2
         extent = (-lim, lim, -lim, lim)
+    elif np.isscalar(extent):
+        extent = (-extent, extent, -extent, extent)
 
     if method == "sph":
         from .sph import render_surface_density
