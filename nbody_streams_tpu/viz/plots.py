@@ -93,28 +93,110 @@ def plot_density(pos, mass=1.0, method: str = "sph", npix: int = 256,
     return ax, img
 
 
-def plot_mollweide(pos, weights=None, nside_bins: int = 180, ax=None,
-                   cmap: str = "magma", log: bool = True):
-    """All-sky Mollweide histogram of particle directions.
+def plot_mollweide(pos, weights=None, initial_nside: int = 60, ax=None,
+                   cmap: str = "magma", log: bool = True,
+                   log_scale: bool | None = None, normalize: bool = False,
+                   filter_radius=(0, 0), smooth_fwhm_deg=None,
+                   density_threshold: float = 1e5, add_traj=None,
+                   add_end_pt: bool = False, return_map: bool = False,
+                   nside_bins: int | None = None, verbose: bool = False):
+    """All-sky Mollweide map of a 3-D particle field on a native HEALPix
+    (ring-scheme) pixelisation — no healpy needed.
 
-    (The reference's HEALPix version needs healpy; this uses a plain
-    lon/lat histogram on matplotlib's mollweide projection.)
-    Returns (ax, image).
+    Mirrors the reference's healpy-based version (reference:
+    viz/plots.py:433-617): per-pixel surface density [weight/deg^2],
+    dynamic nside upscaling above ``density_threshold`` particles,
+    ``filter_radius`` as either (radius, tol) shell or (rmin, rmax)
+    range, log scaling, median ``normalize``, Gaussian smoothing
+    (default FWHM = 3 sqrt(pixel area)), and optional trajectory
+    overlay.  Smoothing is done in lon/lat image space with a
+    per-row 1/cos(lat) longitude width (a flat-sky approximation of
+    healpy's harmonic smoothing, accurate away from the poles).
+
+    Returns (ax, smoothed HEALPix map (npix,)).
     """
+    from scipy.ndimage import gaussian_filter1d
+
+    from .healpix import (ang2pix_ring, healpix_map, nside2npix,
+                          pix2ang_ring)
+
+    if log_scale is not None:      # reference kwarg name
+        log = log_scale
     pos = np.asarray(pos, float)
-    lon = np.arctan2(pos[:, 1], pos[:, 0])
-    lat = np.arcsin(np.clip(
-        pos[:, 2] / (np.linalg.norm(pos, axis=1) + 1e-300), -1, 1))
-    img, xe, ye = np.histogram2d(
-        lon, lat, bins=[2 * nside_bins, nside_bins],
-        range=[[-np.pi, np.pi], [-np.pi / 2, np.pi / 2]], weights=weights)
+    weights = None if weights is None else np.asarray(weights, float)
+
+    fr = tuple(filter_radius)
+    if fr[0] > 0 and fr[1] > 0 and fr[0] >= fr[1]:     # (radius, tol) shell
+        d = np.linalg.norm(pos, axis=1)
+        mask = np.isclose(d, fr[0], atol=fr[1])
+    elif fr[0] >= 0 and fr[1] > fr[0]:                 # (rmin, rmax)
+        d = np.linalg.norm(pos, axis=1)
+        mask = (d >= fr[0]) & (d <= fr[1])
+    else:
+        mask = slice(None)
+    pos = pos[mask]
+    if weights is not None:
+        weights = weights[mask]
+
+    nside = int(initial_nside)
+    if pos.shape[0] > density_threshold:
+        nside = min(512, int(initial_nside
+                             * (pos.shape[0] / density_threshold) ** 0.5))
+        if verbose:
+            print(f"dynamic nside: {nside}")
+
+    sky = healpix_map(nside, pos, weights=weights)
+    area_deg2 = 4.0 * np.pi * (180.0 / np.pi) ** 2 / nside2npix(nside)
+    sky = sky / area_deg2
+    if log:
+        filled = sky > 0
+        sky[filled] = np.log10(sky[filled])
+    if normalize:
+        med = np.median(sky[sky > 0]) if (sky > 0).any() else 1.0
+        sky = sky / med - 1
+
+    # project to a lon/lat image, smooth, and resample back to pixels
+    n_lat = max(4 * nside, 180)
+    lat_c = np.linspace(-np.pi / 2, np.pi / 2, n_lat + 1)[:-1] \
+        + np.pi / (2 * n_lat)
+    lon_c = np.linspace(-np.pi, np.pi, 2 * n_lat + 1)[:-1] \
+        + np.pi / (2 * n_lat)
+    LON, LAT = np.meshgrid(lon_c, lat_c)
+    img = sky[ang2pix_ring(nside, np.pi / 2 - LAT,
+                           np.mod(LON, 2 * np.pi))]
+    if smooth_fwhm_deg is None:
+        fwhm_rad = 3.0 * np.sqrt(4.0 * np.pi / nside2npix(nside))
+    else:
+        fwhm_rad = np.radians(float(smooth_fwhm_deg))
+    sig_pix = fwhm_rad / 2.355 / (np.pi / n_lat)
+    if sig_pix > 0.05:
+        for i, la in enumerate(lat_c):     # wrap in lon, width ~ 1/cos(lat)
+            s = sig_pix / max(np.cos(la), 0.05)
+            img[i] = gaussian_filter1d(img[i], s, mode="wrap")
+        img = gaussian_filter1d(img, sig_pix, axis=0, mode="nearest")
+
     ax = _get_axis(ax, subplot_kw={"projection": "mollweide"})
-    xc = 0.5 * (xe[:-1] + xe[1:])
-    yc = 0.5 * (ye[:-1] + ye[1:])
-    shown = np.log10(img.T + 1.0) if log else img.T
-    ax.pcolormesh(xc, yc, shown, cmap=cmap)
+    ax.pcolormesh(lon_c, lat_c, img, cmap=cmap, rasterized=True)
     ax.grid(True, alpha=0.3)
-    return ax, img
+
+    if add_traj is not None and len(add_traj) > 0:
+        tr = np.asarray(add_traj, float)
+        lon_t = np.arctan2(tr[:, 1], tr[:, 0])
+        lat_t = np.arcsin(np.clip(
+            tr[:, 2] / (np.linalg.norm(tr, axis=1) + 1e-300), -1, 1))
+        ax.plot(lon_t, lat_t, c="lime", ls="--", lw=1)
+        if add_end_pt:
+            ax.plot(lon_t[-1], lat_t[-1], marker="*", c="lime", ms=10)
+
+    # smoothed map resampled back onto HEALPix pixels (what the
+    # reference's return_map=True hands back)
+    th_p, ph_p = pix2ang_ring(nside, np.arange(nside2npix(nside)))
+    ii = np.clip(((np.pi / 2 - th_p + np.pi / 2)
+                  / np.pi * n_lat).astype(int), 0, n_lat - 1)
+    jj = np.clip(((np.mod(ph_p + np.pi, 2 * np.pi))
+                  / (2 * np.pi) * 2 * n_lat).astype(int), 0, 2 * n_lat - 1)
+    sky_smoothed = img[ii, jj]
+    return ax, sky_smoothed
 
 
 def plot_stream_sky(xv, xv_prog=None, ax=None, s: float = 1.0,
