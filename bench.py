@@ -54,10 +54,10 @@ def main():
     state = run_chunk(step_fn, state, STEPS)
     jax.device_get(state.pos)
 
-    # best of 3 windows: the remote-device tunnel adds multi-ms jitter
+    # best of 5 windows: the remote-device tunnel adds multi-ms jitter
     # per dispatch, and contention can slow whole windows by ~10%
     dt_step = float("inf")
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
         state = run_chunk(step_fn, state, STEPS)
         jax.device_get(state.pos)  # axon: block_until_ready may not block
@@ -68,7 +68,7 @@ def main():
     gint = N * N / dt_step / 1e9
 
     print(f"# N={N} {dt_step * 1e3:.2f} ms/step  |dE/E|={de:.2e} "
-          f"(best of 3x{STEPS} steps)  backend={jax.default_backend()} "
+          f"(best of 5x{STEPS} steps)  backend={jax.default_backend()} "
           f"impl={solver.impl}", file=sys.stderr)
 
     print(json.dumps({
