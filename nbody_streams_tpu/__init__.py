@@ -49,6 +49,7 @@ from .utils.devices import get_device_info, device_alive
 get_gpu_info = get_device_info
 cuda_alive = device_alive
 run_nbody_gpu = run_nbody_tpu
+from .tree import TreeGPU, tree_gravity_gpu, run_nbody_gpu_tree
 compute_nbody_forces_gpu = compute_forces_direct
 compute_nbody_forces_cpu = compute_forces_direct
 compute_nbody_potential_gpu = compute_potential_direct
@@ -89,4 +90,7 @@ __all__ = [
     "device_alive",
     "get_gpu_info",
     "cuda_alive",
+    "TreeGPU",
+    "tree_gravity_gpu",
+    "run_nbody_gpu_tree",
 ]
