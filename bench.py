@@ -23,7 +23,8 @@ import numpy as np  # noqa: E402
 
 N = 65536
 DT = 2e-5
-STEPS = 20
+STEPS = 50   # per window: ~58 ms tunnel latency per dispatch must be
+             # amortised over the window (3 ms/step at 20, 1.2 at 50)
 BASELINE_GINT = 124.0  # reference RTX 3080 direct f32 path
 
 
