@@ -212,7 +212,9 @@ def sample_disk(n: int, potential, surfaceDensity: float | None = None,
     * ``sigma_phi = sigma_R * kappa / (2 Omega)`` (epicyclic);
     * mean streaming from the asymmetric-drift equation
       ``vc^2 - vbar_phi^2 = sigma_R^2 (kappa^2/(4 Omega^2) - 1
-      + R d ln(Sigma sigma_R^2)/dR)``;
+      - d ln(Sigma sigma_R^2)/d ln R)`` (BT2008 eq. 4.228 form; the
+      gradient term is negative for a declining disk, so it *adds* to
+      the drift);
     * ``sigma_z^2(R) = (1/h(0)) int_0^inf h(z) dPhi/dz dz`` — the exact
       vertical Jeans integral in the supplied (total) potential.
 
@@ -221,7 +223,8 @@ def sample_disk(n: int, potential, surfaceDensity: float | None = None,
     from .potentials.galpot import _disk_sigma_funcs, _vertical_funcs
 
     rng = np.random.default_rng(seed)
-    if surfaceDensity is None:
+    norm_by_mass = surfaceDensity is None
+    if norm_by_mass:
         if mass is None:
             raise ValueError("give surfaceDensity or mass")
         surfaceDensity = 1.0
@@ -237,7 +240,10 @@ def sample_disk(n: int, potential, surfaceDensity: float | None = None,
     m_cum = np.concatenate([[0.0],
                             np.cumsum(0.5 * (dM[1:] + dM[:-1])
                                       * np.diff(ln_rg))])
-    if mass is not None:
+    # precedence matches build_disk: an explicit surfaceDensity wins and
+    # mass= is only used when surfaceDensity was not given, so matched
+    # IC + potential construction with identical kwargs stays consistent
+    if norm_by_mass:
         scale = mass / m_cum[-1]
         surfaceDensity *= scale
         sig_fn, sig_d1, _ = _disk_sigma_funcs(surfaceDensity, scaleRadius,

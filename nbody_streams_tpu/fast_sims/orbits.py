@@ -170,9 +170,10 @@ def integrate_orbit_adaptive(pot, xv0, t0: float, t1: float,
     output has the same (n_out+1, ..., 6) shape contract as
     ``integrate_orbit``.  Forward or backward (t1 < t0).
 
-    ``max_substeps`` bounds the inner while_loop per output interval
-    (a safety net, not a budget: hitting it leaves the remaining
-    interval integrated with the last step size).
+    ``max_substeps`` bounds the inner while_loop per output interval; if
+    a interval exhausts it before reaching its end time, that interval's
+    output (and the rest of the trajectory) is NaN-poisoned so the
+    failure is visible rather than a silently-truncated integration.
     """
     dtype = dtype or (jnp.float64 if jax.config.jax_enable_x64
                       else jnp.float32)
@@ -201,21 +202,34 @@ def integrate_orbit_adaptive(pot, xv0, t0: float, t1: float,
         def body(c):
             xv_c, t, h_c, n = c
             # clip the trial step to the interval end
-            h_try = jnp.where((t + h_c - t_end) * sign > 0,
-                              t_end - t, h_c)
+            clip = (t + h_c - t_end) * sign > 0
+            h_try = jnp.where(clip, t_end - t, h_c)
             xv_new, err = _dp45_step(deriv, xv_c, t, h_try)
             e = err_norm(err, xv_c, xv_new)
+            # a NaN error estimate (singular force eval) must count as
+            # "infinitely wrong": reject and shrink, never grow
+            e = jnp.where(jnp.isfinite(e), e, jnp.inf)
             accept = e <= 1.0
             # PI controller, safety 0.9, order 5
             fac = jnp.clip(0.9 * e ** -0.2, 0.2, 5.0)
             h_next = jnp.where(jnp.abs(h_try * fac) < jnp.abs(h_c * 5.0),
                                h_try * fac, h_c * 5.0)
+            # an accepted step that was clipped to the interval boundary
+            # must not collapse the carried cruise step to the sliver
+            h_next = jnp.where(clip & accept, h_c, h_next)
             xv_c = jnp.where(accept, xv_new, xv_c)
             t = jnp.where(accept, t + h_try, t)
             return xv_c, t, h_next, n + 1
 
-        xv, _t, h, _n = lax.while_loop(
+        xv, t_fin, h, n_fin = lax.while_loop(
             cond, body, (xv, jnp.asarray(t_start, dtype), h, 0))
+        # if the substep budget ran out before t_end, poison the output
+        # instead of returning a silently-truncated trajectory.  (The
+        # budget check is primary: re-deriving the loop's own time
+        # comparison here can disagree with `cond` by 1 ulp under XLA
+        # expression contraction.)
+        reached = (n_fin < max_substeps) | ((t_fin - t_end) * sign >= 0)
+        xv = jnp.where(reached, xv, jnp.full_like(xv, jnp.nan))
         return (xv, h), xv
 
     h0 = jnp.asarray(h_out / 16.0, dtype)

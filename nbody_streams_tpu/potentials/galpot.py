@@ -465,6 +465,14 @@ def build_spheroid(densityNorm: float | None = None, mass: float | None = None,
     if densityNorm is None:
         if mass is None:
             raise ValueError("Spheroid needs densityNorm= or mass=")
+        if beta <= 3.0 and outerCutoffRadius <= 0.0:
+            # total mass diverges (rho ~ m^-beta, M ~ int m^(2-beta) dm):
+            # normalising by mass against an arbitrary truncation radius
+            # would silently misscale everything (Agama errors here too)
+            raise ValueError(
+                f"Spheroid with beta = {beta} <= 3 has infinite total "
+                "mass; mass= normalisation needs outerCutoffRadius > 0 "
+                "(or use densityNorm=)")
         dens.rho0 = float(mass) / dens.total_mass()
 
     a = float(scaleRadius)

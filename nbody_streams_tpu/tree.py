@@ -67,7 +67,7 @@ class TreeGPU:
         return self._solver
 
 
-def tree_gravity_gpu(pos, mass, eps=0.05, G: float = G_DEFAULT,
+def tree_gravity_gpu(pos, mass, eps=None, G: float = G_DEFAULT,
                      theta: float = 0.6, nleaf: int = 64, ncrit: int = 64,
                      level_split: int = 5, tree: TreeGPU | None = None):
     """(acc, phi) for all particles (reference ``tree_gravity_gpu``,
@@ -79,6 +79,8 @@ def tree_gravity_gpu(pos, mass, eps=0.05, G: float = G_DEFAULT,
     """
     pos = np.asarray(pos, np.float32)
     n = pos.shape[0]
+    if eps is None:                    # fall back to the handle's eps
+        eps = tree.eps if tree is not None else 0.05
     eps_arr = np.broadcast_to(np.asarray(eps, np.float32), (n,))
     _note_exact(theta)
     handle = tree if tree is not None else TreeGPU(n)

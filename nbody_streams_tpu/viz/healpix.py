@@ -27,10 +27,12 @@ def ang2pix_ring(nside: int, theta, phi):
     theta = np.asarray(theta, float)
     phi = np.asarray(phi, float)
     z = np.cos(theta)
-    za = np.abs(z)
     tt = np.mod(phi, 2.0 * np.pi) / (0.5 * np.pi)        # in [0, 4)
+    # healpy broadcasts mixed scalar/array theta, phi — match that
+    z, tt = np.broadcast_arrays(z, tt)
+    za = np.abs(z)
 
-    ipix = np.empty(np.broadcast(z, tt).shape, dtype=np.int64)
+    ipix = np.empty(z.shape, dtype=np.int64)
     eq = za <= 2.0 / 3.0
 
     # --- equatorial belt

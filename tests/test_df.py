@@ -177,3 +177,22 @@ def test_quasispherical_short_nbody_stays_in_equilibrium(tmp_path):
                              save_snapshots=False, verbose=False)
     r1 = np.median(np.linalg.norm(out["star"][:, :3], axis=1))
     assert r1 == pytest.approx(r0, rel=0.08)
+
+
+def test_sample_disk_surface_density_wins_over_mass():
+    """Precedence matches build_disk: explicit surfaceDensity is kept and
+    mass= is ignored, so matched IC + potential pairs built with the same
+    kwargs stay self-consistent (r2 review)."""
+    from nbody_streams_tpu.potentials import make_potential
+
+    mw = make_potential(type='NFW', mass=1e12, scaleRadius=16.0)
+    Rd = 3.0
+    sigma0 = 800.0 * 1e6                       # Msun / kpc^2
+    m_sigma = 2.0 * np.pi * sigma0 * Rd**2     # exp-disk total mass
+    _, m_both = nst.sample_disk(2000, mw, surfaceDensity=sigma0,
+                                mass=5e10, scaleRadius=Rd,
+                                scaleHeight=0.3, seed=1)
+    assert m_both.sum() == pytest.approx(m_sigma, rel=0.01)
+    _, m_only = nst.sample_disk(2000, mw, surfaceDensity=sigma0,
+                                scaleRadius=Rd, scaleHeight=0.3, seed=1)
+    np.testing.assert_allclose(m_both, m_only)

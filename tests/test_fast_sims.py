@@ -252,3 +252,56 @@ def test_adaptive_orbit_energy_conservation():
     e = [energy(np.asarray(traj)[k]) for k in (0, 32, 64)]
     assert abs(e[2] - e[0]) / abs(e[0]) < 1e-8
     assert abs(e[1] - e[0]) / abs(e[0]) < 1e-8
+
+
+def test_adaptive_orbit_nan_force_poisons_not_freezes():
+    """A NaN force evaluation must shrink the step (never grow) and, if
+    the interval cannot be completed, NaN-poison the output instead of
+    returning a silently-truncated finite trajectory (r2 review)."""
+    import jax.numpy as jnp
+
+    from nbody_streams_tpu.fast_sims.orbits import integrate_orbit_adaptive
+
+    class NaNCorePot:
+        """Kepler point mass whose force is NaN inside r < 0.05."""
+
+        def force(self, pos, t=0.0):
+            r2 = jnp.sum(pos**2, axis=-1, keepdims=True)
+            f = -4.3e-6 * 1e10 * pos / jnp.maximum(r2, 1e-30) ** 1.5
+            return jnp.where(r2 < 0.05**2, jnp.nan, f)
+
+    # radial plunge straight into the NaN core
+    xv0 = np.array([1.0, 0.0, 0.0, -1.0, 0.0, 0.0])
+    _, traj = integrate_orbit_adaptive(
+        NaNCorePot(), xv0, 0.0, 5.0, n_out=32, rtol=1e-8, atol=1e-8,
+        max_substeps=3000, dtype=jnp.float64)
+    traj = np.asarray(traj)
+    assert np.isfinite(traj[0]).all()
+    # the failure is visible: the tail of the trajectory is NaN
+    assert np.isnan(traj[-1]).any()
+    # and nothing pretended to tunnel through the core with finite values
+    finite = traj[np.isfinite(traj).all(axis=1)]
+    assert (np.linalg.norm(finite[:, :3], axis=1) > 0.049).all()
+
+
+def test_adaptive_orbit_interval_clip_keeps_cruise_step():
+    """The carried step must not collapse to the end-of-interval sliver:
+    a smooth circular orbit should need only a handful of substeps per
+    output interval (r2 review)."""
+    from nbody_streams_tpu.fast_sims.orbits import integrate_orbit_adaptive
+    from nbody_streams_tpu.potentials.analytic import NFWPotential
+
+    pot = NFWPotential(mass=1e12, scaleRadius=20.0)
+    xv0 = np.array([30.0, 0.0, 0.0, 0.0, 180.0, 0.0])
+    times, traj = integrate_orbit_adaptive(pot, xv0, 0.0, 2.0, n_out=64,
+                                           rtol=1e-9, atol=1e-9)
+    # exactness of the result already implies correct stepping; the
+    # collapse bug showed up as ~2x the substep count, which is hard to
+    # observe directly under jit -- so assert the round-trip is cheap AND
+    # exact at modest max_substeps (the collapsed controller would need
+    # the regrowth steps and lose accuracy at this budget)
+    _, back = integrate_orbit_adaptive(pot, np.asarray(traj)[-1], 2.0,
+                                       0.0, n_out=64, rtol=1e-9,
+                                       atol=1e-9, max_substeps=64)
+    rel = np.abs(np.asarray(back)[-1] - xv0).max() / np.abs(xv0).max()
+    assert rel < 1e-5

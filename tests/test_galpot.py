@@ -193,3 +193,17 @@ class TestMcMillan17:
         f = np.asarray(pot.force(np.array([[8.2, 0, 0.5], [8.2, 0, -0.5]])))
         assert f[0, 2] < 0 < f[1, 2]
         assert f[0, 2] == pytest.approx(-f[1, 2], rel=1e-8)
+
+
+def test_spheroid_mass_normalisation_rejects_divergent_beta():
+    """mass= normalisation with beta <= 3 and no cutoff would divide by
+    an arbitrary truncation-dependent total mass (r2 review)."""
+    import pytest
+
+    from nbody_streams_tpu.potentials.galpot import build_spheroid
+
+    with pytest.raises(ValueError, match="infinite total mass"):
+        build_spheroid(mass=1e12, gamma=1.0, beta=3.0, scaleRadius=15.0)
+    # with a cutoff the same profile is fine
+    build_spheroid(mass=1e10, gamma=1.0, beta=3.0, scaleRadius=2.0,
+                   outerCutoffRadius=30.0, lmax=0, gridSizeR=24)

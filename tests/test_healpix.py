@@ -98,3 +98,15 @@ class TestMollweide:
         assert abs(th[0] - np.pi / 2) < 0.1       # on the equator
         assert min(ph[0], 2 * np.pi - ph[0]) < 0.1  # at phi ~ 0
         plt.close("all")
+
+
+def test_mixed_scalar_array_broadcast():
+    """healpy broadcasts mixed scalar/array theta, phi (r2 review)."""
+    th = np.array([0.1, 1.0, 3.0])
+    p1 = ang2pix_ring(4, th, 0.0)
+    p2 = ang2pix_ring(4, th, np.zeros(3))
+    np.testing.assert_array_equal(p1, p2)
+    ph = np.array([0.0, 1.0, 2.0])
+    p3 = ang2pix_ring(4, 0.1, ph)
+    p4 = ang2pix_ring(4, np.full(3, 0.1), ph)
+    np.testing.assert_array_equal(p3, p4)

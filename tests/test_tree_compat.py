@@ -47,3 +47,15 @@ def test_run_nbody_gpu_tree_end_to_end(tmp_path, cluster):
         xv, mass, 0.0, 10 * 2e-4, 2e-4, softening=0.1, theta=0.6,
         output_dir=str(tmp_path / "o"), snapshots=2, verbose=False)
     assert out.shape == (300, 6) and np.isfinite(out).all()
+
+
+def test_handle_eps_honoured_without_explicit_arg(cluster):
+    """A handle built with eps=0.2 must not silently fall back to the
+    0.05 function default (r2 review)."""
+    pos, mass = cluster
+    t1 = nst.TreeGPU(300, eps=0.4)
+    a_handle, _ = nst.tree_gravity_gpu(pos, mass, tree=t1)
+    a_explicit, _ = nst.tree_gravity_gpu(pos, mass, eps=0.4)
+    np.testing.assert_allclose(a_handle, a_explicit, rtol=1e-6)
+    a_default, _ = nst.tree_gravity_gpu(pos, mass)   # eps = 0.05
+    assert np.abs(a_handle - a_default).max() > 0
