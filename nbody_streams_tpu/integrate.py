@@ -177,15 +177,22 @@ def init_state(
     mass,
     t0: float,
     start_step: int = 0,
+    dt: float = 0.0,
     dtype=jnp.float32,
     external_potential=None,
     force_extra: ForceExtra | None = None,
 ) -> IntegratorState:
-    """Build the initial device state, including the first force evaluation."""
+    """Build the initial device state, including the first force evaluation.
+
+    On a resumed run (``start_step > 0``) pass ``dt`` so the first force
+    and the force_extra state are evaluated at the resume time
+    ``t0 + start_step*dt``, not at ``t0`` — time-dependent external
+    potentials would otherwise see the wrong epoch for the first kick.
+    """
     pos = jnp.asarray(pos, dtype)
     vel = jnp.asarray(vel, dtype)
     zeros = jnp.zeros_like(pos)
-    t = jnp.asarray(t0 + start_step * 0.0, dtype)
+    t = jnp.asarray(t0 + start_step * dt, dtype)
     extra_state = (
         force_extra.init_state(pos, vel, mass, t)
         if force_extra is not None else ()
@@ -193,7 +200,7 @@ def init_state(
     step = jnp.asarray(start_step, jnp.int32)
     acc, ext_acc, extra_state = jax.jit(
         lambda p, v, s, es: _init_accel(
-            accel_fn, p, v, jnp.asarray(t0, dtype), s, zeros, es
+            accel_fn, p, v, t, s, zeros, es
         )
     )(pos, vel, step, extra_state)
     return IntegratorState(pos, vel, zeros, jnp.zeros_like(vel), acc,

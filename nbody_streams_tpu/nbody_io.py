@@ -102,7 +102,7 @@ def _save_snapshot(
     time_step: float | None = None,
     num_files_to_write: int | None = None,
     total_expected_snapshots: int | None = None,
-    mass_dark: float | None = None,
+    mass_dark: float | np.ndarray | None = None,
 ) -> None:
     """Append one snapshot; never overwrites an existing snap dataset."""
     if not H5PY_AVAILABLE:
@@ -129,7 +129,20 @@ def _save_snapshot(
             if "dark" not in props:
                 grp = props.create_group("dark")
                 grp.create_dataset("N", data=n)
-                grp.create_dataset("m", data=float(mass_dark or 1.0))
+                m_arr = np.asarray(
+                    1.0 if mass_dark is None else mass_dark, float)
+                if m_arr.ndim == 0:
+                    grp.create_dataset("m", data=float(m_arr))
+                else:
+                    # smart storage: scalar when uniform (0.0 included),
+                    # compressed array otherwise
+                    uniform, val = _is_uniform(m_arr)
+                    if uniform:
+                        grp.create_dataset("m", data=float(val))
+                    else:
+                        grp.create_dataset("m", data=float(m_arr[0]))
+                        grp.create_dataset("m_array", data=m_arr,
+                                           compression="gzip")
                 grp.create_dataset("eps", data=0.0)
             if "star" not in props:
                 grp = props.create_group("star")

@@ -239,7 +239,10 @@ def fit_cylspline_from_particles(pos, mass, R_grid=None, z_grid=None,
         elif m == 0:
             tables.append(spec[:, :, 0].real.copy())
         elif m > 0:
-            tables.append(2.0 * spec[:, :, am].real)
+            # the rfft Nyquist bin (am == n_phi/2, even n_phi) is not
+            # conjugate-paired: its cos coefficient is Re(spec) x 1
+            fac = 1.0 if 2 * am == n_phi else 2.0
+            tables.append(fac * spec[:, :, am].real)
         else:
             tables.append(-2.0 * spec[:, :, am].imag)
     if symmetry.lower() in ("axisymmetric", "axisym", "a"):
@@ -301,13 +304,25 @@ def fit_potential(particles: dict, lmax: int = 8, mmax_cyl: int = 8,
     mult_pos, mult_m = [], []
     cyl_pos, cyl_m = [], []
     for name, (pos, mass) in particles.items():
-        pos, mass = prep(pos, mass)
         if name in cylspl_species:
-            cyl_pos.append(pos)
-            cyl_m.append(mass)
+            dest_pos, dest_m = cyl_pos, cyl_m
+        elif name in mult_species:
+            dest_pos, dest_m = mult_pos, mult_m
         else:
-            mult_pos.append(pos)
-            mult_m.append(mass)
+            # neither list claims it: excluding mass silently would be
+            # worse than the (reference-matching) default of Multipole,
+            # but routing a species the caller explicitly listed
+            # elsewhere must not happen by accident
+            import warnings
+
+            warnings.warn(
+                f"species {name!r} is in neither mult_species nor "
+                "cylspl_species; folding it into the Multipole component",
+                stacklevel=2)
+            dest_pos, dest_m = mult_pos, mult_m
+        pos, mass = prep(pos, mass)
+        dest_pos.append(pos)
+        dest_m.append(mass)
 
     out = {"multipole": None, "cylspline": None}
     pots = []

@@ -250,8 +250,13 @@ def _radial_plain(xlog, x_grid, coeffs, f_in, v_in, f_out, v_out,
     # untaken-branch inf into NaN)
     d_in = jnp.minimum(xlog - x0, 0.0)
     d_out = jnp.maximum(xlog - x1, 0.0)
-    val = jnp.where(xlog < x0, f_in * jnp.exp(v_in * d_in), val)
-    val = jnp.where(xlog > x1, f_out * jnp.exp(v_out * d_out), val)
+    # cap the exponent (like the monopole branch): a query at r ~ 1e-15
+    # with a steep inner slope would overflow float32 to inf and poison
+    # the autodiff forces
+    val = jnp.where(xlog < x0,
+                    f_in * jnp.exp(jnp.minimum(v_in * d_in, 60.0)), val)
+    val = jnp.where(xlog > x1,
+                    f_out * jnp.exp(jnp.minimum(v_out * d_out, 60.0)), val)
     return val, p_quintic, d_in, d_out
 
 
@@ -487,39 +492,17 @@ class MultipolePotential(Potential):
             for m in range(-min(l, mmax), min(l, mmax) + 1):
                 labels.append((l, m))
 
-        # angular basis values at quadrature points: numpy mirror of
-        # _angular (orthonormalised Legendre recurrence, CS phase)
-        pnorm = {}
-        for m in range(0, mmax + 1):
-            pref = math.sqrt((2 * m + 1)
-                             / (4.0 * math.pi * math.factorial(2 * m)))
-            dfact = 1.0
-            for i in range(1, 2 * m, 2):
-                dfact *= i
-            pmm = ((-1.0) ** m) * pref * dfact * st ** m
-            pnorm[(m, m)] = pmm
-            if m + 1 <= lmax:
-                pnorm[(m + 1, m)] = math.sqrt(2 * m + 3.0) * ct * pmm
-            for l in range(m + 2, lmax + 1):
-                a = math.sqrt((4.0 * l * l - 1.0) / (l * l - m * m))
-                b = math.sqrt(((l - 1.0) ** 2 - m * m)
-                              / (4.0 * (l - 1.0) ** 2 - 1.0))
-                pnorm[(l, m)] = a * (ct * pnorm[(l - 1, m)]
-                                     - b * pnorm[(l - 2, m)])
+        # angular basis values at quadrature points (shared helper —
+        # the same orthonormalised recurrence _angular mirrors in jnp)
+        from .fit import _real_sph_harm
 
-        y = np.zeros((len(labels), ct.size))
-        for i, (l, m) in enumerate(labels):
-            am = abs(m)
-            mul = MUL0 if m == 0 else MUL1
-            trig = np.cos(am * pp) if m >= 0 else np.sin(am * pp)
-            y[i] = mul * pnorm[(l, am)] * trig
+        unit = np.column_stack([st * np.cos(pp), st * np.sin(pp), ct])
+        y = _real_sph_harm(labels, unit)
 
         # <Y_i Y_j> = 4 pi delta_ij => Phi_lm = <Phi Y_lm> / (4 pi)
         phi_tab = np.zeros((r_grid.size, len(labels)))
         for j, r in enumerate(r_grid):
-            pts = np.column_stack([r * st * np.cos(pp), r * st * np.sin(pp),
-                                   r * ct])
-            vals = np.asarray(phi_fn(pts), float)
+            vals = np.asarray(phi_fn(r * unit), float)
             phi_tab[j] = (y * (vals * wq)[None, :]).sum(axis=1) \
                 / (4.0 * math.pi)
 

@@ -208,6 +208,10 @@ def run_nbody(
                 for f in existing:
                     f.unlink()
                 (output_path / "snapshot.times").unlink(missing_ok=True)
+                # a stale restart.npz from the clobbered run must not
+                # survive: a later continue_run would silently resume
+                # the OLD run's state
+                (output_path / "restart.npz").unlink(missing_ok=True)
                 if verbose:
                     print(f"Removed {len(existing)} existing snapshot "
                           f"file(s) in '{output_dir}'.")
@@ -254,7 +258,9 @@ def run_nbody(
             species_N=[s.N for s in species],
         )
     else:
-        snap_kwargs["mass_dark"] = float(masses[0])
+        # full array: nbody_io smart storage compresses to a scalar when
+        # uniform; masses[0] alone would mislabel unequal-mass runs
+        snap_kwargs["mass_dark"] = np.asarray(masses, float)
 
     if verbose:
         backend = device.platform if device else jax.default_backend()
@@ -286,7 +292,7 @@ def run_nbody(
 
         state = init_state(
             xv[:, :3], xv[:, 3:], accel_fn, mass_dev, time_start,
-            start_step=start_step, dtype=state_dtype, force_extra=fx,
+            start_step=start_step, dt=dt, dtype=state_dtype, force_extra=fx,
         )
 
         e_ref = None

@@ -49,6 +49,10 @@ def get_smoothing_lengths(pos, n_neighbors: int = 32,
             raise RuntimeError(
                 "native host-ops library not built; run "
                 "`nbody-build-tree` or use method='ckdtree'")
+        if pos.shape[1] == 2:
+            # the C kernels read (N, 3) buffers; a zero z column keeps
+            # the 2-D distances exact
+            pos = np.column_stack([pos, np.zeros(len(pos))])
         order = native.morton_argsort(pos)   # locality for the grid hash
         h = np.empty(len(pos))
         h[order] = native.knn_radius(pos[order], k=n_neighbors)
@@ -74,28 +78,35 @@ def sph_kernel_2d(q):
 
 
 @functools.partial(jax.jit, static_argnames=("nx", "ny", "stencil"))
-def _splat(x, y, m, h, x0, y0, dx_pix, nx, ny, stencil):
-    """Scatter-add cubic-spline footprints onto the grid."""
+def _splat(x, y, m, h, x0, y0, dx_pix, dy_pix, nx, ny, stencil):
+    """Scatter-add cubic-spline footprints onto the grid (pixels may be
+    rectangular: dx_pix and dy_pix are independent)."""
     # particle cell coordinates (fractional)
     fx = (x - x0) / dx_pix
-    fy = (y - y0) / dx_pix
+    fy = (y - y0) / dy_pix
     ix = jnp.floor(fx).astype(jnp.int32)
     iy = jnp.floor(fy).astype(jnp.int32)
-    h_pix = jnp.clip(h / dx_pix, 0.5, stencil / 2.0)
-    inv_h2 = 1.0 / (h_pix * dx_pix) ** 2
+    # clamp h: support must reach past the nearest pixel centre (up to
+    # half the pixel diagonal away, else wsum == 0 and the particle
+    # vanishes) and fit inside the stencil on the finer axis
+    p_min = jnp.minimum(dx_pix, dy_pix)
+    h_lo = jnp.sqrt(dx_pix**2 + dy_pix**2)
+    h_w = jnp.clip(h, h_lo, jnp.maximum((stencil / 2.0) * p_min, h_lo))
 
     grid = jnp.zeros((nx, ny), x.dtype)
     # accumulate per-particle normalisation so each particle deposits
     # exactly its mass (discrete kernel sums != 1 for small h)
     wsum = jnp.zeros_like(x)
-    offsets = [(a, b) for a in range(-stencil // 2, stencil // 2 + 1)
-               for b in range(-stencil // 2, stencil // 2 + 1)]
+    half = stencil // 2
+    offsets = [(a, b) for a in range(-half, half + 1)
+               for b in range(-half, half + 1)]
     ws = []
     for (a, b) in offsets:
         px = ix + a
         py = iy + b
-        r = jnp.sqrt((px + 0.5 - fx) ** 2 + (py + 0.5 - fy) ** 2)
-        w = sph_kernel_2d(r / (0.5 * h_pix))
+        r = jnp.sqrt(((px + 0.5 - fx) * dx_pix) ** 2
+                     + ((py + 0.5 - fy) * dy_pix) ** 2)
+        w = sph_kernel_2d(r / (0.5 * h_w))
         ws.append((px, py, w))
         wsum = wsum + w
     wnorm = jnp.where(wsum > 0, 1.0 / wsum, 0.0)
@@ -129,6 +140,7 @@ def render_surface_density(pos, mass, extent=None, npix: int = 256,
         extent = (-lim, lim, -lim, lim)
     x0, x1, y0, y1 = extent
     dx_pix = (x1 - x0) / npix
+    dy_pix = (y1 - y0) / npix
     if smoothing is None:
         smoothing = get_smoothing_lengths(pos[:, [i, j]],
                                           n_neighbors=n_neighbors)
@@ -138,7 +150,8 @@ def render_surface_density(pos, mass, extent=None, npix: int = 256,
         jnp.asarray(x, jnp.float32), jnp.asarray(y, jnp.float32),
         jnp.asarray(mass, jnp.float32), jnp.asarray(smoothing, jnp.float32),
         jnp.asarray(x0, jnp.float32), jnp.asarray(y0, jnp.float32),
-        jnp.asarray(dx_pix, jnp.float32), npix, npix, stencil,
+        jnp.asarray(dx_pix, jnp.float32), jnp.asarray(dy_pix, jnp.float32),
+        npix, npix, stencil,
     )
     # mass per pixel -> surface density
-    return np.asarray(img).T / dx_pix**2, extent
+    return np.asarray(img).T / (dx_pix * dy_pix), extent

@@ -224,3 +224,66 @@ def test_evolving_external_potential_in_scan(tmp_path):
     r0 = np.linalg.norm(xv[:, :3].mean(0))
     r1 = np.linalg.norm(res["dark"][:, :3].mean(0))
     assert r1 < r0
+
+
+def test_resume_with_time_dependent_potential_matches_continuous(tmp_path):
+    """A resumed run must evaluate its first force at the RESUME time,
+    not time_start (r2 review: init_state used t0 + start_step*0.0).
+    A strongly time-dependent external field makes the difference
+    visible immediately."""
+    from nbody_streams_tpu.potentials import (EvolvingPotential,
+                                              UniformAcceleration)
+
+    # uniform acceleration whose direction flips sign over the run
+    ext = EvolvingPotential(
+        [UniformAcceleration(ax=50.0), UniformAcceleration(ax=-50.0)],
+        [0.0, 40 * DT])
+
+    xv, m = small_plummer()
+    sp = [Species.dark(N=80, mass=float(m[0]), softening=SOFT)]
+    common = dict(architecture="cpu", verbose=False, precision="float64",
+                  snapshots=2, restart_interval=10,
+                  external_potential=ext)
+
+    d1 = tmp_path / "full"
+    res_full = run_simulation(xv, sp, 0.0, 40 * DT, DT,
+                              output_dir=str(d1), **common)
+    d2 = tmp_path / "split"
+    run_simulation(xv, sp, 0.0, 20 * DT, DT, output_dir=str(d2), **common)
+    res_resumed = run_simulation(xv, sp, 0.0, 40 * DT, DT,
+                                 output_dir=str(d2), continue_run=True,
+                                 **common)
+    np.testing.assert_allclose(res_resumed["dark"], res_full["dark"],
+                               rtol=1e-10, atol=1e-12)
+
+
+def test_overwrite_clears_stale_restart(tmp_path):
+    """overwrite=True must remove restart.npz along with the snapshots:
+    a later continue_run would otherwise resume the OLD run (r2 review)."""
+    xv, m = small_plummer(n=20)
+    sp = [Species.dark(N=20, mass=float(m[0]), softening=SOFT)]
+    kw = dict(architecture="cpu", verbose=False, snapshots=2,
+              restart_interval=2, output_dir=str(tmp_path),
+              precision="float64")
+    run_simulation(xv, sp, 0.0, 6 * DT, DT, **kw)
+    assert (tmp_path / "restart.npz").exists()
+    run_simulation(xv, sp, 0.0, 6 * DT, DT, overwrite=True, **kw)
+    # resume continues the NEW run; with the stale restart it would
+    # have started from the old run's step-6 state
+    res = run_simulation(xv, sp, 0.0, 8 * DT, DT, continue_run=True, **kw)
+    assert np.isfinite(res["dark"]).all()
+
+
+def test_unequal_mass_metadata_roundtrip(tmp_path):
+    """Species-free unequal-mass runs must store the full mass array in
+    the legacy layout, not masses[0] for everyone (r2 review)."""
+    from nbody_streams_tpu import run_nbody
+
+    xv, _ = small_plummer(n=30)
+    masses = np.linspace(1.0, 3.0, 30) * 1e5
+    run_nbody(xv, masses, 0.0, 3 * DT, DT, softening=SOFT,
+              architecture="cpu", impl="jnp", precision="float64",
+              output_dir=str(tmp_path), snapshots=2, verbose=False)
+    reader = ParticleReader(str(tmp_path / "snapshot.h5"))
+    snap = reader.read_snapshot(0)
+    np.testing.assert_allclose(snap.species["dark"]["mass"], masses)

@@ -264,3 +264,19 @@ def test_plot_stream_evolution(plummer):
     ).plot_stream_evolution(traj, np.array([0.0, 0.5, 1.0]), n_panels=3)
     assert len(axs) == 3
     plt.close("all")
+
+
+def test_render_surface_density_rectangular_extent(plummer):
+    """Non-square extents must map y with its own pixel scale
+    (r2 review: y used the x pixel size, spilling particles from
+    outside the window into the map)."""
+    xv, m = plummer
+    img, extent = render_surface_density(xv[:, :3], m, npix=64,
+                                         extent=(-6, 6, -2, 2))
+    pix_area = (12.0 / 64) * (4.0 / 64)
+    captured = img.sum() * pix_area
+    # mass inside the |y| < 2 slab (projected): strictly less than total,
+    # and matching a direct count within the kernel-smearing tolerance
+    inside = m[(np.abs(xv[:, 0]) < 6) & (np.abs(xv[:, 1]) < 2)].sum()
+    assert 0.8 * inside < captured < 1.1 * inside
+    assert captured < 0.98 * m.sum()
