@@ -49,9 +49,17 @@ def run_restricted_nbody(
     """Returns {'times', 'prog_xv', 'part_xv', 'bound_mass'}.
 
     part_xv: (n_saves, N, 6); prog_xv: (n_saves, 6).
+
+    When ``xv_init`` is given, particles are integrated forward directly
+    from ``time_end - time_total`` with NO rewinding, and
+    ``sat_cen_present`` is taken as the progenitor COM at that start
+    time (reference semantics, restricted.py:68-80).
     """
     if initmass <= 0:
         raise ValueError("initmass must be > 0")
+    if scaleradius is not None and scaleradius <= 0:
+        raise ValueError("scaleradius must be > 0 when given "
+                         f"(got {scaleradius})")
     sat_now = np.asarray(sat_cen_present, float).reshape(6)
     t_start = time_end - time_total
 
@@ -85,7 +93,7 @@ def run_restricted_nbody(
     mass_bound = float(initmass)
     prog_pot_local = (
         make_progenitor_potential(prog_pot_kind, initmass,
-                                  scaleradius or 1.0, G=G, **prog_kwargs)
+                                  scaleradius, G=G, **prog_kwargs)
         if scaleradius is not None else
         spherical_potential_from_particles(
             particles[:, :3], initmass / len(particles),

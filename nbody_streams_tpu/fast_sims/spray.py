@@ -23,7 +23,7 @@ from ._common import (
     make_progenitor_potential,
     moving_potential,
 )
-from .orbits import integrate_orbit, integrate_orbits_released
+from .orbits import integrate_orbits_released
 
 __all__ = [
     "create_particle_spray_stream",
@@ -57,7 +57,10 @@ def get_jacobi_radius(pot_host, orbit_sat, mass_sat, G: float = G_DEFAULT,
         import jax
         import jax.numpy as jnp
 
-        der2 = jax.vmap(
+        # negate: _hess_v is the raw +Hessian, the tidal tensor below
+        # needs the forceDeriv convention (-Hessian) like the scalar-t
+        # branch above
+        der2 = -jax.vmap(
             lambda p, tt: pot_host._hess_v(p[None], tt)[0]
         )(jnp.asarray(pos), jnp.asarray(np.asarray(t, float)))
     der2 = np.asarray(der2, float)          # -hessian, Agama 6-vector
@@ -265,9 +268,11 @@ def create_particle_spray_stream(
     rel_times = times_fwd[rel_idx]
 
     # 4) tidal radii and ICs at the release points (evaluated at the
-    # release times — the host may be evolving)
+    # release times — the host may be evolving).  pot_rewind = host +
+    # perturber: the perturber's tidal field matters exactly during
+    # close passages (reference uses pot_host_eff here, spray.py:573)
     mass_for_rj = initmass
-    r_j, v_j, rot = get_jacobi_radius(pot_host, rel_states, mass_for_rj,
+    r_j, v_j, rot = get_jacobi_radius(pot_rewind, rel_states, mass_for_rj,
                                       G=G, t=rel_times,
                                       eigenvalue_method=eigenvalue_method)
     if create_ic_method is create_ic_particle_spray_chen2025:

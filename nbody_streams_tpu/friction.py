@@ -28,7 +28,6 @@ Physics preserved exactly:
 """
 from __future__ import annotations
 
-import warnings
 
 import jax
 import jax.numpy as jnp

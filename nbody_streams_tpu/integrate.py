@@ -87,7 +87,7 @@ def make_accel_fn(
     """
     k = int(external_update_interval)
 
-    def accel(pos, vel, t, step, ext_acc, extra_state):
+    def accel(pos, vel, t, step, ext_acc, extra_state, refresh_ext=False):
         acc = solver.accel(pos)
         if external_potential is not None:
             def fresh(_):
@@ -96,7 +96,11 @@ def make_accel_fn(
             def stale(cached):
                 return cached
 
-            if k > 1:
+            if k > 1 and not refresh_ext:
+                # refresh_ext (static True at state init) forces an
+                # evaluation even when start_step % k != 0 — a resumed
+                # run must not inherit the zero initializer for up to
+                # k-1 steps
                 ext_acc = lax.cond(step % k == 0, fresh, stale, ext_acc)
             else:
                 ext_acc = fresh(ext_acc)
@@ -179,7 +183,6 @@ def init_state(
     start_step: int = 0,
     dt: float = 0.0,
     dtype=jnp.float32,
-    external_potential=None,
     force_extra: ForceExtra | None = None,
 ) -> IntegratorState:
     """Build the initial device state, including the first force evaluation.
@@ -208,4 +211,4 @@ def init_state(
 
 
 def _init_accel(accel_fn, pos, vel, t, step, ext0, extra_state):
-    return accel_fn(pos, vel, t, step, ext0, extra_state)
+    return accel_fn(pos, vel, t, step, ext0, extra_state, refresh_ext=True)

@@ -442,7 +442,10 @@ class ParticleReader:
         )
         if self.Times is not None:
             mask = self.Times.snap == snap_index
-            part.time = float(self.Times.time[mask][0]) if mask.any() else None
+            # a stale/truncated snapshot.times must not hide the HDF5
+            # attr that is always recorded alongside the snapshot
+            part.time = (float(self.Times.time[mask][0]) if mask.any()
+                         else self._snap_to_time.get(snap_index))
         else:
             part.time = self._snap_to_time.get(snap_index)
         return part

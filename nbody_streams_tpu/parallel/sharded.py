@@ -215,9 +215,16 @@ class ShardedDirect:
             total, comp = pairwise.kahan_add(total, comp, part)
             return (total, comp, src_next), None
 
-        init = (zero, jnp.zeros_like(zero), (pos_l, gm_l, h_l))
-        (total, _, _), _ = lax.scan(body, init,
-                                    jnp.arange(d, dtype=jnp.int32))
+        # d-1 permuting ring steps, then the last tile with no trailing
+        # permute (its result would be discarded — one full source-block
+        # ICI transfer saved per evaluation)
+        carry = (zero, jnp.zeros_like(zero), (pos_l, gm_l, h_l))
+        if d > 1:
+            carry, _ = lax.scan(body, carry,
+                                jnp.arange(d - 1, dtype=jnp.int32))
+        total, comp, src = carry
+        part = tile(src, jnp.asarray(d - 1, jnp.int32))
+        total, _ = pairwise.kahan_add(total, comp, part)
         return total
 
     # -- public ------------------------------------------------------------

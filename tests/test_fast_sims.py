@@ -305,3 +305,45 @@ def test_adaptive_orbit_interval_clip_keeps_cruise_step():
                                        atol=1e-9, max_substeps=64)
     rel = np.abs(np.asarray(back)[-1] - xv0).max() / np.abs(xv0).max()
     assert rel < 1e-5
+
+
+def test_jacobi_radius_scalar_and_array_t_agree():
+    """The array-t branch (vmapped Hessian) must match the scalar-t
+    branch on a static host — r2 review caught a sign flip that picked
+    the tangential eigenvalue instead of the radial one."""
+    from nbody_streams_tpu.fast_sims.spray import get_jacobi_radius
+    from nbody_streams_tpu.potentials.analytic import NFWPotential
+
+    pot = NFWPotential(mass=1e12, scaleRadius=16.0)
+    rng = np.random.default_rng(5)
+    pos = rng.normal(0, 30.0, (16, 3))
+    vel = rng.normal(0, 120.0, (16, 3))
+    orb = np.hstack([pos, vel])
+    for eig in (True, False):
+        rj_s, vj_s, rot_s = get_jacobi_radius(pot, orb, 1e8, t=0.0,
+                                              eigenvalue_method=eig)
+        rj_a, vj_a, rot_a = get_jacobi_radius(pot, orb, 1e8,
+                                              t=np.zeros(16),
+                                              eigenvalue_method=eig)
+        np.testing.assert_allclose(rj_a, rj_s, rtol=1e-5)
+        np.testing.assert_allclose(vj_a, vj_s, rtol=1e-5)
+        np.testing.assert_allclose(rot_a, rot_s, atol=1e-6)
+
+
+def test_jacobi_radius_kepler_closed_form():
+    """Circular orbit in a point-mass-like host: r_J^3 = G m r^3
+    / (3 G M) (the classic Jacobi limit) — validates the eigenvalue
+    pipeline end to end with the correct (-Hessian) tidal tensor."""
+    from nbody_streams_tpu.fast_sims.spray import get_jacobi_radius
+    from nbody_streams_tpu.potentials.analytic import PlummerPotential
+    from nbody_streams_tpu.constants import G_DEFAULT
+
+    M, R = 1e12, 120.0
+    pot = PlummerPotential(mass=M, scaleRadius=0.01)   # ~point mass at R
+    vc = np.sqrt(G_DEFAULT * M / R)
+    orb = np.array([[R, 0, 0, 0, vc, 0]])
+    m_sat = 1e8
+    for t in (0.0, np.array([0.0])):
+        rj, _, _ = get_jacobi_radius(pot, orb, m_sat, t=t)
+        rj_expect = R * (m_sat / (3.0 * M)) ** (1.0 / 3.0)
+        np.testing.assert_allclose(rj[0], rj_expect, rtol=1e-3)

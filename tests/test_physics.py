@@ -287,3 +287,28 @@ def test_unequal_mass_metadata_roundtrip(tmp_path):
     reader = ParticleReader(str(tmp_path / "snapshot.h5"))
     snap = reader.read_snapshot(0)
     np.testing.assert_allclose(snap.species["dark"]["mass"], masses)
+
+
+def test_resume_with_cached_external_interval_matches_continuous(tmp_path):
+    """Resume at a step that is NOT a multiple of external_update_interval:
+    the cached external force must be refreshed at init, not left at its
+    zero initializer for up to k-1 steps (r2 review)."""
+    from nbody_streams_tpu.potentials import UniformAcceleration
+
+    ext = UniformAcceleration(ax=80.0)
+    xv, m = small_plummer()
+    sp = [Species.dark(N=80, mass=float(m[0]), softening=SOFT)]
+    common = dict(architecture="cpu", verbose=False, precision="float64",
+                  snapshots=2, restart_interval=10,
+                  external_potential=ext, external_update_interval=3)
+
+    d1 = tmp_path / "full"
+    res_full = run_simulation(xv, sp, 0.0, 40 * DT, DT,
+                              output_dir=str(d1), **common)
+    d2 = tmp_path / "split"
+    run_simulation(xv, sp, 0.0, 20 * DT, DT, output_dir=str(d2), **common)
+    res_resumed = run_simulation(xv, sp, 0.0, 40 * DT, DT,
+                                 output_dir=str(d2), continue_run=True,
+                                 **common)
+    np.testing.assert_allclose(res_resumed["dark"], res_full["dark"],
+                               rtol=1e-10, atol=1e-12)
