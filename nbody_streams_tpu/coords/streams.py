@@ -120,6 +120,11 @@ def get_observed_stream_coords(xv, xv_prog=None, observer=None,
     Returns dict with phi1, phi2, dist (from observer), v_los, pm_phi1,
     pm_phi2 (angular velocities along the frame axes, mas/yr-free units
     km/s/kpc).  Default observer at the galactic centre.
+
+    phi1/phi2 are GALACTOCENTRIC stream-frame angles (reference
+    semantics, coords/streams.py:341), and pm_phi1/pm_phi2 are the time
+    derivatives of those same angles — the observer affects only
+    ``dist`` and ``v_los``.
     """
     xv = np.asarray(xv, float)
     phi1, phi2, rot = generate_stream_coords(xv, xv_prog,
@@ -127,13 +132,13 @@ def get_observed_stream_coords(xv, xv_prog=None, observer=None,
                                              degrees=degrees)
     obs = np.zeros(6) if observer is None else np.asarray(observer, float)
     rel_p = xv[:, :3] - obs[:3]
-    rel_v = xv[:, 3:6] - (obs[3:6] if obs.size >= 6 else 0.0)
     dist = np.linalg.norm(rel_p, axis=1)
     v_los = convert_to_vel_los(xv[:, :3], xv[:, 3:6], observer=obs)
 
-    # angular velocities in the stream frame
-    proj_p = rel_p @ rot.T
-    proj_v = rel_v @ rot.T
+    # angular velocities of (phi1, phi2): galactocentric, so that
+    # pm_phi1 == d(phi1)/dt for the angles returned above
+    proj_p = xv[:, :3] @ rot.T
+    proj_v = xv[:, 3:6] @ rot.T
     rxy = np.hypot(proj_p[:, 0], proj_p[:, 1]) + 1e-300
     dphi1 = (proj_p[:, 0] * proj_v[:, 1] - proj_p[:, 1] * proj_v[:, 0]) \
         / rxy**2

@@ -74,13 +74,25 @@ def _coerce(v: str):
 
 
 def _apply_modifiers(pot: Potential, center=None, scale=None, ampl=None):
-    if center is not None:
-        center = np.loadtxt(center) if isinstance(center, (str, Path)) \
-            else np.asarray(center, float)
-        pot = ShiftedPotential(pot, center)
+    # Scaled inside, Shifted OUTERMOST (Agama nesting, reference
+    # _potential.py:2277-2305): Phi' = a s Phi(s (x - c)), so the center
+    # is where the user said in unscaled coordinates
     if scale is not None or (ampl is not None and ampl != 1.0):
         pot = ScaledPotential(pot, scale if scale is not None else 1.0,
                               ampl=1.0 if ampl is None else float(ampl))
+    if center is not None:
+        if isinstance(center, (str, Path)):
+            parts = re.split(r"[,\s]+", str(center).strip())
+            if len(parts) == 3:
+                try:
+                    center = np.array([float(x) for x in parts])
+                except ValueError:
+                    center = np.loadtxt(center)   # a trajectory file
+            else:
+                center = np.loadtxt(center)
+        else:
+            center = np.asarray(center, float)
+        pot = ShiftedPotential(pot, center)
     return pot
 
 
@@ -176,6 +188,7 @@ def _build_single(spec, base_dir: Path | None = None) -> Potential:
             "axisratioz": "axisRatioZ",
             "surfacedensity": "surfaceDensity",
             "innercutoffradius": "innerCutoffRadius",
+            "sersicindex": "sersicIndex",
             "ax": "ax", "ay": "ay", "az": "az", "g": "G",
         }
         kw = {}
@@ -207,14 +220,20 @@ def load_potential_ini(path) -> Potential:
     path = Path(path)
     base = path.parent
     lines = path.read_text().splitlines()
-    starts = [i for i, ln in enumerate(lines)
-              if re.match(r"^\s*\[Potential", ln, re.IGNORECASE)]
+    headers = [i for i, ln in enumerate(lines)
+               if re.match(r"^\s*\[", ln)]
+    starts = [i for i in headers
+              if re.match(r"^\s*\[Potential", lines[i], re.IGNORECASE)]
     if not starts:
         raise ValueError(f"No [Potential] sections in {path}")
 
     built = []
-    for si, start in enumerate(starts):
-        end = starts[si + 1] if si + 1 < len(starts) else len(lines)
+    for start in starts:
+        # a section ends at the NEXT header of any kind: trailing
+        # [DF ...]/[SelfConsistentModel] blocks must not bleed their
+        # keys into the last potential's params
+        later = [i for i in headers if i > start]
+        end = later[0] if later else len(lines)
         section = lines[start:end]
         params: dict = {}
         data_start = None
@@ -241,9 +260,22 @@ def load_potential_ini(path) -> Potential:
             # Agama exports parameterless DiskAnsatz stubs inside GalPot
             # composites; skip them (reference: _potential.py:2406)
             continue
+        # modifiers apply to every branch (Timestamps and inline
+        # Coefficients sections carry center=/scale=/ampl= too — the
+        # MW-LMC pattern shifts an Evolving LMC along its trajectory)
+        center = params.pop("center", None)
+        scale = params.pop("scale", None)
+        ampl = params.pop("ampl", None)
+        if isinstance(center, str) and not Path(center).is_absolute() \
+                and (base / center).exists():
+            center = base / center
+        if isinstance(scale, str) and not Path(scale).is_absolute() \
+                and (base / scale).exists():
+            scale = np.loadtxt(base / scale)
+
         if data_kind == "coef":
-            built.append(_build_single(
-                {"type": kind, "coefficients": "\n".join(section)}))
+            p = _build_single(
+                {"type": kind, "coefficients": "\n".join(section)})
         elif data_kind == "ts":
             times, pots = [], []
             for ln in section[data_start + 1:]:
@@ -257,9 +289,10 @@ def load_potential_ini(path) -> Potential:
                 pots.append(_build_single(parts[1], base))
             interp = str(params.get("interplinear", "true")).lower() \
                 not in ("false", "0")
-            built.append(EvolvingPotential(pots, times, interpolate=interp))
+            p = EvolvingPotential(pots, times, interpolate=interp)
         else:
-            built.append(_build_single(dict(params), base))
+            p = _build_single(dict(params), base)
+        built.append(_apply_modifiers(p, center, scale, ampl))
 
     if not built:
         raise ValueError(f"No buildable potentials in {path}")

@@ -11,7 +11,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from ..utils.interp import JaxPPoly, hermite_coeffs, spline_coeffs
+from ..utils.interp import (JaxPPoly, hermite_coeffs, pchip_coeffs,
+                            spline_coeffs)
 from .base import Potential
 
 __all__ = ["ShiftedPotential", "ScaledPotential", "EvolvingPotential"]
@@ -73,7 +74,10 @@ class ScaledPotential(Potential):
     through the coordinate scaling).
 
     scale: float | (T,2) rows [t, scale] | (T,3) rows [t, ampl, scale];
-    cubic splines with linear extrapolation outside the range.
+    monotone (PCHIP) cubics, clamped outside the table range — schedule
+    tables are often near-step (mass-on windows, dissolution ramps),
+    where a not-a-knot spline rings by orders of magnitude and linear
+    extrapolation runs sign-negative past the last node.
     """
 
     def __init__(self, inner: Potential, scale, ampl: float = 1.0):
@@ -92,11 +96,11 @@ class ScaledPotential(Potential):
                 f"[t,ampl,scale]; got shape {arr.shape}"
             )
         arr = arr[np.argsort(arr[:, 0])]
-        self.scale_spl = spline_coeffs(arr[:, 0], arr[:, -1],
-                                       extrapolate="linear")
+        self.scale_spl = pchip_coeffs(arr[:, 0], arr[:, -1],
+                                      extrapolate="clamp")
         if arr.shape[1] == 3:
-            self.ampl_spl = spline_coeffs(arr[:, 0], arr[:, 1],
-                                          extrapolate="linear")
+            self.ampl_spl = pchip_coeffs(arr[:, 0], arr[:, 1],
+                                         extrapolate="clamp")
             self.ampl_val = None
         else:
             self.ampl_spl = None
@@ -148,8 +152,13 @@ class EvolvingPotential(Potential):
     FIRE sequence blew up compile time).  The quintic construction is
     linear in the tables, so lerping precomputed coefficients equals
     building from lerped tables; the monopole uses plain (non-invPhi0)
-    scaling for this linearity (~1e-8-class instead of ~1e-9 — far
-    below the >1% BFE fitting error of snapshot data).
+    scaling for this linearity (~1e-8-class instead of ~1e-9 inside the
+    radial grid — far below the >1% BFE fitting error of snapshot
+    data).  Beyond the radial grid the stacked path extrapolates each
+    snapshot with its plain single power law (evaluated per bracketing
+    snapshot and lerped — exponents are NOT lerped), which can deviate
+    %-level from the scaled two-term asymptotes; fit to an r_max that
+    covers the region of interest.
     """
 
     time_dependent = True
@@ -235,16 +244,6 @@ class EvolvingPotential(Potential):
             "outer_w": jnp.stack([p.outer_w for p in plain]),
         }
 
-    def _stacked_tables(self, t):
-        i, alpha = self._weights(t)
-        st = self._stacked
-
-        def lerp(a):
-            return (1.0 - alpha) * a[i] + alpha * a[i + 1]
-
-        return tuple(lerp(st[k]) for k in ("coeffs", "f_in", "v_in",
-                                           "f_out", "v_out"))
-
     def _stacked_phi_point(self, xyz, t):
         if self._stacked["kind"] == "cylspline":
             i, alpha = self._weights(t)
@@ -258,13 +257,25 @@ class EvolvingPotential(Potential):
         from .multipole import _radial_plain
 
         tmpl = self._stacked["template"]
-        coeffs, f_in, v_in, f_out, v_out = self._stacked_tables(t)
+        st = self._stacked
+        i, alpha = self._weights(t)
         eps = 1e-30
         r2 = xyz[0] ** 2 + xyz[1] ** 2 + xyz[2] ** 2 + eps
         r = jnp.sqrt(r2)
         rc = jnp.sqrt(xyz[0] ** 2 + xyz[1] ** 2 + eps)
-        radial = _radial_plain(jnp.log(r), tmpl.x_grid, coeffs, f_in,
-                               v_in, f_out, v_out, tmpl.x0, tmpl.x1)[0]
+
+        # evaluate BOTH bracketing snapshots and lerp the results: the
+        # interior quintic is linear in the coefficient tables (lerping
+        # inputs == lerping outputs), but the power-law extrapolation
+        # f*exp(v*d) is NOT linear in the exponent v — lerping v gives
+        # wrong values beyond the radial grid (r2 review)
+        def rad(k):
+            return _radial_plain(jnp.log(r), tmpl.x_grid, st["coeffs"][k],
+                                 st["f_in"][k], st["v_in"][k],
+                                 st["f_out"][k], st["v_out"][k],
+                                 tmpl.x0, tmpl.x1)[0]
+
+        radial = (1.0 - alpha) * rad(i) + alpha * rad(i + 1)
         ang = tmpl._angular(xyz[2] / r, rc / r, xyz[0] / rc,
                             xyz[1] / rc)
         return jnp.sum(radial * ang)

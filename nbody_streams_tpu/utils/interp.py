@@ -104,3 +104,21 @@ def hermite_coeffs(times, values, derivs,
                            np.asarray(derivs, float)),
         extrapolate,
     )
+
+
+def pchip_coeffs(times, values, extrapolate: str = "clamp") -> JaxPPoly:
+    """Monotone (PCHIP) cubic through (times, values) — no ringing.
+
+    The right interpolant for amplitude/scale *schedules* (on/off
+    windows, dissolution ramps): a not-a-knot spline through a
+    near-step table overshoots by orders of magnitude, while PCHIP
+    preserves the data's monotone segments exactly.
+    """
+    from scipy.interpolate import PchipInterpolator
+
+    times = np.asarray(times, float)
+    values = np.asarray(values, float)
+    if times.size < 2:
+        return spline_coeffs(times, values, extrapolate)
+    return JaxPPoly.from_scipy(PchipInterpolator(times, values),
+                               extrapolate)

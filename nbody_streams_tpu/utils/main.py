@@ -228,7 +228,7 @@ def fit_dehnen_profile(r, rho, p0=None):
     if p0 is None:
         p0 = [np.log(4 * np.pi * np.trapezoid(rho * r**2, r)),
               np.log(np.median(r)), 1.0]
-    bounds = ([0, np.log(r.min() / 10), 0.0],
+    bounds = ([-200, np.log(r.min() / 10), 0.0],
               [200, np.log(r.max() * 10), 2.8])
     popt, perr = _fit_log_profile(model, r, rho, p0, bounds)
     vals = dict(mass=np.exp(popt[0]), scaleRadius=np.exp(popt[1]),
@@ -251,7 +251,7 @@ def fit_plummer_profile(r, rho, p0=None):
     if p0 is None:
         p0 = [np.log(4 * np.pi * np.trapezoid(rho * r**2, r)),
               np.log(np.median(r))]
-    bounds = ([0, np.log(r.min() / 10)], [200, np.log(r.max() * 10)])
+    bounds = ([-200, np.log(r.min() / 10)], [200, np.log(r.max() * 10)])
     popt, perr = _fit_log_profile(model, r, rho, p0, bounds)
     vals = dict(mass=np.exp(popt[0]), scaleRadius=np.exp(popt[1]))
     errs = dict(mass=vals["mass"] * perr[0],

@@ -347,3 +347,37 @@ def test_jacobi_radius_kepler_closed_form():
         rj, _, _ = get_jacobi_radius(pot, orb, m_sat, t=t)
         rj_expect = R * (m_sat / (3.0 * M)) ** (1.0 / 3.0)
         np.testing.assert_allclose(rj[0], rj_expect, rtol=1e-3)
+
+
+def test_perturber_window_amplitude_bounded():
+    """The mass-on window table goes through a monotone interpolant:
+    amplitudes must stay in [0, 1] at ALL times (r2 review: the old
+    not-a-knot spline rang to ~1e3 outside the window)."""
+    from nbody_streams_tpu.fast_sims._common import (
+        make_perturber_potential,
+    )
+    from nbody_streams_tpu.potentials.analytic import NFWPotential
+
+    host = NFWPotential(mass=1e12, scaleRadius=16.0)
+    pert = make_perturber_potential(
+        {"mass": 5e10, "scaleRadius": 5.0, "time_window": 0.5,
+         "time_impact": -2.0,
+         "w_subhalo_impact": np.array([30.0, 0, 0, 0, 150.0, 0])},
+        host, -4.0, 0.0)
+    bare = make_perturber_potential(
+        {"mass": 5e10, "scaleRadius": 5.0, "time_impact": -2.0,
+         "w_subhalo_impact": np.array([30.0, 0, 0, 0, 150.0, 0])},
+        host, -4.0, 0.0)
+    x = np.array([[10.0, 0.0, 0.0]])
+    for t in np.linspace(-4.5, 0.5, 41):
+        pw = float(np.asarray(pert.potential(x, t=t))[0])
+        pb = float(np.asarray(bare.potential(x, t=t))[0])
+        ampl = pw / pb          # both negative; ratio = window amplitude
+        assert -1e-9 <= ampl <= 1.0 + 1e-9, (t, ampl)
+    # fully on at impact, off well outside the window
+    t_on = -2.0
+    assert float(np.asarray(pert.potential(x, t=t_on))[0]) == \
+        pytest.approx(float(np.asarray(bare.potential(x, t=t_on))[0]),
+                      rel=1e-9)
+    assert abs(float(np.asarray(pert.potential(x, t=-3.5))[0])) < \
+        abs(float(np.asarray(bare.potential(x, t=-3.5))[0])) * 1e-6

@@ -527,3 +527,101 @@ def test_evolving_cylspline_stacked_fast_path():
     # per-snapshot construction at the interpolant level only
     np.testing.assert_allclose(got, expected, rtol=2e-4)
     assert np.isfinite(np.asarray(ev.force(pts, t=tq))).all()
+
+
+# ---------------------------------------------------------------------------
+# r2 review regressions: modifiers / factory
+# ---------------------------------------------------------------------------
+
+def test_scaled_schedule_no_ringing_no_negative_tail():
+    """Near-step amplitude tables must not ring (PCHIP) and must clamp,
+    not extrapolate linearly negative, outside the range (r2 review)."""
+    from nbody_streams_tpu.potentials import PlummerPotential
+    from nbody_streams_tpu.potentials.modifiers import ScaledPotential
+
+    pot = PlummerPotential(mass=1e10, scaleRadius=1.0)
+    tab = np.array([[-5.0, 0.0, 1.0], [-2.2505, 0.0, 1.0],
+                    [-2.25, 1.0, 1.0], [-1.75, 1.0, 1.0],
+                    [-1.7495, 0.0, 1.0], [1.0, 0.0, 1.0]])
+    sc = ScaledPotential(pot, tab)
+    x = np.array([[2.0, 0.0, 0.0]])
+    phi_ref = float(np.asarray(pot.potential(x))[0])
+    for t in np.linspace(-6.0, 3.0, 121):
+        phi = float(np.asarray(sc.potential(x, t=t))[0])
+        ampl = phi / phi_ref
+        assert -1e-12 <= ampl <= 1.0 + 1e-12, (t, ampl)
+    # fully on inside the window, off outside
+    assert float(np.asarray(sc.potential(x, t=-2.0))[0]) == \
+        pytest.approx(phi_ref, rel=1e-12)
+    assert abs(float(np.asarray(sc.potential(x, t=0.0))[0])) < 1e-10
+    assert abs(float(np.asarray(sc.potential(x, t=-6.0))[0])) < 1e-10
+
+
+def test_center_plus_scale_nesting_matches_agama():
+    """Shifted is OUTERMOST: the minimum sits at `center`, not
+    center*scale (reference _potential.py:2277-2305; r2 review)."""
+    from nbody_streams_tpu.potentials import make_potential
+
+    pot = make_potential(type='Plummer', mass=1e10, scaleRadius=1.0,
+                         center=[50.0, 0.0, 0.0], scale=2.0)
+    phi_at_c = float(np.asarray(pot.potential(
+        np.array([[50.0, 0.0, 0.0]])))[0])
+    phi_at_2c = float(np.asarray(pot.potential(
+        np.array([[100.0, 0.0, 0.0]])))[0])
+    assert phi_at_c < phi_at_2c          # deepest at the stated center
+
+
+def test_ini_trailing_nonpotential_section_ignored(tmp_path):
+    """Keys from trailing [SelfConsistentModel]-style sections must not
+    bleed into the last [Potential] section (r2 review)."""
+    ini = tmp_path / "scm.ini"
+    ini.write_text(
+        "[Potential halo]\ntype = NFW\nmass = 1e12\nscaleRadius = 20\n"
+        "\n[SelfConsistentModel]\nrminSph = 0.005\nrmaxSph = 1000\n")
+    from nbody_streams_tpu.potentials import load_potential_ini
+
+    pot = load_potential_ini(ini)
+    assert np.isfinite(np.asarray(
+        pot.potential(np.array([[10.0, 0, 0]])))[0])
+
+
+def test_stacked_evolving_agrees_beyond_radial_grid():
+    """The stacked Multipole fast path must match the switch-based
+    interpolation OUTSIDE the fitted radial grid too — lerping the
+    extrapolation exponents is wrong there (r2 review)."""
+    from nbody_streams_tpu.potentials import EvolvingPotential
+    from nbody_streams_tpu.potentials.multipole import MultipolePotential
+
+    def nfw_mult(mass, rs):
+        from nbody_streams_tpu.potentials import NFWPotential
+
+        p = NFWPotential(mass=mass, scaleRadius=rs)
+        return MultipolePotential.from_projection(
+            lambda pts: p.potential(pts),
+            np.geomspace(0.1, 50.0, 40), lmax=0)
+
+    pots = [nfw_mult(1e12, 16.0), nfw_mult(1.5e12, 18.0),
+            nfw_mult(2e12, 20.0)]
+    times = [0.0, 1.0, 2.0]
+    ev = EvolvingPotential(pots, times)
+    assert ev._stacked is not None       # fast path active
+    ev_slow = EvolvingPotential(pots[:2], times[:2])  # switch path (n<3)
+    assert ev_slow._stacked is None
+    pts = np.array([[120.0, 0.0, 0.0],   # beyond r_max = 50
+                    [0.03, 0.0, 0.0],    # inside r_min = 0.1
+                    [30.0, 5.0, -2.0]])  # interior
+    t = 0.5
+    fast = np.asarray(ev.potential(pts, t=t))
+    # the stacked path's semantics: plain-column construction per
+    # snapshot, results lerped.  Before the fix the extrapolation
+    # exponents v_in/v_out were lerped instead (nonlinear -> wrong
+    # beyond the grid).
+    plain = [MultipolePotential(p.coefs, monopole_scaling=False)
+             for p in pots[:2]]
+    ref = 0.5 * (np.asarray(plain[0].potential(pts, t=t))
+                 + np.asarray(plain[1].potential(pts, t=t)))
+    np.testing.assert_allclose(fast, ref, rtol=1e-6)
+    # interior agrees with the full scaled construction too
+    ref_scaled = 0.5 * (np.asarray(pots[0].potential(pts, t=t))
+                        + np.asarray(pots[1].potential(pts, t=t)))
+    np.testing.assert_allclose(fast[2], ref_scaled[2], rtol=1e-6)

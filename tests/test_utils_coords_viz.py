@@ -280,3 +280,29 @@ def test_render_surface_density_rectangular_extent(plummer):
     inside = m[(np.abs(xv[:, 0]) < 6) & (np.abs(xv[:, 1]) < 2)].sum()
     assert 0.8 * inside < captured < 1.1 * inside
     assert captured < 0.98 * m.sum()
+
+
+def test_observed_pm_is_rate_of_returned_angles():
+    """pm_phi1/pm_phi2 must be d(phi1)/dt, d(phi2)/dt of the RETURNED
+    (galactocentric) angles even with a non-origin observer
+    (r2 review)."""
+    ang = np.linspace(-0.3, 0.3, 30)
+    pos = 20.0 * np.column_stack([np.cos(ang), np.sin(ang), 0.1 * ang])
+    vel = 100.0 * np.column_stack([-np.sin(ang), np.cos(ang),
+                                   0.05 * np.ones_like(ang)])
+    xv = np.hstack([pos, vel])
+    obs_vec = [-8.2, 0.0, 0.02, 11.0, 245.0, 7.0]
+    out = get_observed_stream_coords(xv, xv[15], observer=obs_vec)
+    # finite difference: advance ballistically by dt and re-project in
+    # the SAME frame
+    dt = 1e-6
+    xv2 = xv.copy()
+    xv2[:, :3] += xv[:, 3:] * dt
+    p1a, p2a, _ = to_stream_coords(xv, out["rotation"])
+    p1b, p2b, _ = to_stream_coords(xv2, out["rotation"])
+    np.testing.assert_allclose(out["pm_phi1"],
+                               np.radians(p1b - p1a) / dt,
+                               rtol=1e-4, atol=1e-7)
+    np.testing.assert_allclose(out["pm_phi2"],
+                               np.radians(p2b - p2a) / dt,
+                               rtol=1e-4, atol=1e-7)
