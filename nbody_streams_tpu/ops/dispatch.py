@@ -75,6 +75,11 @@ class DirectGravity:
             impl = "jnp"  # the Pallas kernel is fp32-only by design
         self.impl = impl
 
+        if precision == "float64" and not jax.config.jax_enable_x64:
+            raise ValueError(
+                "precision='float64' needs jax_enable_x64; without it "
+                "JAX silently computes in float32 (same check as "
+                "compute_forces_direct)")
         mass = jnp.asarray(mass, self.dtype)
         softening = jnp.asarray(softening, self.dtype)
         if mass.ndim == 0:
@@ -92,9 +97,16 @@ class DirectGravity:
 
             self._sharded = ShardedDirect(self)
 
+    def _check_pos(self, pos):
+        if pos.ndim != 2 or pos.shape != (self.n, 3):
+            raise ValueError(
+                f"pos shape {pos.shape} does not match the solver's "
+                f"({self.n}, 3) particle population")
+
     # -- backend dispatch ---------------------------------------------------
     def accel(self, pos):
         """Softened gravitational acceleration, (N, 3) in solver dtype."""
+        self._check_pos(pos)
         pos = pos.astype(self.dtype)
         if self.impl == "pallas":
             from . import pallas_direct
@@ -112,6 +124,7 @@ class DirectGravity:
 
     def potential(self, pos):
         """Softened gravitational potential per particle, (N,)."""
+        self._check_pos(pos)
         pos = pos.astype(self.dtype)
         if self.impl == "pallas":
             from . import pallas_direct

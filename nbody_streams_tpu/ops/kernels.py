@@ -169,9 +169,15 @@ def _pot_spline(r2, h):
     hinv = _rsqrt(h_safe * h_safe)
     q = r * hinv
     q2 = q * q
-    q4 = q2 * q2
 
-    inner = (-2.8 + q2 * (5.333333333333333 + q4 * (6.4 * q - 9.6))) * hinv
+    # Gadget/Monaghan W2 inner branch: -2.8 + 16/3 q^2 - 48/5 q^4
+    # + 32/5 q^5 = -2.8 + q^2 (16/3 + q^2 (6.4 q - 9.6)).  NOTE the q^2
+    # (not q^4) nesting: the reference's own CUDA kernel has q4 here
+    # (cuda_kernels.py:422), which is discontinuous at q = 0.5
+    # (-1.567/h vs -1.867/h) and is NOT the antiderivative of its force
+    # kernel; we deliberately diverge (dU/dr == w(r) r verified in
+    # tests/test_forces.py).
+    inner = (-2.8 + q2 * (5.333333333333333 + q2 * (6.4 * q - 9.6))) * hinv
 
     outer = (
         -3.2

@@ -128,11 +128,12 @@ def _pot_pre(kind, r2, pre):
         hinv = pre
         q = r * hinv
         q2 = q * q
-        q4 = q2 * q2
         # no q ~ 0 special case: the inner polynomial tends to the exact
-        # centre value -2.8 * hinv as q -> 0
+        # centre value -2.8 * hinv as q -> 0.  q2 nesting (not the
+        # reference's q4 — see ops/kernels.py note): this is the true
+        # antiderivative of the force kernel.
         inner = (-2.8 + q2 * (5.333333333333333
-                              + q4 * (6.4 * q - 9.6))) * hinv
+                              + q2 * (6.4 * q - 9.6))) * hinv
         outer = (
             -3.2
             + q2 * (10.666666666666666
@@ -363,17 +364,30 @@ def _call_kernel(kernel, n_i, n_jb, t_spec, s_spec, tm, width, nt_pad,
 
 def _band_kernel(start_ref, xt_ref, yt_ref, zt_ref, ht_ref,
                  xs_ref, ys_ref, zs_ref, ms_ref, hs_ref, out_ref,
-                 *, eps2, tm, tn, mode, mask_self):
+                 comp_ref, *, eps2, tm, tn, mode, mask_self, kahan):
     """Full spline evaluation over each target tile's banded source
     window [start[i], start[i] + n_band) — the rows the Newtonian base
     pass zeroed out.  Each pair is evaluated exactly once across the
-    two passes, so there is no cancellation between them."""
+    two passes, so there is no cancellation between them.  With
+    ``kahan`` the per-grid-step accumulation across band rows is
+    two-sum compensated (close pairs dominate the force — they must
+    not get plain fp32 summation while the base pass compensates)."""
     i = pl.program_id(0)
     b = pl.program_id(1)
 
     @pl.when(b == 0)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
+        comp_ref[:] = jnp.zeros_like(comp_ref)
+
+    def _accum(delta):
+        if kahan:
+            y = delta - comp_ref[:]
+            t = out_ref[:] + y
+            comp_ref[:] = (t - out_ref[:]) - y
+            out_ref[:] = t
+        else:
+            out_ref[:] = out_ref[:] + delta
 
     xt = xt_ref[:]
     yt = yt_ref[:]
@@ -394,7 +408,7 @@ def _band_kernel(start_ref, xt_ref, yt_ref, zt_ref, ht_ref,
         ax = jnp.sum(s * dx, axis=1, keepdims=True)
         ay = jnp.sum(s * dy, axis=1, keepdims=True)
         az = jnp.sum(s * dz, axis=1, keepdims=True)
-        out_ref[:] = out_ref[:] + jnp.concatenate([ax, ay, az], axis=1)
+        _accum(jnp.concatenate([ax, ay, az], axis=1))
     else:
         s = gms * _pot_pre("spline", r2, pre)
         if mask_self:
@@ -405,17 +419,17 @@ def _band_kernel(start_ref, xt_ref, yt_ref, zt_ref, ht_ref,
             jglob = jrow * tn + _lax.broadcasted_iota(jnp.int32, (1, tn),
                                                       1)
             s = jnp.where(iglob == jglob, 0.0, s)
-        out_ref[:] = out_ref[:] + jnp.sum(s, axis=1, keepdims=True)
+        _accum(jnp.sum(s, axis=1, keepdims=True))
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("mode", "eps2", "tm", "tn", "n_band", "interpret",
-                     "mask_self"),
+                     "mask_self", "kahan"),
 )
 def _pallas_band_correction(pos, gmass, hinv, start, mode, eps2,
                             tm, tn, n_band, interpret=False,
-                            mask_self=False):
+                            mask_self=False, kahan=False):
     """Banded (N x n_band*tn) spline-correction pass; ``start`` gives
     each target tile's first source row (scalar-prefetched into the
     BlockSpec index maps)."""
@@ -441,7 +455,7 @@ def _pallas_band_correction(pos, gmass, hinv, start, mode, eps2,
     width = 3 if mode == "acc" else 1
     kernel = functools.partial(
         _band_kernel, eps2=eps2, tm=tm, tn=tn, mode=mode,
-        mask_self=mask_self,
+        mask_self=mask_self, kahan=kahan,
     )
     t_spec = pl.BlockSpec((tm, 1), lambda i, b, s_ref: (i, 0),
                           memory_space=pltpu.VMEM)
@@ -454,14 +468,18 @@ def _pallas_band_correction(pos, gmass, hinv, start, mode, eps2,
             grid=(n_i, n_band),
             in_specs=[t_spec, t_spec, t_spec, t_spec,
                       s_spec, s_spec, s_spec, s_spec, s_spec],
-            out_specs=pl.BlockSpec((tm, width),
-                                   lambda i, b, s_ref: (i, 0),
-                                   memory_space=pltpu.VMEM),
+            out_specs=[pl.BlockSpec((tm, width),
+                                    lambda i, b, s_ref: (i, 0),
+                                    memory_space=pltpu.VMEM),
+                       pl.BlockSpec((tm, width),
+                                    lambda i, b, s_ref: (i, 0),
+                                    memory_space=pltpu.VMEM)],
         )
-        out = pl.pallas_call(
+        out, _comp = pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((nt_pad, width), jnp.float32),
+            out_shape=[jax.ShapeDtypeStruct((nt_pad, width), jnp.float32),
+                       jax.ShapeDtypeStruct((nt_pad, width), jnp.float32)],
             interpret=interpret,
         )(start.astype(jnp.int32), xt, yt, zt, ht, xs, ys, zs, ms, hs)
     out = out[:nt]
@@ -525,7 +543,8 @@ def _pallas_self_sorted(pos, gmass, soft, kind, kahan, mode, eps2,
             band = _pallas_band_correction(p, gs, hinv, start, mode,
                                            eps2, tm, tn, nb,
                                            interpret=interpret,
-                                           mask_self=mask_self)
+                                           mask_self=mask_self,
+                                           kahan=kahan)
             return base + band
 
         return fast
@@ -584,9 +603,12 @@ def pallas_accel(pos, mass, soft, G, kind, kahan, eps2=PAIRWISE_EPS2,
                  interpret=False, spatial_sort=None):
     """(N, 3) float32 self-gravity accelerations (single chip).
 
-    ``spatial_sort`` (default: auto for the spline kernel at N >= 8192)
-    enables the slab-sort + compact-support tile masking fast path —
-    bitwise-identical results, ~40% fewer VPU ops on clustered data.
+    ``spatial_sort`` (default: auto for the spline kernel at N >= 16384)
+    enables the slab-sort + compact-support two-pass fast path: every
+    pair is still computed exactly once with its exact kernel factor,
+    but the summation order differs from the single-pass kernel, so
+    results agree to fp32 round-off (not bitwise).  ~40% fewer VPU ops
+    on typical data.
     """
     gmass = (mass * G).astype(jnp.float32)
     soft = soft.astype(jnp.float32)

@@ -211,7 +211,11 @@ def read_mult_coefs(source, group_name: str = "snap_000",
     """Parse a Multipole coefficient source (path / HDF5 / raw string)."""
     lines = _source_to_lines(source, group_name, dataset_name)
     meta = _parse_meta(lines)
-    n_r = int(meta.get("gridSizeR", 0))
+    if "gridSizeR" not in meta:
+        raise ValueError(
+            "coefficient source has no gridSizeR header — not a valid "
+            "Agama coef file (or the header failed to parse)")
+    n_r = int(meta["gridSizeR"])
 
     markers = {}
     for i, line in enumerate(lines):
@@ -249,7 +253,11 @@ def read_cylspl_coefs(source, group_name: str = "snap_000",
     """Parse a CylSpline coefficient source (path / HDF5 / raw string)."""
     lines = _source_to_lines(source, group_name, dataset_name)
     meta = _parse_meta(lines)
-    n_r = int(meta.get("gridSizeR", 0))
+    if "gridSizeR" not in meta:
+        raise ValueError(
+            "coefficient source has no gridSizeR header — not a valid "
+            "Agama coef file (or the header failed to parse)")
+    n_r = int(meta["gridSizeR"])
     n_z = int(meta.get("gridSizez", meta.get("gridSizeZ", 0)))
 
     m_values, blocks = [], []

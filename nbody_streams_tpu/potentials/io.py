@@ -69,11 +69,23 @@ def read_coef_string(h5_path, group_name: str = "snap_000",
 
 
 def list_coef_groups(h5_path, dataset_name: str = "coefs"):
-    """(group_names, times or None) for the archive's snapshot groups."""
+    """(group_names, times or None) for the archive's snapshot groups.
+
+    Sorted numerically by trailing index (snap_999 < snap_1000) so the
+    order always matches the embedded ``times`` dataset — plain
+    lexicographic sorting breaks past 3-digit archives.
+    """
+    import re as _re
+
+    def key(name):
+        m = _re.search(r"(\d+)$", name)
+        return (int(m.group(1)) if m else -1, name)
+
     with h5py.File(h5_path, "r") as f:
         groups = sorted(
-            k for k in f.keys()
-            if isinstance(f[k], h5py.Group) and dataset_name in f[k]
+            (k for k in f.keys()
+             if isinstance(f[k], h5py.Group) and dataset_name in f[k]),
+            key=key,
         )
         times = np.asarray(f["times"][:]) if "times" in f else None
     return groups, times

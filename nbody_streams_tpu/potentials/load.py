@@ -66,7 +66,18 @@ def load_evolving_potential(source, times=None, keep_lm_mult=None,
     Evolving .ini file."""
     if isinstance(source, (str, Path)) and \
             Path(source).suffix.lower() == ".ini":
-        return load_potential_ini(source)
+        if keep_lm_mult is not None or keep_m_cylspl is not None \
+                or times is not None:
+            raise ValueError(
+                "times/keep_lm_mult/keep_m_cylspl are not supported for "
+                ".ini sources (the INI defines its own snapshots); load "
+                "the HDF5 archive directly to filter harmonics")
+        pot = load_potential_ini(source)
+        if center is not None:
+            if isinstance(center, (str, Path)):
+                center = np.loadtxt(center)
+            pot = ShiftedPotential(pot, np.asarray(center, float))
+        return pot
 
     groups, t_embedded = list_coef_groups(source)
     if not groups:

@@ -67,7 +67,9 @@ def _kernel_u(kind, r2, h):
             hs = np.where(h > 0, h, 1.0)
             q = np.where(h > 0, r / hs, 2.0)
             q_safe = np.where(q > 0, q, 1.0)
-            u_in = (-2.8 + q**2 * (16.0 / 3.0 + q**4 * (6.4 * q - 9.6))) / hs
+            # q**2 nesting (the reference's CUDA kernel has q**4 here,
+            # a bug: discontinuous at q=0.5, not the force's integral)
+            u_in = (-2.8 + q**2 * (16.0 / 3.0 + q**2 * (6.4 * q - 9.6))) / hs
             u_out = (
                 -3.2
                 + 1.0 / (15.0 * q_safe)

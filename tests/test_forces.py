@@ -126,3 +126,29 @@ def test_invalid_inputs():
         compute_forces_direct(np.zeros((4, 3)), 1.0, kernel="bogus")
     with pytest.raises(ValueError):
         compute_forces_direct(np.zeros((4, 3)), 1.0, precision="float16")
+
+
+def test_spline_potential_is_antiderivative_of_force():
+    """dU/dr == w(r) r for the spline kernel across both branches and
+    the q=0.5 seam (r2 review: the reference's own CUDA potential
+    kernel is discontinuous there — cuda_kernels.py:422 uses q4 where
+    the Gadget form needs q2; we deliberately diverge)."""
+    from nbody_streams_tpu.ops.kernels import (force_factor,
+                                               potential_factor)
+
+    h = 1.0
+    r = np.linspace(0.01, 1.2, 2000)
+    u = np.asarray(potential_factor("spline", r**2, h))
+    w = np.asarray(force_factor("spline", r**2, h))
+    # centred finite difference of U vs w(r) * r
+    dU = np.gradient(u, r)
+    np.testing.assert_allclose(dU[5:-5], (w * r)[5:-5], rtol=5e-3,
+                               atol=5e-3)
+    # continuity at the q = 0.5 seam
+    lo = float(np.asarray(potential_factor("spline", (0.5 - 1e-9)**2, h)))
+    hi = float(np.asarray(potential_factor("spline", (0.5 + 1e-9)**2, h)))
+    assert abs(lo - hi) < 1e-6
+    # exact Gadget values: U(0) = -2.8/h, U(0.5h) = -1.8666.../h
+    assert float(np.asarray(potential_factor(
+        "spline", 1e-20, h))) == pytest.approx(-2.8)
+    assert lo == pytest.approx(-2.8 + 16/3/4 - 9.6/16 + 6.4/32, rel=1e-6)
