@@ -87,9 +87,11 @@ def main(argv=None):
     print("\nSECTION 3: validation vs the float64 jnp oracle (n=4096 "
           "subset)")
     nv = min(n, 4096)
-    oracle = DirectGravity(m[:nv], soft[:nv], kernel="spline",
-                           precision="float64", impl="jnp")
-    a_ref = np.asarray(oracle.accel(jnp.asarray(pos64[:nv])), float)
+    with jax.enable_x64():
+        oracle = DirectGravity(m[:nv], soft[:nv], kernel="spline",
+                               precision="float64", impl="jnp")
+        a_ref = np.asarray(oracle.accel(jnp.asarray(pos64[:nv],
+                                                    jnp.float64)), float)
     scale = np.abs(a_ref).max()
     for precision in ("float32_kahan", "float32"):
         s = DirectGravity(m[:nv], soft[:nv], kernel="spline",

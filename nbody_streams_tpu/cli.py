@@ -63,12 +63,21 @@ def main(argv=None):
     if args.config:
         with open(args.config) as fh:
             cfg = json.load(fh)
+        # "flag was given" must mean PRESENT ON THE COMMAND LINE, not
+        # value != default — a flag explicitly set to its default value
+        # still overrides the config
+        argv_actual = list(sys.argv[1:] if argv is None else argv)
         cli_given = {
             a.dest for a in parser._actions
-            if getattr(args, a.dest, None) != a.default
+            if any(opt in argv_actual
+                   or any(str(tok).startswith(opt + "=")
+                          for tok in argv_actual)
+                   for opt in a.option_strings)
         }
         for k, v in cfg.items():
             key = k.replace("-", "_")
+            if key == "continue":       # argparse dest is continue_run
+                key = "continue_run"
             if key not in cli_given and hasattr(args, key):
                 setattr(args, key, v)
 
@@ -94,7 +103,11 @@ def main(argv=None):
 
         ext = make_potential(file=args.external_potential)
 
-    species = [Species.dark(N=len(xv), mass=float(masses[0]),
+    # per-particle masses (e.g. loaded from a restart's mass_arr) pass
+    # through intact; Species accepts an (N,) array
+    mass_spec = (float(masses[0]) if np.all(masses == masses[0])
+                 else np.asarray(masses, float))
+    species = [Species.dark(N=len(xv), mass=mass_spec,
                             softening=args.softening)]
     result = run_simulation(
         xv, species, args.t_start, args.t_end, args.dt,

@@ -130,7 +130,10 @@ def convert_vectors(vectors, positions, from_sys: str, to_sys: str,
         if from_sys != "cart" else vec
     out = np.einsum("nij,nj->ni", basis(to_sys), v_cart) \
         if to_sys != "cart" else np.array(v_cart, copy=True)
-    out = _nan_rows(np.concatenate([vec, pos], axis=1)[:, :3] * 0 + vec,
+    # NaN propagation over BOTH inputs: a NaN position corrupts the
+    # basis even when the output basis happens not to use that
+    # coordinate, so the whole row must go NaN
+    out = _nan_rows(np.concatenate([vec, pos], axis=1),
                     np.asarray(out, float))
     return out[0] if single else out
 

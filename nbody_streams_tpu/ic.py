@@ -79,18 +79,38 @@ def make_plummer_sphere(
 def place_on_orbit(phase_space, r_peri: float, r_apo: float, potential):
     """Shift a self-bound system onto an (r_peri, r_apo) orbit.
 
-    Starts at apocentre on the +x axis with tangential velocity in +y,
-    matched through the circular speed at the geometric-mean radius
-    (same convention as the reference, run.py:1328-1368).
+    Starts at apocentre on the +x axis with tangential velocity in +y
+    (reference convention, run.py:1328-1368).  The apocentre speed is
+    the EXACT energy/angular-momentum match in the supplied potential:
 
-    ``potential`` must expose ``force(pos) -> (N, 3)`` (our
-    :mod:`nbody_streams_tpu.potentials` objects do; any object with a
-    compatible method works).
+        v_apo^2 = 2 (Phi(r_peri) - Phi(r_apo)) / (1 - (r_apo/r_peri)^2)
+
+    The reference instead approximates through the circular speed at
+    the geometric-mean radius, ``v_circ sqrt(2 r_circ/r_apo - 1)``,
+    whose argument goes NEGATIVE for r_peri < r_apo/4 — NaN velocities
+    for the common eccentric-progenitor case (e.g. Sgr-like 15/90).
+
+    ``potential`` must expose ``potential(pos) -> (N,)`` (falls back to
+    the reference's circular-speed approximation, clipped at 0, when
+    only ``force`` is available).
     """
-    r_circ = float(np.sqrt(r_peri * r_apo))
-    f = np.asarray(potential.force(np.array([[r_circ, 0.0, 0.0]])))
-    v_circ = float(np.sqrt(-r_circ * f[0, 0]))
-    v_tang = v_circ * np.sqrt(2.0 * r_circ / r_apo - 1.0)
+    if not 0.0 < r_peri <= r_apo:
+        raise ValueError(
+            f"need 0 < r_peri <= r_apo, got ({r_peri}, {r_apo})")
+    if r_peri == r_apo:          # circular orbit
+        f = np.asarray(potential.force(np.array([[r_apo, 0.0, 0.0]])))
+        v_tang = float(np.sqrt(-r_apo * f[0, 0]))
+    elif hasattr(potential, "potential"):
+        pts = np.array([[r_peri, 0.0, 0.0], [r_apo, 0.0, 0.0]])
+        phi_p, phi_a = np.asarray(potential.potential(pts), float)
+        v_tang = float(np.sqrt(2.0 * (phi_p - phi_a)
+                               / (1.0 - (r_apo / r_peri) ** 2)))
+    else:  # pragma: no cover - force-only objects
+        r_circ = float(np.sqrt(r_peri * r_apo))
+        f = np.asarray(potential.force(np.array([[r_circ, 0.0, 0.0]])))
+        v_circ = float(np.sqrt(-r_circ * f[0, 0]))
+        v_tang = v_circ * np.sqrt(
+            max(2.0 * r_circ / r_apo - 1.0, 0.0))
 
     out = np.array(phase_space, dtype=np.float64, copy=True)
     out[:, 0] += r_apo

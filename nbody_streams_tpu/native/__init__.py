@@ -125,6 +125,9 @@ def knn_radius(pos, k: int = 32) -> np.ndarray:
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         )
         return out
+    if n <= 1:
+        # degenerate: no neighbours (match the native path's 0.0)
+        return np.zeros(n, dtype=np.float64)
     from scipy.spatial import cKDTree
 
     tree = cKDTree(pos)

@@ -11,7 +11,8 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["JaxPPoly", "spline_coeffs", "hermite_coeffs"]
+__all__ = ["JaxPPoly", "spline_coeffs", "hermite_coeffs",
+           "pchip_coeffs"]
 
 
 class JaxPPoly:
@@ -42,18 +43,20 @@ class JaxPPoly:
         k = jnp.clip(jnp.searchsorted(self.x, tc, side="right") - 1,
                      0, self.x.shape[0] - 2)
         dt = tc - self.x[k]
-        coef = self.c[:, k, :]             # (order, D)
+        dtb = dt[..., None]                # broadcast against the D axis
+        coef = self.c[:, k, :]             # (order, ..., D)
         val = coef[0]
         for i in range(1, self.c.shape[0]):
-            val = val * dt + coef[i]
+            val = val * dtb + coef[i]
         if self.extrapolate == "linear":
             # derivative at the clamped point
-            dcoef = coef[:-1] * jnp.arange(
-                self.c.shape[0] - 1, 0, -1, dtype=val.dtype)[:, None]
+            dcoef = coef[:-1] * jnp.reshape(
+                jnp.arange(self.c.shape[0] - 1, 0, -1, dtype=val.dtype),
+                (-1,) + (1,) * (coef.ndim - 1))
             der = dcoef[0]
             for i in range(1, dcoef.shape[0]):
-                der = der * dt + dcoef[i]
-            val = val + der * (t - tc)
+                der = der * dtb + dcoef[i]
+            val = val + der * (t - tc)[..., None]
         if self.dim == 1:
             return val[..., 0]
         return val
@@ -64,12 +67,14 @@ class JaxPPoly:
         k = jnp.clip(jnp.searchsorted(self.x, tc, side="right") - 1,
                      0, self.x.shape[0] - 2)
         dt = tc - self.x[k]
+        dtb = dt[..., None]
         coef = self.c[:, k, :]
-        dcoef = coef[:-1] * jnp.arange(
-            self.c.shape[0] - 1, 0, -1, dtype=coef.dtype)[:, None]
+        dcoef = coef[:-1] * jnp.reshape(
+            jnp.arange(self.c.shape[0] - 1, 0, -1, dtype=coef.dtype),
+            (-1,) + (1,) * (coef.ndim - 1))
         der = dcoef[0]
         for i in range(1, dcoef.shape[0]):
-            der = der * dt + dcoef[i]
+            der = der * dtb + dcoef[i]
         if self.dim == 1:
             return der[..., 0]
         return der

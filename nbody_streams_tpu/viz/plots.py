@@ -122,6 +122,12 @@ def plot_mollweide(pos, weights=None, initial_nside: int = 60, ax=None,
 
     if log_scale is not None:      # reference kwarg name
         log = log_scale
+    if nside_bins is not None:     # pre-HEALPix alias for the resolution
+        initial_nside = int(nside_bins)
+    # return_map accepted for reference compatibility: the smoothed map
+    # is always returned (alongside the axis, which the reference's
+    # healpy version never exposed)
+    del return_map
     pos = np.asarray(pos, float)
     weights = None if weights is None else np.asarray(weights, float)
 
@@ -242,8 +248,11 @@ def plot_stream_evolution(part_xv, times, n_panels: int = 4,
     for ax, k in zip(axs[0], sel):
         xv_k = part_xv[k]
         good = np.isfinite(xv_k).all(axis=1)
+        m_k = mass
+        if np.ndim(mass) == 1 and len(mass) == len(xv_k):
+            m_k = np.asarray(mass)[good]    # keep mass aligned with rows
         if good.any():
-            plot_density(xv_k[good], mass, method=method, npix=npix,
+            plot_density(xv_k[good], m_k, method=method, npix=npix,
                          axes=axes, ax=ax, colorbar=False, **kwargs)
         ax.set_title(f"t = {times[k]:.3f}")
     fig.tight_layout()

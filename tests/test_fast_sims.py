@@ -381,3 +381,45 @@ def test_perturber_window_amplitude_bounded():
                       rel=1e-9)
     assert abs(float(np.asarray(pert.potential(x, t=-3.5))[0])) < \
         abs(float(np.asarray(bare.potential(x, t=-3.5))[0])) * 1e-6
+
+
+def test_place_on_orbit_eccentric_exact():
+    """Exact peri/apo turning points from energy/angular-momentum
+    matching; the reference's geometric-mean approximation produces NaN
+    for r_peri < r_apo/4 (r2 review; reference run.py:1361)."""
+    from nbody_streams_tpu.ic import place_on_orbit
+    from nbody_streams_tpu.fast_sims.orbits import integrate_orbit_adaptive
+    from nbody_streams_tpu.potentials.analytic import NFWPotential
+    import jax.numpy as jnp
+
+    host = NFWPotential(mass=1e12, scaleRadius=16.0)
+    xv0 = place_on_orbit(np.zeros((1, 6)), r_peri=15.0, r_apo=90.0,
+                         potential=host)[0]
+    assert np.isfinite(xv0).all()          # old formula: NaN here
+    _, traj = integrate_orbit_adaptive(host, xv0, 0.0, 6.0, n_out=4096,
+                                       rtol=1e-10, atol=1e-10,
+                                       dtype=jnp.float64)
+    r = np.linalg.norm(np.asarray(traj)[:, :3], axis=1)
+    assert r.min() == pytest.approx(15.0, rel=2e-3)
+    assert r.max() == pytest.approx(90.0, rel=2e-3)
+
+
+def test_jaxppoly_vector_evaluation():
+    """Array-valued query points must match SciPy (r2 review: Horner
+    broadcast bug silently corrupted all but the first element)."""
+    from scipy.interpolate import CubicSpline
+
+    from nbody_streams_tpu.utils.interp import spline_coeffs
+
+    t = np.linspace(0, 10, 11)
+    v = np.sin(t)
+    sp = spline_coeffs(t, v)
+    ref = CubicSpline(t, v, bc_type="not-a-knot")
+    q = np.array([0.5, 3.7, 9.2])
+    np.testing.assert_allclose(np.asarray(sp(q)), ref(q), rtol=1e-6)
+    # 3-D trajectory spline, vector t
+    v3 = np.column_stack([np.sin(t), np.cos(t), t])
+    sp3 = spline_coeffs(t, v3)
+    ref3 = CubicSpline(t, v3, bc_type="not-a-knot")
+    np.testing.assert_allclose(np.asarray(sp3(q)), ref3(q), rtol=1e-6,
+                               atol=1e-12)

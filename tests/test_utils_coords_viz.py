@@ -306,3 +306,14 @@ def test_observed_pm_is_rate_of_returned_angles():
     np.testing.assert_allclose(out["pm_phi2"],
                                np.radians(p2b - p2a) / dt,
                                rtol=1e-4, atol=1e-7)
+
+
+def test_convert_vectors_nan_position_propagates():
+    """A NaN position corrupts the local basis: the output row must be
+    NaN even when the target basis doesn't use that coordinate
+    (r2 review: the check was a no-op over positions)."""
+    v = np.array([[1.0, 0.0, 0.0], [1.0, 0.0, 0.0]])
+    p = np.array([[1.0, 2.0, 3.0], [1.0, 2.0, np.nan]])
+    out = convert_vectors(v, p, "cart", "cyl")
+    assert np.isfinite(out[0]).all()
+    assert np.isnan(out[1]).all()
