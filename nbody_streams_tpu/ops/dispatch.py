@@ -33,7 +33,12 @@ __all__ = ["DirectGravity"]
 def _default_impl(devices) -> str:
     if devices is not None and len(devices) > 1:
         return "sharded"
-    if jax.default_backend() in ("tpu", "axon"):
+    # respect an active jax.default_device(...) override (run.py pins
+    # architecture='cpu' this way even when a TPU is the default
+    # backend — the Pallas kernel must not be selected there)
+    dd = jax.config.jax_default_device
+    platform = dd.platform if dd is not None else jax.default_backend()
+    if platform in ("tpu", "axon"):
         try:
             from . import pallas_direct  # noqa: F401
 
