@@ -87,3 +87,20 @@ def test_sph_smoothing_lengths_native_wiring():
 
     with pytest.raises(ValueError):
         get_smoothing_lengths(pos, 16, method="nope")
+
+
+def test_default_impl_respects_default_device(monkeypatch):
+    """architecture='cpu' pins jax.default_device; impl='auto' must not
+    pick the Pallas kernel there even when the process default backend
+    is a TPU (r2: live-host CLI crash 'Only interpret mode is supported
+    on CPU backend')."""
+    import jax
+
+    from nbody_streams_tpu.ops import dispatch
+
+    monkeypatch.setattr(dispatch.jax, "default_backend", lambda: "tpu")
+    # no override: the fake TPU backend selects pallas
+    assert dispatch._default_impl(None) == "pallas"
+    # pinned to a CPU device: must fall back to jnp
+    with jax.default_device(jax.devices("cpu")[0]):
+        assert dispatch._default_impl(None) == "jnp"
