@@ -103,6 +103,7 @@ def _save_snapshot(
     num_files_to_write: int | None = None,
     total_expected_snapshots: int | None = None,
     mass_dark: float | np.ndarray | None = None,
+    eps_dark: float | np.ndarray | None = None,
 ) -> None:
     """Append one snapshot; never overwrites an existing snap dataset."""
     if not H5PY_AVAILABLE:
@@ -143,7 +144,18 @@ def _save_snapshot(
                         grp.create_dataset("m", data=float(m_arr[0]))
                         grp.create_dataset("m_array", data=m_arr,
                                            compression="gzip")
-                grp.create_dataset("eps", data=0.0)
+                h_arr = np.asarray(
+                    0.0 if eps_dark is None else eps_dark, float)
+                if h_arr.ndim == 0:
+                    grp.create_dataset("eps", data=float(h_arr))
+                else:
+                    uniform, val = _is_uniform(h_arr)
+                    if uniform:
+                        grp.create_dataset("eps", data=float(val))
+                    else:
+                        grp.create_dataset("eps", data=float(h_arr[0]))
+                        grp.create_dataset("eps_array", data=h_arr,
+                                           compression="gzip")
             if "star" not in props:
                 grp = props.create_group("star")
                 grp.create_dataset("N", data=0)
@@ -201,28 +213,30 @@ def _load_restart(output_dir):
     path = Path(output_dir) / "restart.npz"
     if not path.exists():
         return None
-    data = np.load(path, allow_pickle=False)
-    xv = data["phase_space"]
-    t = float(data["time"])
-    step = int(data["step"])
-    counter = (
-        int(data["snapshot_counter"]) if "snapshot_counter" in data.files else 0
-    )
+    # context-manage the NpzFile: a live zip handle on restart.npz
+    # while _save_restart replaces the same file is asking for trouble
+    with np.load(path, allow_pickle=False) as data:
+        xv = np.array(data["phase_space"])
+        t = float(data["time"])
+        step = int(data["step"])
+        counter = (int(data["snapshot_counter"])
+                   if "snapshot_counter" in data.files else 0)
 
-    def opt(key):
-        return data[key] if key in data.files else None
+        def opt(key):
+            return np.array(data[key]) if key in data.files else None
 
-    names = opt("species_names")
+        names = opt("species_names")
+        mass_arr = opt("mass_arr")
+        soft_arr = opt("softening_arr")
+        ns = opt("species_N")
     if names is not None:
         names = [
             n.decode("utf-8") if isinstance(n, (bytes, np.bytes_)) else str(n)
             for n in names
         ]
-    ns = opt("species_N")
     if ns is not None:
         ns = [int(v) for v in ns]
-    return (xv, t, step, counter, opt("mass_arr"), opt("softening_arr"),
-            names, ns)
+    return (xv, t, step, counter, mass_arr, soft_arr, names, ns)
 
 
 def _update_snapshot_times(output_dir, snap_index: int, time: float) -> None:

@@ -137,8 +137,15 @@ class CylSplinePotential(Potential):
             if log_scaling:
                 f = np.log(-f) if m == 0 else f / phi0
             fy = _natural_spline_deriv(lz, f, axis=1)
-            fx = _clamped_left_spline_deriv(lr, f, axis=0)
-            fxy = _clamped_left_spline_deriv(lr, fy, axis=0)
+            # the zero-slope axis clamp expresses Phi_m ~ R^|m| symmetry
+            # at R = 0 — valid for every harmonic EXCEPT |m| = 1, whose
+            # axis derivative is generically nonzero (Phi_1 ~ c(z) R)
+            if abs(m) == 1:
+                fx = _natural_spline_deriv(lr, f, axis=0)
+                fxy = _natural_spline_deriv(lr, fy, axis=0)
+            else:
+                fx = _clamped_left_spline_deriv(lr, f, axis=0)
+                fxy = _clamped_left_spline_deriv(lr, fy, axis=0)
             nodes.append(np.stack([f, fx, fy, fxy], axis=-1))
         node_arr = np.stack(nodes)                 # (n_m, nR, nz, 4)
 

@@ -124,11 +124,28 @@ class SpheroidDensity:
         return self.rho_m(m)
 
     def total_mass(self) -> float:
-        """p q 4 pi int rho(m) m^2 dm by log-panel quadrature."""
-        rmax = 5.0 * self.rcut if self.rcut > 0 else 1e6 * self.a
+        """p q 4 pi int rho(m) m^2 dm by log-panel quadrature.
+
+        The cutoff extent scales with the cutoff strength (a shallow
+        xi = 0.5 cutoff still carries ~1/3 of the mass beyond 5 rcut);
+        without a cutoff, the numerically-neglected power-law tail
+        beyond rmax is added in closed form (rho ~ m^-beta there, so
+        M_tail = 4 pi p q rho(rmax) rmax^3 / (beta - 3)) — a fixed
+        truncation radius under-counts badly for beta near 3.
+        """
+        if self.rcut > 0:
+            # exp(-(r/rc)^xi) < e^-40 at r = rc * 40^(1/xi)
+            rmax = self.rcut * max(5.0, 40.0 ** (1.0 / self.xi))
+            tail = 0.0
+        else:
+            rmax = 1e6 * self.a
+            tail = (4.0 * np.pi * float(self.rho_m(np.array([rmax]))[0])
+                    * rmax ** 3 / (self.beta - 3.0)
+                    if self.beta > 3.0 else np.inf)
         s, w = _log_gauss_panels(1e-8 * self.a, rmax, 400)
-        return float(self.p * self.q * 4.0 * np.pi
-                     * np.sum(w * self.rho_m(s) * s ** 2))
+        return float(self.p * self.q
+                     * (4.0 * np.pi * np.sum(w * self.rho_m(s) * s ** 2)
+                        + tail))
 
 
 def _disk_sigma_funcs(surfaceDensity, scaleRadius, innerCutoffRadius,
@@ -234,9 +251,15 @@ class DiskDensity:
 
     def total_mass(self) -> float:
         rd = self.params["scaleRadius"]
-        s, w = _log_gauss_panels(1e-8 * rd, 200.0 * rd
-                                 + 20.0 * self.params["innerCutoffRadius"],
-                                 400)
+        # Sigma ~ exp(-(R/Rd)^(1/n)): the mass-weighted extent scales as
+        # Rd * y^n with y = (R/Rd)^(1/n); cover y up to 2n + 40 so the
+        # neglected tail is < e^-40 of the integrand (a fixed 200 Rd
+        # misses most of the mass for Sersic n >= 3)
+        n_ser = float(self.params.get("sersicIndex", 1.0))
+        ymax = 2.0 * n_ser + 40.0
+        rmax = rd * max(200.0, ymax ** n_ser) \
+            + 20.0 * self.params["innerCutoffRadius"]
+        s, w = _log_gauss_panels(1e-8 * rd, rmax, 400)
         return float(2.0 * np.pi * np.sum(w * self.sigma(s) * s))
 
 
@@ -324,13 +347,7 @@ _GL_NODES, _GL_WEIGHTS = np.polynomial.legendre.leggauss(8)
 
 def _log_gauss_panels(a: float, b: float, n_panels: int):
     """Gauss-Legendre-8 nodes/weights on log-spaced panels of [a, b]."""
-    edges = np.geomspace(a, b, n_panels + 1)
-    lo, hi = edges[:-1], edges[1:]
-    mid = 0.5 * (lo + hi)
-    half = 0.5 * (hi - lo)
-    s = (mid[:, None] + half[:, None] * _GL_NODES[None, :]).ravel()
-    w = (half[:, None] * _GL_WEIGHTS[None, :]).ravel()
-    return s, w
+    return _panel_nodes(np.geomspace(a, b, n_panels + 1))
 
 
 def _panel_nodes(edges: np.ndarray):
@@ -479,8 +496,10 @@ def build_spheroid(densityNorm: float | None = None, mass: float | None = None,
     if rmin is None:
         rmin = a / 200.0
     if rmax is None:
-        rmax = 5.0 * outerCutoffRadius if outerCutoffRadius > 0 \
-            else 2000.0 * a
+        # cutoff extent scales with cutoff strength (see total_mass)
+        rmax = (outerCutoffRadius
+                * max(5.0, 40.0 ** (1.0 / cutoffStrength))
+                if outerCutoffRadius > 0 else 2000.0 * a)
     r_grid = np.geomspace(rmin, rmax, gridSizeR)
 
     if dens.spherical:
@@ -529,7 +548,11 @@ def build_disk(surfaceDensity: float | None = None,
     if rmin is None:
         rmin = min(rd / 50.0, hz / 4.0)
     if rmax is None:
-        rmax = 100.0 * rd + 10.0 * float(innerCutoffRadius)
+        # scale the residual-fit extent with the Sersic index like
+        # total_mass (a high-n disk carries mass far past 100 Rd)
+        rmax = max(100.0, (2.0 * float(sersicIndex) + 20.0)
+                   ** float(sersicIndex)) * rd \
+            + 10.0 * float(innerCutoffRadius)
     r_grid = np.geomspace(rmin, rmax, gridSizeR)
 
     # sinh clustering toward the plane to resolve the h(z) scale of the

@@ -134,7 +134,11 @@ def _resolve_device(architecture: str):
 
 def _snapshot_schedule(total_steps: int, snapshots: int) -> np.ndarray:
     if snapshots > 1:
-        return np.round(np.linspace(0, total_steps, snapshots)).astype(int)
+        steps = np.round(np.linspace(0, total_steps, snapshots)).astype(int)
+        # more snapshots than steps: the rounded schedule repeats steps,
+        # and duplicates would be written with the wrong data/time —
+        # collapse them (fewer snapshots than asked, each one correct)
+        return np.unique(steps)
     return np.array([total_steps], dtype=int)
 
 
@@ -234,6 +238,22 @@ def run_nbody(
             snapshot_counter = int(saved_counter)
             if verbose:
                 print(f"Resuming from step {start_step}, time {t_now:.6e}")
+        elif save_snapshots and sorted(output_path.glob("snapshot*.h5")):
+            # no restart but old snapshots present: starting from step 0
+            # would silently no-op every write (snapshots are
+            # append-only) while relabelling snapshot.times
+            raise FileNotFoundError(
+                f"continue_run=True but '{output_path}/restart.npz' is "
+                "missing while snapshot files exist — cannot resume. "
+                "Pass overwrite=True to start over, or restore the "
+                "restart file.")
+        else:
+            import warnings
+
+            warnings.warn(
+                "continue_run=True but no restart.npz found in "
+                f"'{output_path}': starting a fresh run from step 0",
+                stacklevel=2)
 
     total_steps = int(round((time_end - time_start) / dt))
     snap_steps = _snapshot_schedule(total_steps, snapshots)
@@ -261,6 +281,7 @@ def run_nbody(
         # full array: nbody_io smart storage compresses to a scalar when
         # uniform; masses[0] alone would mislabel unequal-mass runs
         snap_kwargs["mass_dark"] = np.asarray(masses, float)
+        snap_kwargs["eps_dark"] = np.asarray(soft_arr, float)
 
     if verbose:
         backend = device.platform if device else jax.default_backend()
@@ -288,7 +309,7 @@ def run_nbody(
             fx,
         )
         step_fn = make_kdk_step(accel_fn, dt, time_start,
-                                compensated=(precision != "float64"))
+                                compensated=(precision == "float32_kahan"))
 
         state = init_state(
             xv[:, :3], xv[:, 3:], accel_fn, mass_dev, time_start,
@@ -428,8 +449,13 @@ def run_nbody(
             jax.profiler.stop_trace()
 
         xv_final = fetch_xv(state)
-        _save_restart(xv_final, t_now, total_steps, output_path,
-                      snapshot_counter, **restart_kwargs)
+        if current != total_steps:
+            # only when no boundary reached total_steps (e.g. resuming a
+            # finished run): the loop's own due_restart already wrote
+            # this payload otherwise — a duplicate compressed write of
+            # the full phase space at shutdown is not free at 2M
+            _save_restart(xv_final, t_now, total_steps, output_path,
+                          snapshot_counter, **restart_kwargs)
 
     if verbose:
         wall = pytime.perf_counter() - t_wall0

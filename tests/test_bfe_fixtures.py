@@ -41,11 +41,15 @@ GOLDEN = {
         "fx": [-4412.19515, -1695.71707, -2049.27976,
                -498.125690, 30.3577542, 2158.55638],
     },
+    # refreshed after the |m|=1 axis-derivative fix (r2): an m=1
+    # harmonic has nonzero radial slope at R=0, so the lopsided bar now
+    # exerts a small transverse force ON the z-axis (fx[4] was clamped
+    # to 0 before, which was unphysical for symmetry='none' content)
     "600.bar.none_8.coef_cylsp_DR": {
-        "phi": [-119705.54336191, -34803.85697019, -159505.85364444,
-                -8277.43577785, -19393.92243715, -44391.1565374],
-        "fx": [-3.00016633e+04, -1.99633059e+03, -2.85700904e+04,
-               -1.59530478e+02, 0.0, 3.78067237e+03],
+        "phi": [-119705.53304456, -34803.85697112, -159505.92445731,
+                -8277.43564105, -19393.92243715, -44391.15654223],
+        "fx": [-3.00015921e+04, -1.99633059e+03, -2.85685852e+04,
+               -1.59530471e+02, 1.24757360e+01, 3.78067235e+03],
     },
 }
 

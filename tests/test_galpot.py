@@ -22,7 +22,10 @@ from nbody_streams_tpu.potentials.galpot import (
     density_to_multipole,
 )
 
-REF_INI = "/root/reference/nbody_streams/data/potentials/McMillan17.ini"
+from pathlib import Path
+
+REF_INI = str(Path(__file__).resolve().parent.parent
+              / "nbody_streams_tpu/data/potentials/McMillan17.ini")
 
 
 def _phi_disk_hankel(R, z, S0, Rd, h):
@@ -207,3 +210,51 @@ def test_spheroid_mass_normalisation_rejects_divergent_beta():
     # with a cutoff the same profile is fine
     build_spheroid(mass=1e10, gamma=1.0, beta=3.0, scaleRadius=2.0,
                    outerCutoffRadius=30.0, lmax=0, gridSizeR=24)
+
+
+def test_disk_mass_normalisation_high_sersic_index():
+    """mass= normalisation must capture the full Sersic-n mass: a fixed
+    200 Rd truncation misses most of it for n >= 3 (r2 review).
+    Analytic check: M = 2 pi Sigma0 Rd^2 n Gamma(2n)."""
+    from math import gamma, pi
+
+    from nbody_streams_tpu.potentials.galpot import DiskDensity
+
+    for n_ser in (1.0, 2.0, 4.0):
+        d = DiskDensity(surfaceDensity=1.0, scaleRadius=2.0,
+                        scaleHeight=0.3, sersicIndex=n_ser)
+        analytic = 2.0 * pi * 1.0 * 4.0 * n_ser * gamma(2.0 * n_ser)
+        assert d.total_mass() == pytest.approx(analytic, rel=1e-6), n_ser
+
+
+def test_spheroid_mass_shallow_cutoff_and_near_critical_beta():
+    """Cutoff extent must scale with cutoffStrength, and the beta > 3
+    no-cutoff case needs the analytic power-law tail (r2 review).
+    Analytic check for gamma=0, alpha=1, beta=4 (no cutoff):
+    M = 4 pi rho0 a^3 int u^2/(1+u)^4 du = 4 pi rho0 a^3 / 3."""
+    import numpy as np
+    from math import gamma as G, pi
+
+    from nbody_streams_tpu.potentials.galpot import SpheroidDensity
+
+    s = SpheroidDensity(densityNorm=1.0, scaleRadius=2.0, alpha=1.0,
+                        beta=4.0, gamma=0.0)
+    assert s.total_mass() == pytest.approx(4.0 * pi * 8.0 / 3.0, rel=1e-6)
+    # shallow cutoff: rho = exp(-(r/rc)^0.5) (gamma=0, beta=0 via large
+    # scaleRadius) -> M = 4 pi rc^3 Gamma(6)/... : int r^2 e^-(r/rc)^.5 dr
+    # = 2 rc^3 int y^5 e^-y dy = 2 rc^3 Gamma(6) = 240 rc^3
+    s2 = SpheroidDensity(densityNorm=1.0, scaleRadius=1e8, alpha=1.0,
+                         beta=4.0, gamma=0.0, outerCutoffRadius=3.0,
+                         cutoffStrength=0.5)
+    expect = 4.0 * pi * 2.0 * 27.0 * G(6.0)
+    assert s2.total_mass() == pytest.approx(expect, rel=1e-4)
+    # near-critical beta without cutoff: analytic tail keeps it finite
+    # and accurate: gamma=0, alpha=1, beta=3.5:
+    # M = 4 pi a^3 int u^2 (1+u)^-3.5 du = 4 pi a^3 * B-type value
+    from scipy.integrate import quad
+
+    val, _ = quad(lambda u: u * u * (1 + u) ** -3.5, 0, np.inf)
+    s3 = SpheroidDensity(densityNorm=1.0, scaleRadius=2.0, alpha=1.0,
+                         beta=3.5, gamma=0.0)
+    assert s3.total_mass() == pytest.approx(4.0 * pi * 8.0 * val,
+                                            rel=1e-3)

@@ -625,3 +625,51 @@ def test_stacked_evolving_agrees_beyond_radial_grid():
     ref_scaled = 0.5 * (np.asarray(pots[0].potential(pts, t=t))
                         + np.asarray(pots[1].potential(pts, t=t)))
     np.testing.assert_allclose(fast[2], ref_scaled[2], rtol=1e-6)
+
+
+def test_cylspline_m1_harmonic_axis_derivative():
+    """|m| = 1 harmonics have a NONZERO radial derivative on the axis
+    (Phi_1 ~ c(z) R): the zero-slope symmetry clamp must only apply to
+    |m| != 1 (r2 review).  Off-centred Plummer = strong m=1 content."""
+    from nbody_streams_tpu.potentials import PlummerPotential
+
+    pl = PlummerPotential(mass=1e10, scaleRadius=2.0)
+    shift = 1.5
+
+    def phi_exact(pts):
+        q = np.array(pts, float)
+        q[:, 0] -= shift
+        return np.asarray(pl.potential(q))
+
+    r_grid = np.concatenate([[0.0], np.geomspace(0.05, 60.0, 40)])
+    zp = np.geomspace(0.05, 60.0, 14)
+    z_grid = np.concatenate([-zp[::-1], [0.0], zp])
+    mmax, n_phi = 4, 16
+    ang = 2.0 * np.pi * np.arange(n_phi) / n_phi
+    rr, zz, aa = np.meshgrid(r_grid, z_grid, ang, indexing="ij")
+    pts = np.column_stack([(rr * np.cos(aa)).ravel(),
+                           (rr * np.sin(aa)).ravel(), zz.ravel()])
+    tab = phi_exact(pts).reshape(rr.shape)          # (nR, nz, n_phi)
+    spec = np.fft.rfft(tab, axis=2) / n_phi
+    m_values = list(range(0, mmax + 1))             # y-symmetric: cos only
+    tables = [spec[:, :, 0].real]
+    for m in range(1, mmax + 1):
+        fac = 1.0 if 2 * m == n_phi else 2.0
+        tables.append(fac * spec[:, :, m].real)
+    coefs = CylSplineCoefs(R_grid=r_grid, z_grid=z_grid,
+                           m_values=m_values, phi=np.stack(tables))
+    cs = CylSplinePotential(coefs)
+
+    # near-axis probes across the first radial cell (the clamp region)
+    probe = np.array([[0.01, 0.0, 1.0], [0.03, 0.02, -2.0],
+                      [0.02, -0.01, 0.5], [0.04, 0.0, 3.0]])
+    p_ref = phi_exact(probe)
+    p_cs = np.asarray(cs.potential(probe))
+    assert np.abs(p_cs - p_ref).max() / np.abs(p_ref).max() < 2e-4
+    # the x-force near the axis is dominated by the m=1 term; with the
+    # old all-m clamp it was biased across the whole first cell
+    q = np.array(probe, float)
+    q[:, 0] -= shift
+    f_ref = np.asarray(pl.force(q))
+    f_cs = np.asarray(cs.force(probe))
+    assert np.abs(f_cs - f_ref).max() / np.abs(f_ref).max() < 5e-3
