@@ -65,15 +65,15 @@ def main(argv=None):
             cfg = json.load(fh)
         # "flag was given" must mean PRESENT ON THE COMMAND LINE, not
         # value != default — a flag explicitly set to its default value
-        # still overrides the config
+        # still overrides the config.  Re-parse with all-None defaults
+        # so abbreviations and --flag=value forms are detected too.
         argv_actual = list(sys.argv[1:] if argv is None else argv)
-        cli_given = {
-            a.dest for a in parser._actions
-            if any(opt in argv_actual
-                   or any(str(tok).startswith(opt + "=")
-                          for tok in argv_actual)
-                   for opt in a.option_strings)
-        }
+        probe = _build_parser()
+        probe.set_defaults(**{a.dest: None for a in probe._actions
+                              if a.dest != "help"})
+        given_ns = probe.parse_args(argv_actual)
+        cli_given = {d for d, v in vars(given_ns).items()
+                     if v is not None}
         for k, v in cfg.items():
             key = k.replace("-", "_")
             if key == "continue":       # argparse dest is continue_run

@@ -221,8 +221,12 @@ def integrate_orbit_adaptive(pot, xv0, t0: float, t1: float,
             t = jnp.where(accept, t + h_try, t)
             return xv_c, t, h_next, n + 1
 
+        # an already-NaN carry (a previous interval failed) would burn
+        # max_substeps rejected evaluations per remaining interval —
+        # start with the budget spent so the loop never runs
+        n0 = jnp.where(jnp.isfinite(xv).all(), 0, max_substeps)
         xv, t_fin, h, n_fin = lax.while_loop(
-            cond, body, (xv, jnp.asarray(t_start, dtype), h, 0))
+            cond, body, (xv, jnp.asarray(t_start, dtype), h, n0))
         # if the substep budget ran out before t_end, poison the output
         # instead of returning a silently-truncated trajectory.  (The
         # budget check is primary: re-deriving the loop's own time

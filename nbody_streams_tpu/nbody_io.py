@@ -67,6 +67,24 @@ def _snapshot_filename(output_dir: Path, snap_index: int,
     return output_dir / f"snapshot.{idx:03d}.h5"
 
 
+def _write_smart(grp, name: str, arr: np.ndarray,
+                 scalar_fallback: bool = False) -> None:
+    """Smart storage: scalar dataset when uniform, gzip array otherwise.
+
+    ``scalar_fallback`` additionally writes a scalar ``name`` dataset
+    (first element) beside the array — the legacy dark/star layout
+    always carries a scalar ``m``/``eps``, which reference-era readers
+    expect to find.
+    """
+    uniform, val = _is_uniform(arr)
+    if uniform:
+        grp.create_dataset(name, data=val)
+        return
+    if scalar_fallback:
+        grp.create_dataset(name, data=float(arr.flat[0]))
+    grp.create_dataset(f"{name}_array", data=arr, compression="gzip")
+
+
 def _write_species_properties(props, species: list[Species]) -> None:
     if "n_species" not in props.attrs:
         props.attrs["n_species"] = len(species)
@@ -78,18 +96,8 @@ def _write_species_properties(props, species: list[Species]) -> None:
             continue
         grp = props.create_group(s.name)
         grp.create_dataset("N", data=int(s.N))
-        m_arr = s.mass_array()
-        uniform, val = _is_uniform(m_arr)
-        if uniform:
-            grp.create_dataset("m", data=val)
-        else:
-            grp.create_dataset("m_array", data=m_arr, compression="gzip")
-        h_arr = s.softening_array()
-        uniform, val = _is_uniform(h_arr)
-        if uniform:
-            grp.create_dataset("eps", data=val)
-        else:
-            grp.create_dataset("eps_array", data=h_arr, compression="gzip")
+        _write_smart(grp, "m", s.mass_array())
+        _write_smart(grp, "eps", s.softening_array())
 
 
 def _save_snapshot(
@@ -130,32 +138,12 @@ def _save_snapshot(
             if "dark" not in props:
                 grp = props.create_group("dark")
                 grp.create_dataset("N", data=n)
-                m_arr = np.asarray(
-                    1.0 if mass_dark is None else mass_dark, float)
-                if m_arr.ndim == 0:
-                    grp.create_dataset("m", data=float(m_arr))
-                else:
-                    # smart storage: scalar when uniform (0.0 included),
-                    # compressed array otherwise
-                    uniform, val = _is_uniform(m_arr)
-                    if uniform:
-                        grp.create_dataset("m", data=float(val))
-                    else:
-                        grp.create_dataset("m", data=float(m_arr[0]))
-                        grp.create_dataset("m_array", data=m_arr,
-                                           compression="gzip")
-                h_arr = np.asarray(
-                    0.0 if eps_dark is None else eps_dark, float)
-                if h_arr.ndim == 0:
-                    grp.create_dataset("eps", data=float(h_arr))
-                else:
-                    uniform, val = _is_uniform(h_arr)
-                    if uniform:
-                        grp.create_dataset("eps", data=float(val))
-                    else:
-                        grp.create_dataset("eps", data=float(h_arr[0]))
-                        grp.create_dataset("eps_array", data=h_arr,
-                                           compression="gzip")
+                m_arr = np.atleast_1d(np.asarray(
+                    1.0 if mass_dark is None else mass_dark, float))
+                _write_smart(grp, "m", m_arr, scalar_fallback=True)
+                h_arr = np.atleast_1d(np.asarray(
+                    0.0 if eps_dark is None else eps_dark, float))
+                _write_smart(grp, "eps", h_arr, scalar_fallback=True)
             if "star" not in props:
                 grp = props.create_group("star")
                 grp.create_dataset("N", data=0)

@@ -37,7 +37,9 @@ def _default_impl(devices) -> str:
     # architecture='cpu' this way even when a TPU is the default
     # backend — the Pallas kernel must not be selected there)
     dd = jax.config.jax_default_device
-    platform = dd.platform if dd is not None else jax.default_backend()
+    # jax.default_device accepts a Device OR a platform string
+    platform = (getattr(dd, "platform", dd) if dd is not None
+                else jax.default_backend())
     if platform in ("tpu", "axon"):
         try:
             from . import pallas_direct  # noqa: F401

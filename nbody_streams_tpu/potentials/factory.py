@@ -269,9 +269,10 @@ def load_potential_ini(path) -> Potential:
         if isinstance(center, str) and not Path(center).is_absolute() \
                 and (base / center).exists():
             center = base / center
-        if isinstance(scale, str) and not Path(scale).is_absolute() \
-                and (base / scale).exists():
-            scale = np.loadtxt(base / scale)
+        if isinstance(scale, str):
+            sp = Path(scale) if Path(scale).is_absolute() else base / scale
+            if sp.exists():
+                scale = np.loadtxt(sp)
 
         if data_kind == "coef":
             p = _build_single(

@@ -139,6 +139,14 @@ def plot_mollweide(pos, weights=None, initial_nside: int = 60, ax=None,
         d = np.linalg.norm(pos, axis=1)
         mask = (d >= fr[0]) & (d <= fr[1])
     else:
+        if fr[0] > 0 and fr[1] == 0:
+            import warnings
+
+            warnings.warn(
+                f"filter_radius={fr} matches neither the (radius, tol) "
+                "shell form nor the (rmin, rmax) range form — no filter "
+                "applied (reference-compatible behaviour); give a "
+                "nonzero tolerance for a shell", stacklevel=2)
         mask = slice(None)
     pos = pos[mask]
     if weights is not None:
