@@ -69,8 +69,16 @@ def eddington_df(density, potential, r_grid=None, t: float = 0.0):
     from scipy.interpolate import CubicSpline
 
     rho_fn = _density_callable(density)
-    r = (np.asarray(r_grid, float) if r_grid is not None
-         else np.geomspace(1e-2, 2e3, 256))
+    if r_grid is not None:
+        r = np.asarray(r_grid, float)
+        # extend outward: the quadrature below evaluates d2rho/dpsi2 at
+        # psi -> 0 for every E, i.e. beyond psi(r_max) of a truncated
+        # user grid — spline EXTRApolation there biases f(E) at low
+        # energies (measured: 18% for a Plummer tabulated to 10 a)
+        r = np.concatenate([r, np.geomspace(r.max() * 1.25,
+                                            r.max() * 1e4, 48)])
+    else:
+        r = np.geomspace(1e-2, 2e3, 256)
     pts = np.column_stack([r, np.zeros_like(r), np.zeros_like(r)])
     rho = np.maximum(rho_fn(pts), 1e-300)
     psi = -np.asarray(potential.potential(pts, t=t), float)
@@ -158,7 +166,14 @@ def sample_quasispherical(density, potential, n: int, seed: int = 0,
     # per-psi envelope: max over q, tabulated once on the psi grid and
     # interpolated in LOG space (f can fall ~100 orders of magnitude
     # between radial nodes near the tracer's outer edge; linear interp
-    # there overestimates the envelope so badly that acceptance stalls)
+    # there overestimates the envelope so badly that acceptance stalls).
+    # NOTE the 2x headroom is a heuristic, not a proven bound on the
+    # continuous maximum between nodes: for DFs varying faster than
+    # ~e^{+-0.7} between adjacent radial nodes the envelope can clip the
+    # speed distribution's peak — densify r_grid if the tracer is that
+    # steep (the straggler fallback below re-maximises per particle, so
+    # stalls are handled; statistical bias from a too-low envelope is
+    # bounded by the node-to-node variation over the 2x margin)
     qg = np.linspace(1e-3, 1.0, 192)
     env_tab = np.array([g_of_q(qg, pv).max() for pv in psi_f])
     env = 2.0 * np.exp(np.interp(np.log(r_s), ln_rf,
@@ -222,6 +237,11 @@ def sample_disk(n: int, potential, surfaceDensity: float | None = None,
     """
     from .potentials.galpot import _disk_sigma_funcs, _vertical_funcs
 
+    if scaleHeight == 0:
+        raise ValueError(
+            "scaleHeight must be nonzero (positive = exponential, "
+            "negative = sech^2); 0 gives a razor-thin disk whose "
+            "vertical Jeans integral is undefined")
     rng = np.random.default_rng(seed)
     norm_by_mass = surfaceDensity is None
     if norm_by_mass:

@@ -31,19 +31,30 @@ FOUR_PI_G = 4.0 * jnp.pi * G_DEFAULT
 
 
 def _prep(xyz):
+    """Coerce any (..., 3) input to a flat (N, 3) batch.
+
+    Returns (arr (N, 3), lead) where ``lead`` is the original leading
+    shape (``None`` for a single (3,) point) — ``_out`` restores it.
+    The vmapped evaluators only batch one axis, so higher-rank inputs
+    MUST be flattened here (feeding a (S, N, 3) array through a single
+    vmap would hand whole blocks to phi_point and silently collapse
+    them to one scalar each).
+    """
     arr = jnp.asarray(xyz)
+    if arr.ndim == 0 or arr.shape[-1] != 3:
+        raise ValueError(f"positions must be (..., 3), got {arr.shape}")
     if arr.dtype not in (jnp.float32, jnp.float64):
         arr = arr.astype(jnp.float32)
-    single = arr.ndim == 1
-    if single:
-        arr = arr[None, :]
-    if arr.shape[-1] != 3:
-        raise ValueError(f"positions must be (..., 3), got {arr.shape}")
-    return arr, single
+    if arr.ndim == 1:
+        return arr[None, :], None
+    lead = arr.shape[:-1]
+    return arr.reshape(-1, 3), lead
 
 
-def _out(val, single):
-    return val[0] if single else val
+def _out(val, lead):
+    if lead is None:
+        return val[0]
+    return val.reshape(lead + val.shape[1:])
 
 
 def _hess6(h):

@@ -77,8 +77,9 @@ def create_fire_evolving_ini(sim_dir, snapshots, filename=None,
     ``pattern`` is formatted with ``snap``; times default to the physical
     times from the snapshot_times listing (reference: _fire.py:191).
     """
+    import os
+
     sim_dir = Path(sim_dir)
-    files = [pattern.format(snap=s) for s in snapshots]
     if times is None:
         listing = read_snapshot_times(sim_dir / snapshot_times)
         tmap = dict(zip(listing["index"], listing["time"]))
@@ -86,6 +87,18 @@ def create_fire_evolving_ini(sim_dir, snapshots, filename=None,
         if missing:
             raise ValueError(f"snapshots missing from times file: {missing}")
         times = [tmap[s] for s in snapshots]
-    filename = filename or (sim_dir / "evolving_potential.ini")
+    if not np.all(np.isfinite(np.asarray(times, float))):
+        raise ValueError(
+            f"non-finite snapshot times {times}: the snapshot_times "
+            "listing has no physical-time column (NaN timestamps would "
+            "make every Timestamps bracket comparison false)")
+    filename = Path(filename) if filename is not None \
+        else (sim_dir / "evolving_potential.ini")
+    # Timestamps paths resolve relative to the INI's own directory
+    # (load_potential_ini semantics) — prefix accordingly when the INI
+    # is written outside sim_dir
+    rel = os.path.relpath(sim_dir, filename.parent)
+    prefix = "" if rel == "." else rel + "/"
+    files = [prefix + pattern.format(snap=s) for s in snapshots]
     return create_evolving_ini(filename, files, times,
                                interp_linear=interp_linear)

@@ -196,3 +196,33 @@ def test_sample_disk_surface_density_wins_over_mass():
     _, m_only = nst.sample_disk(2000, mw, surfaceDensity=sigma0,
                                 scaleRadius=Rd, scaleHeight=0.3, seed=1)
     np.testing.assert_allclose(m_both, m_only)
+
+
+def test_eddington_truncated_grid_no_extrapolation_bias():
+    """A user-truncated r_grid must not bias f(E): the quadrature
+    reaches psi -> 0 below the tabulated range, so the rho(psi) table
+    is extended internally (r2 review: 18% low at the outer edge)."""
+    from nbody_streams_tpu.potentials import PlummerPotential
+
+    M, a = 1e9, 1.0
+    pot = PlummerPotential(mass=M, scaleRadius=a)
+
+    def rho(pts):
+        r2 = (np.asarray(pts) ** 2).sum(1)
+        return 3 * M / (4 * np.pi * a**3) * (1 + r2 / a**2) ** -2.5
+
+    e, f, r, psi = nst.eddington_df(rho, pot,
+                                    r_grid=np.geomspace(0.3, 10, 64))
+    G = nst.G_DEFAULT
+    f_an = (24 * np.sqrt(2) / (7 * np.pi**3) * a**2
+            / (G**5 * M**4) * e**3.5)
+    sel = (f > 0) & (r[::-1] <= 10.0)
+    np.testing.assert_allclose(f[sel], f_an[sel], rtol=5e-3)
+
+
+def test_sample_disk_rejects_zero_scale_height():
+    from nbody_streams_tpu.potentials import make_potential
+
+    mw = make_potential(type='NFW', mass=1e12, scaleRadius=16.0)
+    with pytest.raises(ValueError, match="scaleHeight"):
+        nst.sample_disk(100, mw, mass=5e9, scaleHeight=0.0)
