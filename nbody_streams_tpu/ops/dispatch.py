@@ -64,6 +64,7 @@ class DirectGravity:
         block_size: int | None = None,
         devices=None,
         eps2: float = PAIRWISE_EPS2,
+        sharded_opts: dict | None = None,
     ):
         validate_kernel(kernel)
         validate_precision(precision)
@@ -102,7 +103,10 @@ class DirectGravity:
         if self.impl == "sharded":
             from ..parallel.sharded import ShardedDirect
 
-            self._sharded = ShardedDirect(self)
+            # sharded_opts forwards ShardedDirect kwargs (mesh=,
+            # use_pallas=, interpret=) — e.g. use_pallas=True,
+            # interpret=True runs the Pallas ring branch on a CPU mesh
+            self._sharded = ShardedDirect(self, **(sharded_opts or {}))
 
     def _check_pos(self, pos):
         if pos.ndim != 2 or pos.shape != (self.n, 3):

@@ -114,9 +114,17 @@ def _tile_potential_blocked(kind, kahan, block, eps2,
 
 
 class ShardedDirect:
-    """Ring-sharded direct summation bound to a DirectGravity solver."""
+    """Ring-sharded direct summation bound to a DirectGravity solver.
 
-    def __init__(self, solver, mesh: Mesh | None = None):
+    ``use_pallas=None`` auto-selects the Pallas local-tile kernel on TPU
+    meshes (fp32 only) and the blocked jnp tile elsewhere.  Pass
+    ``use_pallas=True, interpret=True`` to execute the *Pallas* ring
+    branch on a CPU mesh in Pallas interpret mode — this is how the
+    flagship multi-chip code path is tested without multi-chip TPU
+    hardware (tests/test_sharded.py)."""
+
+    def __init__(self, solver, mesh: Mesh | None = None,
+                 use_pallas: bool | None = None, interpret: bool = False):
         self.solver = solver
         devices = solver.devices
         self.mesh = mesh or make_particle_mesh(devices)
@@ -131,11 +139,15 @@ class ShardedDirect:
         shard = NamedSharding(self.mesh, P(AXIS))
         self.gmass = jax.device_put(gm, shard)
         self.soft = jax.device_put(h, shard)
-        # Pallas local tiles on TPU meshes; blocked jnp elsewhere (CPU
-        # virtual meshes in tests / dryrun).
-        self.use_pallas = self.mesh.devices.flat[0].platform in (
-            "tpu", "axon",
-        ) and solver.dtype == jnp.float32
+        if use_pallas is None:
+            use_pallas = self.mesh.devices.flat[0].platform in (
+                "tpu", "axon",
+            )
+        # The Pallas tile kernel is fp32-only by design (as on the
+        # single-chip path); fp64 solvers always take the jnp tile.
+        self.use_pallas = bool(use_pallas) \
+            and solver.dtype == jnp.float32
+        self.interpret = bool(interpret)
 
     # -- ring kernels -------------------------------------------------------
     def _ring(self, mode, pos_l, gm_l, h_l):
@@ -153,6 +165,8 @@ class ShardedDirect:
             zero = jnp.zeros_like(pos_l)
         else:
             zero = jnp.zeros_like(pos_l[:, 0])
+
+        interp = self.interpret
 
         def tile(src, r):
             ps, ms, hs = src
@@ -178,24 +192,26 @@ class ShardedDirect:
                             far,
                             lambda a: pallas_direct.pallas_accel_2set(
                                 pos_l, h_l, a[0], a[1], a[2],
-                                "newtonian", kahan, eps2),
+                                "newtonian", kahan, eps2,
+                                interpret=interp),
                             lambda a: pallas_direct.pallas_accel_2set(
                                 pos_l, h_l, a[0], a[1], a[2],
-                                kind, kahan, eps2),
+                                kind, kahan, eps2, interpret=interp),
                             (ps, ms, hs),
                         )
                     return pallas_direct.pallas_accel_2set(
-                        pos_l, h_l, ps, ms, hs, kind, kahan, eps2)
+                        pos_l, h_l, ps, ms, hs, kind, kahan, eps2,
+                        interpret=interp)
                 # mask the self pair on the step where the ring block is
                 # the local block (r == 0): local row indices align
                 return lax.cond(
                     r == 0,
                     lambda a: pallas_direct.pallas_potential_2set(
                         pos_l, h_l, a[0], a[1], a[2], kind, kahan, eps2,
-                        mask_self=True),
+                        interpret=interp, mask_self=True),
                     lambda a: pallas_direct.pallas_potential_2set(
                         pos_l, h_l, a[0], a[1], a[2], kind, kahan, eps2,
-                        mask_self=False),
+                        interpret=interp, mask_self=False),
                     (ps, ms, hs),
                 )
             # jnp path: exact self-handling via global indices

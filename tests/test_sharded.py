@@ -68,6 +68,150 @@ def test_method_tree_runs_sharded_end_to_end(tmp_path):
                                rtol=1e-10, atol=1e-12)
 
 
+def _pallas_ring(single, use_pallas=True):
+    """ShardedDirect forced onto the Pallas tile branch, interpret mode
+    (executes the flagship multi-chip Pallas code path on the virtual
+    CPU mesh — the same branch real multi-chip TPU meshes take)."""
+    from nbody_streams_tpu.parallel.sharded import (
+        ShardedDirect, make_particle_mesh)
+
+    return ShardedDirect(single, mesh=make_particle_mesh(jax.devices()),
+                         use_pallas=use_pallas, interpret=True)
+
+
+@pytest.fixture(scope="module")
+def slab_cluster():
+    """1024 particles, small uniform softening: slab-sorted copy makes all
+    non-adjacent ring blocks 'far' (Newtonian fast-path cond taken);
+    shuffled copy keeps block x-intervals overlapping (cond not taken)."""
+    rng = np.random.default_rng(41)
+    n = 1024
+    pos = rng.normal(0, 1, (n, 3))
+    mass = rng.uniform(0.5, 2.0, n) * 1e5
+    soft = np.full(n, 0.01)
+    from nbody_streams_tpu.parallel.sharded import slab_sort_for_sharding
+
+    pos_sorted, mass_sorted, soft_sorted = slab_sort_for_sharding(
+        pos, mass, soft)
+    return {"shuffled": (pos, mass, soft),
+            "sorted": (pos_sorted, mass_sorted, soft_sorted)}
+
+
+@pytest.mark.parametrize("layout", ["sorted", "shuffled"])
+def test_pallas_ring_accel_matches_single(slab_cluster, layout):
+    pos, mass, soft = slab_cluster[layout]
+    single = DirectGravity(mass, soft, G=4.3e-6, impl="jnp",
+                           precision="float32_kahan")
+    sh = _pallas_ring(single)
+    assert sh.use_pallas
+    p = jnp.asarray(pos, jnp.float32)
+    a1 = np.asarray(single.accel(p))
+    a2 = np.asarray(sh.accel(p))
+    np.testing.assert_allclose(a2, a1, atol=2e-6 * np.abs(a1).max())
+
+
+@pytest.mark.parametrize("layout", ["sorted", "shuffled"])
+def test_pallas_ring_potential_matches_single(slab_cluster, layout):
+    """Also covers the r == 0 in-kernel self-mask: an unmasked self pair
+    would add -G m_i / sqrt(eps2) ~ 1e7 x the physical potential."""
+    pos, mass, soft = slab_cluster[layout]
+    single = DirectGravity(mass, soft, G=4.3e-6, impl="jnp",
+                           precision="float32_kahan")
+    sh = _pallas_ring(single)
+    p = jnp.asarray(pos, jnp.float32)
+    p1 = np.asarray(single.potential(p))
+    p2 = np.asarray(sh.potential(p))
+    np.testing.assert_allclose(p2, p1, atol=2e-6 * np.abs(p1).max())
+
+
+def test_pallas_ring_uneven_n_padding():
+    """N = 1000 on 8 devices: the Pallas branch pads 125-row local blocks
+    and the zero-mass padding must not contribute."""
+    rng = np.random.default_rng(5)
+    n = 1000
+    pos = rng.normal(0, 1, (n, 3))
+    mass = rng.uniform(0.5, 2.0, n) * 1e5
+    soft = rng.uniform(0.05, 0.3, n)
+    single = DirectGravity(mass, soft, G=4.3e-6, impl="jnp",
+                           precision="float32_kahan")
+    sh = _pallas_ring(single)
+    p = jnp.asarray(pos, jnp.float32)
+    a1 = np.asarray(single.accel(p))
+    a2 = np.asarray(sh.accel(p))
+    np.testing.assert_allclose(a2, a1, atol=2e-6 * np.abs(a1).max())
+    p1 = np.asarray(single.potential(p))
+    p2 = np.asarray(sh.potential(p))
+    np.testing.assert_allclose(p2, p1, atol=2e-6 * np.abs(p1).max())
+
+
+def test_pallas_ring_newtonian_fastpath_fires(slab_cluster, monkeypatch):
+    """White-box: with slab-sorted input the compact-support lax.cond must
+    actually take the Newtonian branch on most ring steps (runtime
+    callbacks fire only in the executed cond branch), and never on
+    shuffled input's overlapping blocks."""
+    from nbody_streams_tpu.ops import pallas_direct
+
+    counts = {}
+    orig = pallas_direct.pallas_accel_2set
+
+    def spy(pos_t, soft_t, pos_s, gmass_s, soft_s, kind, kahan, eps2,
+            interpret=False):
+        out = orig(pos_t, soft_t, pos_s, gmass_s, soft_s, kind, kahan,
+                   eps2, interpret=interpret)
+        jax.debug.callback(
+            lambda _, k=kind: counts.__setitem__(k, counts.get(k, 0) + 1),
+            out[0, 0])
+        return out
+
+    monkeypatch.setattr(pallas_direct, "pallas_accel_2set", spy)
+
+    for layout, expect_fast in [("sorted", True), ("shuffled", False)]:
+        counts.clear()
+        pos, mass, soft = slab_cluster[layout]
+        single = DirectGravity(mass, soft, G=4.3e-6, impl="jnp",
+                               precision="float32_kahan")
+        sh = _pallas_ring(single)
+        np.asarray(sh.accel(jnp.asarray(pos, jnp.float32)))
+        jax.effects_barrier()
+        d = len(jax.devices())
+        total = d * d  # d ring steps on each of d devices
+        assert sum(counts.values()) == total
+        fast = counts.get("newtonian", 0)
+        if expect_fast:
+            # self + two adjacent slabs per device must stay spline;
+            # expect the bulk of the remaining steps on the fast path
+            assert fast >= total // 2, counts
+        else:
+            # overlapping block x-intervals: gap <= 0 on every step
+            assert fast == 0, counts
+
+
+def test_pallas_ring_fp64_falls_back_to_jnp():
+    """The Pallas tile is fp32-only by design; a float64 solver must get
+    the jnp tile even when use_pallas is requested."""
+    mass = np.ones(64)
+    soft = np.full(64, 0.1)
+    single = DirectGravity(mass, soft, impl="jnp", precision="float64")
+    sh = _pallas_ring(single, use_pallas=True)
+    assert not sh.use_pallas
+
+
+def test_dispatch_sharded_opts_passthrough(slab_cluster):
+    """DirectGravity(impl='sharded', sharded_opts=...) forwards to
+    ShardedDirect — the public route to the interpret-mode Pallas ring."""
+    pos, mass, soft = slab_cluster["shuffled"]
+    g = DirectGravity(mass, soft, G=4.3e-6, impl="sharded",
+                      precision="float32_kahan", devices=jax.devices(),
+                      sharded_opts={"use_pallas": True, "interpret": True})
+    assert g._sharded.use_pallas and g._sharded.interpret
+    single = DirectGravity(mass, soft, G=4.3e-6, impl="jnp",
+                           precision="float32_kahan")
+    p = jnp.asarray(pos, jnp.float32)
+    a1 = np.asarray(single.accel(p))
+    a2 = np.asarray(g.accel(p))
+    np.testing.assert_allclose(a2, a1, atol=2e-6 * np.abs(a1).max())
+
+
 def test_slab_sort_for_sharding_preserves_physics(rng):
     """Slab sorting is pure bookkeeping: the 8-device ring on sorted
     input matches the unsorted result after unpermuting."""
