@@ -45,6 +45,7 @@ from .fire import (
     read_snapshot_times,
     create_evolving_ini,
     create_fire_evolving_ini,
+    load_fire_pot,
 )
 
 # Drop-in alias for reference call sites (reference: PotentialGPU factory)
@@ -87,5 +88,6 @@ __all__ = [
     "read_snapshot_times",
     "create_evolving_ini",
     "create_fire_evolving_ini",
+    "load_fire_pot",
     "PotentialTPU",
 ]

@@ -13,6 +13,7 @@ __all__ = [
     "read_snapshot_times",
     "create_evolving_ini",
     "create_fire_evolving_ini",
+    "load_fire_pot",
 ]
 
 
@@ -102,3 +103,128 @@ def create_fire_evolving_ini(sim_dir, snapshots, filename=None,
     files = [prefix + pattern.format(snap=s) for s in snapshots]
     return create_evolving_ini(filename, files, times,
                                interp_linear=interp_linear)
+
+
+def _add_negative_m(pairs):
+    """Expand (l, m) keep-lists with the matching negative-m terms."""
+    out = set()
+    for l, m in pairs:
+        out.add((l, m))
+        out.add((l, -m))
+    return sorted(out)
+
+
+def load_fire_pot(sim_dir, nsnap, sym: str = "n", lmax: int = 4,
+                  kind: str = "whole", keep_lm_mult=None,
+                  keep_m_cylspl=None, include_negative_m: bool = True,
+                  file_ext: str = "DR", out_acc: bool = False,
+                  halo=None, verbose: bool = True,
+                  return_coefs: bool = False,
+                  save_modified: bool = False, save_dir=None):
+    """One-call FIRE coefficient loader (Arora et al. 2022 layout).
+
+    Reads the pre-computed Multipole (dark halo + hot gas) and CylSpline
+    (stars + cold gas "bar") coefficient files from the FIRE
+    ``potential/10kpc/`` directory and builds native evaluators —
+    no Agama and no temporary files (the reference round-trips through
+    ``agama.Potential(file=...)``; reference: agama_helper/_fire.py:267-429).
+
+    Filename convention: ``{nsnap}.{component}.{sym}_{lmax}[.halo]``
+    ``.coef_mul|.coef_cylsp`` ``[_{file_ext}]`` under
+    ``sim_dir/potential/10kpc[/out_acc]``.
+
+    kind: ``'whole'`` (composite of both), ``'dark'`` (Multipole only),
+    ``'bar'`` (CylSpline only).  ``keep_lm_mult`` / ``keep_m_cylspl``
+    zero all other harmonics in memory before building;
+    ``include_negative_m`` auto-adds the negative-m counterparts.
+    ``return_coefs=True`` returns the coef dataclass(es) instead of
+    evaluators; ``save_modified=True`` writes filtered coef strings next
+    to the originals (or into ``save_dir``).
+    """
+    from .base import CompositePotential
+    from .coefs import read_cylspl_coefs, read_mult_coefs
+    from .cylspline import CylSplinePotential
+    from .multipole import MultipolePotential
+
+    sym_map = {"a": "axi", "s": "sph", "t": "triax", "n": "none"}
+    if sym not in sym_map:
+        raise ValueError(f"Unknown sym {sym!r}. Allowed: {list(sym_map)}")
+    if kind not in ("whole", "dark", "bar"):
+        raise ValueError(
+            f"Unknown kind {kind!r}. Allowed: 'whole', 'dark', 'bar'")
+    sym_label = sym_map[sym]
+
+    base = Path(sim_dir) / "potential" / "10kpc"
+    if out_acc:
+        base = base / "out_acc"
+
+    def build_path(component, ext_suffix):
+        name = f"{int(nsnap)}.{component}.{sym_label}_{int(lmax)}"
+        if halo:
+            name += f".{halo}"
+        name += ext_suffix
+        if file_ext:
+            name += f"_{file_ext}"
+        return base / name
+
+    dark_path = build_path("dark", ".coef_mul")
+    bar_path = build_path("bar", ".coef_cylsp")
+    if verbose:
+        if kind in ("whole", "dark"):
+            print(f"Multipole : {dark_path}")
+        if kind in ("whole", "bar"):
+            print(f"CylSpline : {bar_path}")
+
+    missing = [str(p) for p, needed in
+               ((dark_path, kind in ("whole", "dark")),
+                (bar_path, kind in ("whole", "bar")))
+               if needed and not p.exists()]
+    if missing:
+        raise FileNotFoundError(
+            "Missing FIRE coefficient file(s):\n  " + "\n  ".join(missing))
+
+    def _save(path, coef_str):
+        out = (Path(save_dir) / (path.name + ".modified") if save_dir
+               else path.with_suffix(path.suffix + ".modified"))
+        out.parent.mkdir(parents=True, exist_ok=True)
+        out.write_text(coef_str)
+        if verbose:
+            print(f"  Saved modified coefficients -> {out}")
+
+    def prepare_mult():
+        coefs = read_mult_coefs(dark_path.read_text())
+        if keep_lm_mult is not None:
+            keep = (_add_negative_m(keep_lm_mult) if include_negative_m
+                    else [tuple(p) for p in keep_lm_mult])
+            if verbose:
+                print(f"Multipole keep (l,m): {keep}")
+            coefs = coefs.zeroed(keep)
+            if save_modified:
+                _save(dark_path, coefs.to_coef_string())
+        return coefs
+
+    def prepare_cylspl():
+        coefs = read_cylspl_coefs(bar_path.read_text())
+        if keep_m_cylspl is not None:
+            keep = ({m for mm in keep_m_cylspl for m in (mm, -mm)}
+                    if include_negative_m else set(keep_m_cylspl))
+            if verbose:
+                print(f"CylSpline keep m: {sorted(keep)}")
+            coefs = coefs.zeroed(sorted(keep))
+            if save_modified:
+                _save(bar_path, coefs.to_coef_string())
+        return coefs
+
+    if return_coefs:
+        if kind == "dark":
+            return prepare_mult()
+        if kind == "bar":
+            return prepare_cylspl()
+        return prepare_mult(), prepare_cylspl()
+
+    if kind == "dark":
+        return MultipolePotential(prepare_mult())
+    if kind == "bar":
+        return CylSplinePotential(prepare_cylspl())
+    return CompositePotential([MultipolePotential(prepare_mult()),
+                               CylSplinePotential(prepare_cylspl())])

@@ -191,3 +191,113 @@ def test_fit_potential_rotation_and_subsample():
         fit_potential({"dark": (xv[:, :3], m)}, subsample_factor=0.0)
     with pytest.raises(ValueError):
         fit_potential({"dark": (xv[:, :3], m)}, rotation=np.eye(2))
+
+
+class TestLoadFirePot:
+    """One-call FIRE loader against a synthetic FIRE directory layout
+    built from the shipped coefficient fixtures
+    (reference parity: agama_helper/_fire.py:267-429)."""
+
+    @pytest.fixture()
+    def fire_dir(self, tmp_path):
+        import shutil
+        from pathlib import Path
+
+        fixtures = Path(__file__).parent / "data"
+        pot = tmp_path / "sim" / "potential" / "10kpc"
+        pot.mkdir(parents=True)
+        shutil.copy(fixtures / "600.dark.none_8.coef_mul_DR",
+                    pot / "600.dark.none_8.coef_mul_DR")
+        shutil.copy(fixtures / "600.bar.none_8.coef_cylsp_DR",
+                    pot / "600.bar.none_8.coef_cylsp_DR")
+        return tmp_path / "sim"
+
+    def test_whole_builds_composite(self, fire_dir):
+        from nbody_streams_tpu.potentials import (
+            CompositePotential, load_fire_pot)
+
+        pot = load_fire_pot(fire_dir, 600, sym="n", lmax=8, verbose=False)
+        assert isinstance(pot, CompositePotential)
+        assert len(pot.components) == 2
+        xyz = np.array([[8.0, 0.5, 0.2], [30.0, -5.0, 3.0]])
+        phi = np.asarray(pot.potential(xyz))
+        assert np.all(np.isfinite(phi)) and np.all(phi < 0)
+
+    def test_dark_and_bar_kinds(self, fire_dir):
+        from nbody_streams_tpu.potentials import (
+            CylSplinePotential, MultipolePotential, load_fire_pot)
+
+        dark = load_fire_pot(fire_dir, 600, lmax=8, kind="dark",
+                             verbose=False)
+        bar = load_fire_pot(fire_dir, 600, lmax=8, kind="bar",
+                            verbose=False)
+        assert isinstance(dark, MultipolePotential)
+        assert isinstance(bar, CylSplinePotential)
+        whole = load_fire_pot(fire_dir, 600, lmax=8, verbose=False)
+        xyz = np.array([[10.0, 1.0, 0.5]])
+        np.testing.assert_allclose(
+            np.asarray(whole.potential(xyz)),
+            np.asarray(dark.potential(xyz)) + np.asarray(bar.potential(xyz)),
+            rtol=1e-12)
+
+    def test_return_coefs(self, fire_dir):
+        from nbody_streams_tpu.potentials import load_fire_pot
+        from nbody_streams_tpu.potentials.coefs import (
+            CylSplineCoefs, MultipoleCoefs)
+
+        mult, cyl = load_fire_pot(fire_dir, 600, lmax=8,
+                                  return_coefs=True, verbose=False)
+        assert isinstance(mult, MultipoleCoefs)
+        assert isinstance(cyl, CylSplineCoefs)
+        assert load_fire_pot(fire_dir, 600, lmax=8, kind="dark",
+                             return_coefs=True,
+                             verbose=False).lmax == mult.lmax
+
+    def test_keep_lm_filtering_monopole_only(self, fire_dir):
+        """keep_lm_mult=[(0,0)] zeroes all l>0 harmonics: the potential
+        must become exactly spherically symmetric."""
+        from nbody_streams_tpu.potentials import load_fire_pot
+
+        pot = load_fire_pot(fire_dir, 600, lmax=8, kind="dark",
+                            keep_lm_mult=[(0, 0)], verbose=False)
+        r = 15.0
+        xyz = np.array([[r, 0, 0], [0, r, 0], [0, 0, r],
+                        [r / np.sqrt(3)] * 3])
+        phi = np.asarray(pot.potential(xyz))
+        np.testing.assert_allclose(phi, phi[0], rtol=1e-10)
+
+    def test_keep_m_cylspl_negative_expansion(self, fire_dir):
+        from nbody_streams_tpu.potentials import load_fire_pot
+
+        coefs = load_fire_pot(fire_dir, 600, lmax=8, kind="bar",
+                              keep_m_cylspl=[2], return_coefs=True,
+                              verbose=False)
+        for i, m in enumerate(coefs.m_values):
+            if abs(m) != 2 and np.any(coefs.phi[i] != 0):
+                raise AssertionError(f"m={m} not zeroed")
+
+    def test_missing_file_raises(self, fire_dir):
+        from nbody_streams_tpu.potentials import load_fire_pot
+
+        with pytest.raises(FileNotFoundError, match="coefficient file"):
+            load_fire_pot(fire_dir, 601, lmax=8, verbose=False)
+        with pytest.raises(ValueError, match="sym"):
+            load_fire_pot(fire_dir, 600, sym="x", verbose=False)
+        with pytest.raises(ValueError, match="kind"):
+            load_fire_pot(fire_dir, 600, lmax=8, kind="stars",
+                          verbose=False)
+
+    def test_save_modified(self, fire_dir, tmp_path):
+        from nbody_streams_tpu.potentials import load_fire_pot
+        from nbody_streams_tpu.potentials.coefs import read_mult_coefs
+
+        out = tmp_path / "mod"
+        load_fire_pot(fire_dir, 600, lmax=8, kind="dark",
+                      keep_lm_mult=[(0, 0)], save_modified=True,
+                      save_dir=str(out), verbose=False)
+        saved = out / "600.dark.none_8.coef_mul_DR.modified"
+        assert saved.exists()
+        coefs = read_mult_coefs(saved.read_text())
+        for i, (l, m) in enumerate(coefs.lm_labels):
+            if (l, m) != (0, 0):
+                assert np.all(coefs.phi[:, i] == 0)
