@@ -22,7 +22,8 @@ from __future__ import annotations
 
 import glob
 import math
-from concurrent.futures import ThreadPoolExecutor
+import os
+import warnings
 from pathlib import Path
 from types import SimpleNamespace
 
@@ -257,6 +258,68 @@ def _times_namespace(arr: np.ndarray) -> SimpleNamespace:
     return SimpleNamespace(snap=arr[:, 0].astype(int), time=arr[:, 1])
 
 
+# extract_orbits warns before allocating more than this (reference
+# parity: nbody_io.py:632-640); module-level so tests can lower it
+_RAM_WARN_GB = 4.0
+
+
+def _shm_extract_worker(args):
+    """Process-pool worker: read a batch of snapshots into shared memory.
+
+    Top-level (picklable); opens its own h5py handles so the parent's
+    handles never cross the fork/spawn boundary.  Per-process HDF5
+    instances decompress gzip chunks concurrently — the in-process global
+    h5py lock makes thread pools useless for this (docs/io.md)."""
+    from multiprocessing import shared_memory
+
+    shm_name, shape, start, stop, jobs = args
+    shm = shared_memory.SharedMemory(name=shm_name)
+    try:
+        out = np.ndarray(shape, dtype=np.float64, buffer=shm.buf)
+        for dest, snap, path in jobs:
+            with h5py.File(path, "r") as f:
+                out[dest] = f["snapshots"][f"snap.{snap:03d}"][start:stop]
+    finally:
+        shm.close()
+
+
+def _extract_parallel(jobs, t, nk, start, stop, workers):
+    """Parallel snapshot extraction: shared-memory output + process pool.
+
+    Returns the (T, N_k, 6) array, or None if shared memory / process
+    spawn is unavailable (caller falls back to serial)."""
+    from concurrent.futures import ProcessPoolExecutor
+    from concurrent.futures.process import BrokenProcessPool
+    from multiprocessing import shared_memory
+
+    shape = (t, nk, 6)
+    try:
+        shm = shared_memory.SharedMemory(
+            create=True, size=int(np.prod(shape)) * 8)
+    except OSError as exc:
+        warnings.warn(
+            f"shared memory unavailable ({exc}); extract_orbits reading "
+            "serially", RuntimeWarning, stacklevel=3)
+        return None
+    try:
+        batches = [jobs[w::workers] for w in range(workers)]
+        with ProcessPoolExecutor(max_workers=workers) as pool:
+            list(pool.map(
+                _shm_extract_worker,
+                [(shm.name, shape, start, stop, b)
+                 for b in batches if b]))
+        out = np.ndarray(shape, dtype=np.float64, buffer=shm.buf)
+        return out.copy()
+    except (OSError, BrokenProcessPool) as exc:  # pragma: no cover - env
+        warnings.warn(
+            f"process-pool extraction failed ({exc}); reading serially",
+            RuntimeWarning, stacklevel=3)
+        return None
+    finally:
+        shm.close()
+        shm.unlink()
+
+
 class ParticleReader:
     """Read simulation output written by this framework (or the reference).
 
@@ -453,16 +516,26 @@ class ParticleReader:
         return part
 
     def extract_orbits(self, particle_type: str = "star",
-                       max_workers: int = 4, snap_indices=None):
+                       max_workers: int | str = "auto", snap_indices=None):
         """Bulk-load one species across snapshots into a (T, N_k, 6) array.
 
         Returns a SimpleNamespace with ``.posvel`` (T, N_k, 6), ``.times``
         (T,) (or None), ``.snaps`` (T,) and ``.mass`` (N_k,).
 
-        Parallel HDF5 reads use a thread pool (h5py releases the GIL during
-        compressed dataset reads); results land directly in the
-        pre-allocated output array, mirroring the reference's shared-memory
-        worker design without the process-spawn overhead.
+        Worker strategy: h5py serialises all HDF5 API calls (including
+        gzip-chunk decompression) under a single global lock, so thread
+        pools give no real parallelism — measured on a single-core host,
+        4 threads were *slower* than serial (98 s vs 81 s over 100
+        compressed 200k-particle snapshots; docs/io.md).  Multi-snapshot
+        parallel reads therefore use a **process pool writing into POSIX
+        shared memory** (the reference's design: nbody_io.py:548-768),
+        chosen automatically when the host has multiple cores and the
+        extraction is large enough to amortise worker spawn; everything
+        else reads serially.  ``max_workers=1`` forces serial;
+        an integer > 1 forces that many processes.
+
+        Emits a ResourceWarning before allocating > 4 GB (reference
+        parity: nbody_io.py:632-640).
         """
         species = next(
             (s for s in self.species_list if s.name == particle_type), None
@@ -481,15 +554,37 @@ class ParticleReader:
 
         snaps = (self.Snapshots if snap_indices is None
                  else np.asarray(snap_indices, int))
-        out = np.empty((snaps.size, species.N, 6), dtype=np.float64)
 
-        def load(i_and_snap):
-            i, snap = i_and_snap
-            with h5py.File(self._snap_to_file[int(snap)], "r") as f:
-                out[i] = f["snapshots"][f"snap.{int(snap):03d}"][start:stop]
+        total_gb = snaps.size * species.N * 6 * 8 / 1e9
+        if total_gb > _RAM_WARN_GB:
+            warnings.warn(
+                f"extract_orbits will allocate ~{total_gb:.1f} GB of RAM "
+                f"({snaps.size} snapshots x {species.N} particles). Use "
+                "snap_indices to load a subset, or iterate over "
+                "read_snapshot() instead.",
+                ResourceWarning, stacklevel=2)
 
-        with ThreadPoolExecutor(max_workers=max_workers) as pool:
-            list(pool.map(load, enumerate(snaps)))
+        if max_workers == "auto":
+            ncpu = os.cpu_count() or 1
+            # below ~8 snapshots per worker the spawn+import cost of a
+            # Python worker process outweighs the decompression win
+            workers = 1 if ncpu < 2 else int(min(4, ncpu, snaps.size // 8))
+            workers = max(1, workers)
+        else:
+            workers = max(1, int(max_workers))
+
+        jobs = [(i, int(s), str(self._snap_to_file[int(s)]))
+                for i, s in enumerate(snaps)]
+        if workers > 1:
+            out = _extract_parallel(jobs, snaps.size, species.N,
+                                    start, stop, workers)
+        else:
+            out = None
+        if out is None:  # serial path, and fallback if shm is unavailable
+            out = np.empty((snaps.size, species.N, 6), dtype=np.float64)
+            for i, snap, path in jobs:
+                with h5py.File(path, "r") as f:
+                    out[i] = f["snapshots"][f"snap.{snap:03d}"][start:stop]
 
         times = None
         if self.Times is not None:

@@ -312,3 +312,34 @@ def test_resume_with_cached_external_interval_matches_continuous(tmp_path):
                                  **common)
     np.testing.assert_allclose(res_resumed["dark"], res_full["dark"],
                                rtol=1e-10, atol=1e-12)
+
+
+def test_extract_orbits_process_pool_matches_serial(tmp_path):
+    """Forced process-pool extraction (shared-memory workers) must match
+    the serial read exactly; 'auto' on a single-core host stays serial."""
+    xv, m = small_plummer(n=32)
+    sp = [Species.dark(N=32, mass=float(m[0]), softening=SOFT)]
+    run_simulation(xv, sp, 0.0, 20 * DT, DT, architecture="cpu",
+                   output_dir=str(tmp_path), snapshots=10,
+                   verbose=False, precision="float64")
+    reader = ParticleReader(str(tmp_path / "snapshot.h5"))
+    serial = reader.extract_orbits("dark", max_workers=1)
+    parallel = reader.extract_orbits("dark", max_workers=2)
+    np.testing.assert_array_equal(parallel.posvel, serial.posvel)
+    np.testing.assert_array_equal(parallel.snaps, serial.snaps)
+
+
+def test_extract_orbits_ram_warning(tmp_path, monkeypatch):
+    """ResourceWarning fires before a larger-than-threshold allocation
+    (reference parity: nbody_io.py:632-640)."""
+    from nbody_streams_tpu import nbody_io
+
+    xv, m = small_plummer(n=32)
+    sp = [Species.dark(N=32, mass=float(m[0]), softening=SOFT)]
+    run_simulation(xv, sp, 0.0, 10 * DT, DT, architecture="cpu",
+                   output_dir=str(tmp_path), snapshots=5,
+                   verbose=False, precision="float64")
+    reader = ParticleReader(str(tmp_path / "snapshot.h5"))
+    monkeypatch.setattr(nbody_io, "_RAM_WARN_GB", 1e-9)
+    with pytest.warns(ResourceWarning, match="GB of RAM"):
+        reader.extract_orbits("dark", max_workers=1)
