@@ -487,7 +487,7 @@ def _pallas_band_correction(pos, gmass, hinv, start, mode, eps2,
 
 
 def _pallas_self_sorted(pos, gmass, soft, kind, kahan, mode, eps2,
-                        interpret=False):
+                        interpret=False, tm=None, tn=None, max_sub=None):
     """Self-gravity via slab sort + the compact-support two-pass split.
 
     Pass 1 runs the cheap (~16-op) Newtonian kernel over all pairs,
@@ -515,7 +515,9 @@ def _pallas_self_sorted(pos, gmass, soft, kind, kahan, mode, eps2,
     mask_self = mode == "pot"
 
     nt = ps.shape[0]
-    tm, tn = TM, TN
+    tm = TM if tm is None else tm
+    tn = TN if tn is None else tn
+    max_sub = MAX_SUB if max_sub is None else max_sub
     nt_pad = -(-nt // tm) * tm
     ns_pad = -(-nt // tn) * tn
     n_i = nt_pad // tm
@@ -537,7 +539,8 @@ def _pallas_self_sorted(pos, gmass, soft, kind, kahan, mode, eps2,
 
         def fast(p):
             base = _pallas_direct(p, hsoft, p, gs, hsoft, "newtonian",
-                                  kahan, mode, eps2, interpret=interpret,
+                                  kahan, mode, eps2, tm=tm, tn=tn,
+                                  max_sub=max_sub, interpret=interpret,
                                   mask_self=mask_self,
                                   skip_band=nb, band_start=start)
             band = _pallas_band_correction(p, gs, hinv, start, mode,
@@ -551,8 +554,8 @@ def _pallas_self_sorted(pos, gmass, soft, kind, kahan, mode, eps2,
 
     def slow(p):
         return _pallas_direct(p, hsoft, p, gs, hsoft, "spline", kahan,
-                              mode, eps2, interpret=interpret,
-                              mask_self=mask_self)
+                              mode, eps2, tm=tm, tn=tn, max_sub=max_sub,
+                              interpret=interpret, mask_self=mask_self)
 
     # one static band size (~6% of rows, floor 12): every extra Pallas
     # kernel variant costs a full remote compile on this platform, so a

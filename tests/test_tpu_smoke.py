@@ -1,0 +1,138 @@
+"""Real-TPU smoke tier (round-3 verdict item 3).
+
+Run with ``NBODY_TEST_TPU=1 python -m pytest -m tpu`` on a host with the
+TPU attached.  Everything here executes on the actual chip — the
+integrator driver, an evolving MW+LMC potential inside the scanned step,
+a dynamical-friction run, the tree compat shim, and ``impl='sharded'``
+on a 1-device TPU mesh — because round-2 fix batches repeatedly found
+Mosaic/axon behaviours that CPU-only coverage cannot catch (x64 leakage,
+block_until_ready semantics, remote-compile costs).
+
+Budget: ~2-3 min with a warm compilation cache (small N, few steps —
+accuracy is pinned by the CPU suites; this tier proves the code paths
+*execute* on hardware).  Reference analogue: the reference runs its
+whole suite on its real backend (tests/test_physics.py GPU variants).
+"""
+import os
+
+import numpy as np
+import pytest
+
+pytestmark = [
+    pytest.mark.tpu,
+    pytest.mark.skipif(not os.environ.get("NBODY_TEST_TPU"),
+                       reason="NBODY_TEST_TPU not set"),
+]
+
+
+@pytest.fixture(scope="module")
+def tpu_device():
+    import jax
+
+    dev = jax.devices()[0]
+    if dev.platform not in ("tpu", "axon"):
+        pytest.skip(f"first device is {dev.platform}, not a TPU")
+    return dev
+
+
+@pytest.fixture(scope="module")
+def plummer_small():
+    from nbody_streams_tpu import make_plummer_sphere
+
+    xv, m = make_plummer_sphere(512, M_total=1e9, a=1.0, seed=3)
+    return xv, m
+
+
+def test_run_simulation_direct_on_chip(tpu_device, plummer_small, tmp_path):
+    """Flagship path: run_simulation -> Pallas kernel inside the scanned
+    KDK step, snapshots + restart + energy diagnostics on."""
+    from nbody_streams_tpu import ParticleReader, Species, run_simulation
+
+    xv, m = plummer_small
+    sp = [Species.dark(N=512, mass=float(m[0]), softening=0.05)]
+    res = run_simulation(xv, sp, 0.0, 5e-3, 5e-4, architecture="tpu",
+                         method="direct", output_dir=str(tmp_path),
+                         snapshots=3, verbose=False, debug_energy=True)
+    out = res["dark"]
+    assert out.shape == (512, 6) and np.all(np.isfinite(out))
+    reader = ParticleReader(str(tmp_path / "snapshot.h5"))
+    assert reader.Snapshots.size == 3
+    assert (tmp_path / "restart.npz").exists()
+
+
+def test_evolving_mwlmc_potential_in_scan_on_chip(tpu_device, tmp_path):
+    """The MW+LMC evolving potential (trajectory-shifted LMC + accelerated
+    frame) evaluated inside the scanned step on hardware."""
+    from nbody_streams_tpu import Species, run_simulation
+    from nbody_streams_tpu.potentials.mwlmc import load_mw_lmc_potential
+
+    pot, _traj = load_mw_lmc_potential()
+    rng = np.random.default_rng(0)
+    n = 128
+    xv = np.zeros((n, 6))
+    xv[:, :3] = rng.normal(0, 1, (n, 3)) + np.array([-8.0, 0, 20.0])
+    xv[:, 3:] = rng.normal(0, 30.0, (n, 3))
+    sp = [Species.star(N=n, mass=1.0, softening=0.01)]
+    res = run_simulation(xv, sp, 0.0, 2e-3, 2e-4, architecture="tpu",
+                         external_potential=pot, save_snapshots=False,
+                         output_dir=str(tmp_path), verbose=False)
+    assert np.all(np.isfinite(res["star"]))
+
+
+def test_dynamical_friction_run_on_chip(tpu_device, tmp_path):
+    """DF force_extra (sigma spline + CoM tracking) inside the scanned
+    step on hardware."""
+    from nbody_streams_tpu import Species, run_simulation
+    from nbody_streams_tpu.potentials import NFWPotential
+
+    host = NFWPotential(mass=1e12, scaleRadius=15.0)
+    rng = np.random.default_rng(1)
+    n = 256
+    xv = np.zeros((n, 6))
+    xv[:, :3] = rng.normal(0, 0.5, (n, 3)) + np.array([40.0, 0, 0])
+    xv[:, 4] = 120.0
+    sp = [Species.dark(N=n, mass=1e7, softening=0.1)]
+    res = run_simulation(xv, sp, 0.0, 2e-3, 2e-4, architecture="tpu",
+                         external_potential=host, dynamical_friction=True,
+                         df_sigma_method="local_circular",
+                         save_snapshots=False, output_dir=str(tmp_path),
+                         verbose=False)
+    assert np.all(np.isfinite(res["dark"]))
+
+
+def test_tree_shim_on_chip(tpu_device, plummer_small):
+    """tree_gravity_gpu compat shim (cached exact solver) on hardware."""
+    from nbody_streams_tpu.tree import TreeGPU, tree_gravity_gpu
+
+    xv, m = plummer_small
+    acc, phi = tree_gravity_gpu(xv[:, :3], m, eps=0.05)
+    assert np.all(np.isfinite(np.asarray(acc)))
+    assert np.all(np.asarray(phi) <= 0)
+    handle = TreeGPU(512, eps=0.05)
+    acc2, phi2 = tree_gravity_gpu(xv[:, :3], m, eps=0.05, tree=handle)
+    np.testing.assert_allclose(np.asarray(acc2), np.asarray(acc),
+                               rtol=1e-6, atol=1e-8)
+
+
+def test_sharded_on_one_device_tpu_mesh(tpu_device, plummer_small):
+    """impl='sharded' on a 1-device TPU mesh: the Pallas ring branch
+    (use_pallas auto-True) under shard_map on the real chip, against the
+    single-chip Pallas path."""
+    import jax
+    import jax.numpy as jnp
+
+    from nbody_streams_tpu.ops.dispatch import DirectGravity
+
+    xv, m = plummer_small
+    soft = np.full(512, 0.05)
+    sharded = DirectGravity(m, soft, impl="sharded",
+                            devices=[tpu_device])
+    assert sharded._sharded.use_pallas
+    single = DirectGravity(m, soft, impl="pallas")
+    p = jnp.asarray(xv[:, :3], jnp.float32)
+    a_s = np.asarray(sharded.accel(p))
+    a_1 = np.asarray(single.accel(p))
+    np.testing.assert_allclose(a_s, a_1, atol=2e-6 * np.abs(a_1).max())
+    p_s = np.asarray(sharded.potential(p))
+    p_1 = np.asarray(single.potential(p))
+    np.testing.assert_allclose(p_s, p_1, atol=2e-6 * np.abs(p_1).max())
