@@ -131,6 +131,11 @@ if __name__ == "__main__":
         sweep(65536, 50, [(512, 512, 16), (512, 512, 32),
                           (256, 512, 32), (512, 1024, 8),
                           (512, 256, 32), (256, 1024, 16)])
+    if mode in ("refine64k",):
+        # around the first-pass winner (256, 512, 32) = 149.8 Gint/s
+        sweep(65536, 50, [(256, 512, 16), (128, 512, 32),
+                          (256, 512, 64), (384, 512, 32),
+                          (256, 512, 32)])
     if mode in ("sweep1m",):
-        sweep(1_048_576, 2, [(512, 512, 16), (512, 512, 32),
-                             (512, 1024, 16)])
+        sweep(1_048_576, 2, [(512, 512, 16), (256, 512, 32),
+                             (256, 512, 16)])
