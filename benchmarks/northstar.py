@@ -68,6 +68,17 @@ def run_gate2m(n=2_097_152, steps=100):
     xv, masses = make_plummer_sphere(n, M_total=1e9, a=1.0, seed=1)
     species = [Species.dark(N=n, mass=float(masses[0]), softening=0.05)]
     dt = 2e-5
+    # identical-config warm-up run: the chunk lengths (and hence the
+    # compiled executables) depend on the snapshot/restart schedule, so
+    # only an identical run guarantees the timed one hits the
+    # persistent compilation cache instead of timing remote compiles
+    run_simulation(
+        xv, species, 0.0, steps * dt, dt,
+        architecture="tpu", method="direct",
+        snapshots=3, restart_interval=50, debug_energy=True,
+        verbose=True, overwrite=True,
+        output_dir=str(out_dir) + "_warmup",
+    )
     t0 = time.perf_counter()
     run_simulation(
         xv, species, 0.0, steps * dt, dt,
@@ -110,6 +121,15 @@ def run_gate1m(n=1_048_576, steps=1000):
         return ke, pe
 
     ke0, pe0 = energy(xv)
+    # 50-step warm-up: with no snapshot events the driver's sub-chunks
+    # are all length 50, so this compiles exactly the executables the
+    # 1000-step timed run will reuse from the persistent cache
+    run_simulation(
+        xv, species, 0.0, 50 * dt, dt,
+        architecture="tpu", method="direct",
+        save_snapshots=False, verbose=True, overwrite=True,
+        output_dir=str(out_dir) + "_warmup",
+    )
     t0 = time.perf_counter()
     res = run_simulation(
         xv, species, 0.0, steps * dt, dt,

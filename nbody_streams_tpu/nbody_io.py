@@ -263,33 +263,28 @@ def _times_namespace(arr: np.ndarray) -> SimpleNamespace:
 _RAM_WARN_GB = 4.0
 
 
-def _shm_extract_worker(args):
-    """Process-pool worker: read a batch of snapshots into shared memory.
-
-    Top-level (picklable); opens its own h5py handles so the parent's
-    handles never cross the fork/spawn boundary.  Per-process HDF5
-    instances decompress gzip chunks concurrently — the in-process global
-    h5py lock makes thread pools useless for this (docs/io.md)."""
-    from multiprocessing import shared_memory
-
-    shm_name, shape, start, stop, jobs = args
-    shm = shared_memory.SharedMemory(name=shm_name)
-    try:
-        out = np.ndarray(shape, dtype=np.float64, buffer=shm.buf)
-        for dest, snap, path in jobs:
-            with h5py.File(path, "r") as f:
-                out[dest] = f["snapshots"][f"snap.{snap:03d}"][start:stop]
-    finally:
-        shm.close()
-
-
 def _extract_parallel(jobs, t, nk, start, stop, workers):
-    """Parallel snapshot extraction: shared-memory output + process pool.
+    """Parallel snapshot extraction: shared-memory output + plain
+    subprocess workers (``_extract_worker.py`` run as a file).
 
-    Returns the (T, N_k, 6) array, or None if shared memory / process
-    spawn is unavailable (caller falls back to serial)."""
-    from concurrent.futures import ProcessPoolExecutor
-    from concurrent.futures.process import BrokenProcessPool
+    Plain subprocesses, not ``multiprocessing``: forking a
+    JAX-initialised (multithreaded) parent is a documented deadlock,
+    and spawn/forkserver re-import the parent's ``__main__``, which
+    re-executes unguarded user scripts — unacceptable for a library
+    API.  Running the worker FILE directly also skips the package (and
+    jax) import, so worker startup is ~0.5 s (numpy + h5py only).
+
+    On success the returned (T, N_k, 6) array is backed directly by the
+    shared-memory mapping — the segment name is unlinked immediately
+    (POSIX keeps the mapping alive) and the mapping is released by a
+    finalizer when the array is garbage collected, so peak RAM is 1x
+    the output, not shm + copy.  Returns None if shared memory / worker
+    processes are unavailable (caller falls back to serial)."""
+    import json
+    import subprocess
+    import sys
+    import tempfile
+    import weakref
     from multiprocessing import shared_memory
 
     shape = (t, nk, 6)
@@ -301,23 +296,52 @@ def _extract_parallel(jobs, t, nk, start, stop, workers):
             f"shared memory unavailable ({exc}); extract_orbits reading "
             "serially", RuntimeWarning, stacklevel=3)
         return None
+
+    worker = str(Path(__file__).with_name("_extract_worker.py"))
+    procs, spec_files = [], []
+    failed = None
     try:
-        batches = [jobs[w::workers] for w in range(workers)]
-        with ProcessPoolExecutor(max_workers=workers) as pool:
-            list(pool.map(
-                _shm_extract_worker,
-                [(shm.name, shape, start, stop, b)
-                 for b in batches if b]))
-        out = np.ndarray(shape, dtype=np.float64, buffer=shm.buf)
-        return out.copy()
-    except (OSError, BrokenProcessPool) as exc:  # pragma: no cover - env
-        warnings.warn(
-            f"process-pool extraction failed ({exc}); reading serially",
-            RuntimeWarning, stacklevel=3)
-        return None
+        for batch in (jobs[w::workers] for w in range(workers)):
+            if not batch:
+                continue
+            # spec via a temp file, not a stdin pipe: job lists can
+            # exceed the 64 KB pipe buffer and deadlock the writer
+            with tempfile.NamedTemporaryFile(
+                    "w", suffix=".json", delete=False) as sf:
+                json.dump({"shm_name": shm.name, "shape": shape,
+                           "start": start, "stop": stop,
+                           "jobs": batch}, sf)
+                spec_files.append(sf.name)
+            p = subprocess.Popen(
+                [sys.executable, worker, spec_files[-1]],
+                stdin=subprocess.DEVNULL, stderr=subprocess.PIPE,
+                text=True)
+            procs.append(p)
+        for p in procs:
+            _, err = p.communicate()
+            if p.returncode != 0 and failed is None:
+                failed = (err or "").strip().splitlines()[-1:] or ["?"]
+    except OSError as exc:  # pragma: no cover - env
+        failed = [str(exc)]
+        for p in procs:
+            p.kill()
     finally:
+        for name in spec_files:
+            try:
+                os.unlink(name)
+            except OSError:
+                pass
+    if failed is not None:
+        warnings.warn(
+            f"worker-process extraction failed ({failed[0]}); reading "
+            "serially", RuntimeWarning, stacklevel=3)
         shm.close()
         shm.unlink()
+        return None
+    out = np.ndarray(shape, dtype=np.float64, buffer=shm.buf)
+    shm.unlink()                      # drop the name; mapping survives
+    weakref.finalize(out, shm.close)  # release mapping with the array
+    return out
 
 
 class ParticleReader:
@@ -565,10 +589,13 @@ class ParticleReader:
                 ResourceWarning, stacklevel=2)
 
         if max_workers == "auto":
-            ncpu = os.cpu_count() or 1
-            # below ~8 snapshots per worker the spawn+import cost of a
-            # Python worker process outweighs the decompression win
-            workers = 1 if ncpu < 2 else int(min(4, ncpu, snaps.size // 8))
+            try:  # affinity/cgroup-aware, unlike os.cpu_count()
+                ncpu = len(os.sched_getaffinity(0))
+            except AttributeError:  # pragma: no cover - non-Linux
+                ncpu = os.cpu_count() or 1
+            # spawned workers re-import the package (seconds each); each
+            # worker needs enough snapshots to amortise its startup
+            workers = 1 if ncpu < 2 else int(min(4, ncpu, snaps.size // 16))
             workers = max(1, workers)
         else:
             workers = max(1, int(max_workers))

@@ -107,6 +107,11 @@ class DirectGravity:
             # use_pallas=, interpret=) — e.g. use_pallas=True,
             # interpret=True runs the Pallas ring branch on a CPU mesh
             self._sharded = ShardedDirect(self, **(sharded_opts or {}))
+        elif sharded_opts:
+            raise ValueError(
+                f"sharded_opts given but impl resolved to {impl!r}; pass "
+                "impl='sharded' (impl='auto' never selects the sharded "
+                "backend)")
 
     def _check_pos(self, pos):
         if pos.ndim != 2 or pos.shape != (self.n, 3):

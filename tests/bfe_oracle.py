@@ -69,10 +69,12 @@ def multipole_phi(coefs, xyz):
     out = np.zeros(xyz.shape[0])
     for k, p in enumerate(xyz):
         r = np.sqrt(p @ p)
-        r = min(max(r, r_grid[0]), r_grid[-1])
+        # angular direction from the TRUE point; clamp only the radius
+        # handed to the interpolant (else a probe outside the radial
+        # grid gets |cos_theta| > 1 and lpmv returns garbage)
         cos_t = p[2] / r if r > 0 else 1.0
         ang = np.arctan2(p[1], p[0])
-        vals = interp(r)
+        vals = interp(min(max(r, r_grid[0]), r_grid[-1]))
         out[k] = sum(
             vals[c] * real_ylm(l, m, cos_t, ang)
             for c, (l, m) in enumerate(coefs.lm_labels))
