@@ -110,23 +110,113 @@ def roofline():
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct(shape, jnp.float32),
         )
-        jf = jax.jit(f)
-        jax.device_get(jf(x))
+        ITERS = 20  # amortise the ~58 ms per-dispatch tunnel latency
+
+        @jax.jit
+        def chain(v):
+            def body(c, _):
+                return f(c), None
+
+            c, _ = jax.lax.scan(body, v, None, length=ITERS)
+            return c
+
+        jax.device_get(chain(x))
         t0 = time.perf_counter()
-        jax.device_get(jf(x))
-        dt = time.perf_counter() - t0
+        jax.device_get(chain(x))
+        dt = (time.perf_counter() - t0) / ITERS
         lanes = shape[0] * shape[1] * K * grid
         print(json.dumps({
             "metric": f"vpu_{name}_throughput",
             "g_ops_per_s": lanes * ops_per_iter / dt / 1e9,
             "g_lanes_per_s": lanes / dt / 1e9,
-            "wall_s": dt}), flush=True)
+            "ms_per_iter": dt * 1e3}), flush=True)
+
+
+def sol(kind="spline", tm=128, tn=512, n_sub=32, blocks=2048, iters=10):
+    """Arithmetic speed-of-light for the force tile.
+
+    Runs the EXACT `_tile_sum` pair arithmetic (acc mode, Kahan
+    superblock accumulate) on VMEM-resident data — no HBM streaming,
+    no slab-band masking, no grid logistics — so pairs/s here is the
+    pure-VPU ceiling for this math at this tile geometry.  The ratio
+    real-kernel / this = fraction of speed-of-light.  kind='newtonian'
+    is the ceiling of the two-pass sorted kernel's dominant base pass;
+    kind='spline' of the single-pass kernel and the band pass."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from nbody_streams_tpu.ops import pallas_direct as pd
+
+    def kern(xt_ref, yt_ref, zt_ref, ht_ref,
+             xs_ref, ys_ref, zs_ref, ms_ref, hs_ref, out_ref, comp_ref):
+        xt, yt, zt, ht = (r[:] for r in (xt_ref, yt_ref, zt_ref, ht_ref))
+        jb = pl.program_id(0)
+
+        @pl.when(jb == 0)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+            comp_ref[:] = jnp.zeros_like(comp_ref)
+
+        partial = jnp.zeros((tm, 3), jnp.float32)
+        for k in range(n_sub):
+            partial = partial + pd._tile_sum(
+                kind, "acc", False, 1e-15, tm, tn, n_sub,
+                xt, yt, zt, ht, None,
+                xs_ref, ys_ref, zs_ref, ms_ref, hs_ref, k, jb)
+        y = partial - comp_ref[:]
+        t = out_ref[:] + y
+        comp_ref[:] = (t - out_ref[:]) - y
+        out_ref[:] = t
+
+    rng = np.random.default_rng(3)
+    tgt = [jnp.asarray(rng.normal(0, 1, (tm, 1)), jnp.float32)
+           for _ in range(3)]
+    tgt.append(jnp.full((tm, 1), 20.0, jnp.float32))          # 1/h
+    src = [jnp.asarray(rng.normal(0, 1, (n_sub, tn)), jnp.float32)
+           for _ in range(4)]
+    src.append(jnp.full((n_sub, tn), 20.0, jnp.float32))      # 1/h
+
+    f = pl.pallas_call(
+        kern, grid=(blocks,),
+        in_specs=[pl.BlockSpec(a.shape, lambda i: (0, 0),
+                               memory_space=pltpu.VMEM)
+                  for a in tgt + src],
+        out_specs=pl.BlockSpec((tm, 3), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((tm, 3), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((tm, 3), jnp.float32)],
+    )
+
+    @jax.jit
+    def chain(xt):
+        def body(c, _):
+            out = f(c, *tgt[1:], *src)
+            return c + out[:, :1] * 1e-30, None
+
+        c, _ = jax.lax.scan(body, xt, None, length=iters)
+        return c
+
+    jax.device_get(chain(tgt[0]))
+    t0 = time.perf_counter()
+    jax.device_get(chain(tgt[0]))
+    dt = (time.perf_counter() - t0) / iters
+    pairs = tm * tn * n_sub * blocks
+    print(json.dumps({
+        "metric": f"{kind}_kahan_arith_speed_of_light",
+        "tm": tm, "tn": tn, "n_sub": n_sub,
+        "g_pairs_per_s": pairs / dt / 1e9,
+        "ms_per_iter": dt * 1e3}), flush=True)
 
 
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "all"
     if mode in ("roofline", "all"):
         roofline()
+    if mode in ("sol",):
+        for kind in (sys.argv[2:] or ["spline", "newtonian"]):
+            sol(kind)
     if mode in ("sweep64k", "all"):
         sweep(65536, 50, [(512, 512, 16), (512, 512, 32),
                           (256, 512, 32), (512, 1024, 8),
@@ -139,3 +229,9 @@ if __name__ == "__main__":
     if mode in ("sweep1m",):
         sweep(1_048_576, 2, [(512, 512, 16), (256, 512, 32),
                              (256, 512, 16)])
+    if mode in ("refine2",):
+        # neighbourhood of the refine64k winner (128, 512, 32) = 150.3,
+        # plus that geometry at 1M to confirm it holds at scale
+        sweep(65536, 50, [(64, 512, 32), (128, 512, 16),
+                          (128, 1024, 16)])
+        sweep(1_048_576, 2, [(128, 512, 32)])

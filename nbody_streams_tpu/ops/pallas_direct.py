@@ -146,11 +146,13 @@ def _pot_pre(kind, r2, pre):
 __all__ = ["pallas_accel", "pallas_potential", "pallas_accel_2set",
            "pallas_potential_2set"]
 
-# Default tile geometry (tuned on TPU v5e; see bench.py / tile sweep:
-# 512/512/16 beat 256/512/16 by ~8%, 1024-row tiles fail to compile)
-TM = 512        # targets per grid step
+# Default tile geometry (tuned on TPU v5e; benchmarks/tile_sweep.py,
+# round 3: 128/512/32 = 150.3 Gint/s @64k and 175.5 @1M vs 147.3/173.7
+# for the round-2 512/512/16; 1024-wide tiles and max_sub=64 fail to
+# compile, tm=64 loses ~4%)
+TM = 128        # targets per grid step
 TN = 512        # source sub-tile width (lanes)
-MAX_SUB = 16    # sub-tiles per source superblock
+MAX_SUB = 32    # sub-tiles per source superblock
 
 
 def _tile_sum(kind, mode, mask_self, eps2, tm, tn, n_sub,
