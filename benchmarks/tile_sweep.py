@@ -229,6 +229,10 @@ if __name__ == "__main__":
     if mode in ("sweep1m",):
         sweep(1_048_576, 2, [(512, 512, 16), (256, 512, 32),
                              (256, 512, 16)])
+    if mode in ("mxu",):
+        # MXU_BASE=True default: measures the MXU moment base pass
+        sweep(65536, 50, [(128, 512, 32)])
+        sweep(1_048_576, 2, [(128, 512, 32)])
     if mode in ("refine2",):
         # neighbourhood of the refine64k winner (128, 512, 32) = 150.3,
         # plus that geometry at 1M to confirm it holds at scale

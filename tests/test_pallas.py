@@ -106,3 +106,31 @@ def test_two_pass_sorted_matches_single_pass(cluster):
                               1e-15, interpret=INTERPRET)
     d = np.abs(np.asarray(ref) - np.asarray(two)).max()
     assert d < 1e-6 * np.abs(np.asarray(ref)).max()
+
+
+@pytest.mark.parametrize("center", [(0.0, 0.0, 0.0), (120.0, -80.0, 40.0)])
+def test_mxu_moment_base_pass_matches(center):
+    """MXU moment rewrite of the two-pass base kernel (S @ [xs ys zs 1]
+    finalised as P[:3] - x_t P[3]) vs the VPU lane-reduction path, on a
+    geometry small enough that the Newtonian base pass covers real pairs
+    (rows >> band).  The off-centre case pins the coordinate-centring
+    guard: without it, moment cancellation costs ~2 digits at
+    |x| ~ 150 (see _pallas_self_sorted)."""
+    from nbody_streams_tpu.ops.pallas_direct import _pallas_self_sorted
+
+    rng = np.random.default_rng(11)
+    n = 6000
+    pos = jnp.asarray(rng.normal(0, 1.0, (n, 3)) + np.asarray(center),
+                      jnp.float32)
+    gm = jnp.asarray(rng.uniform(0.5, 1.5, n) * 4.3e-6, jnp.float32)
+    soft = jnp.full((n,), 0.05, jnp.float32)
+    kw = dict(interpret=INTERPRET, tm=64, tn=128, max_sub=4)
+    ref = np.asarray(_pallas_self_sorted(pos, gm, soft, "spline", True,
+                                         "acc", 1e-15, mxu=False, **kw),
+                     np.float64)
+    mx = np.asarray(_pallas_self_sorted(pos, gm, soft, "spline", True,
+                                        "acc", 1e-15, mxu=True, **kw),
+                    np.float64)
+    assert not np.array_equal(ref, mx)  # the rewrite actually ran
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(mx, ref, atol=3e-6 * scale)
