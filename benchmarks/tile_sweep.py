@@ -233,6 +233,13 @@ if __name__ == "__main__":
         # MXU_BASE=True default: measures the MXU moment base pass
         sweep(65536, 50, [(128, 512, 32)])
         sweep(1_048_576, 2, [(128, 512, 32)])
+    if mode in ("mxu2",):
+        # geometry re-sweep under the MXU base pass
+        sweep(65536, 50, [(256, 512, 32), (128, 512, 16),
+                          (256, 512, 16), (128, 1024, 16)])
+    if mode in ("mxu3",):
+        sweep(65536, 50, [(512, 512, 16)])
+        sweep(1_048_576, 2, [(256, 512, 32)])
     if mode in ("refine2",):
         # neighbourhood of the refine64k winner (128, 512, 32) = 150.3,
         # plus that geometry at 1M to confirm it holds at scale

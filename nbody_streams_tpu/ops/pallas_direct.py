@@ -187,6 +187,16 @@ def _tile_sum(kind, mode, mask_self, eps2, tm, tn, n_sub,
     if mode == "acc":
         s = gms * _force_pre(kind, r2, pre)
         if mxu:
+            if mask_self:
+                # the VPU path needs no self mask (s_ii * dx_ii == 0),
+                # but the moment form accumulates s_ii * x_i — with
+                # s_ii ~ gm / eps2^1.5 that wrecks P in fp32 long
+                # before the finalisation cancels it.  For 2-set
+                # callers whose target block IS the source block
+                # (row orderings aligned).
+                jglob = (jb * (n_sub * tn) + k * tn
+                         + jax.lax.broadcasted_iota(jnp.int32, (1, tn), 1))
+                s = jnp.where(iglob == jglob, 0.0, s)
             b = jnp.concatenate(
                 [xs, ys, zs, jnp.ones_like(xs)], axis=0)    # (4, TN)
             return jax.lax.dot_general(
@@ -610,13 +620,21 @@ def _pallas_self_sorted(pos, gmass, soft, kind, kahan, mode, eps2,
 # ---------------------------------------------------------------------------
 
 def pallas_accel_2set(pos_t, soft_t, pos_s, gmass_s, soft_s, kind, kahan,
-                      eps2=PAIRWISE_EPS2, interpret=False):
-    """Accelerations of targets due to sources (G folded into gmass_s)."""
+                      eps2=PAIRWISE_EPS2, interpret=False, mxu=False,
+                      mask_self=False):
+    """Accelerations of targets due to sources (G folded into gmass_s).
+
+    ``mxu=True`` uses the MXU moment rewrite (see _tile_sum): the caller
+    is responsible for centring the coordinate frame — both sets shifted
+    by the SAME offset — to bound the moment-cancellation error (the
+    sharded ring subtracts the global centroid once per evaluation), and
+    must pass ``mask_self=True`` whenever targets and sources are the
+    same block (the moment form cannot rely on s_ii * dx_ii == 0)."""
     return _pallas_direct(
         pos_t.astype(jnp.float32), soft_t.astype(jnp.float32),
         pos_s.astype(jnp.float32), gmass_s.astype(jnp.float32),
         soft_s.astype(jnp.float32), kind, kahan, "acc", float(eps2),
-        interpret=interpret,
+        interpret=interpret, mxu=mxu, mask_self=mask_self and mxu,
     )
 
 

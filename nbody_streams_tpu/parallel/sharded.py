@@ -124,7 +124,8 @@ class ShardedDirect:
     hardware (tests/test_sharded.py)."""
 
     def __init__(self, solver, mesh: Mesh | None = None,
-                 use_pallas: bool | None = None, interpret: bool = False):
+                 use_pallas: bool | None = None, interpret: bool = False,
+                 mxu: bool | None = None):
         self.solver = solver
         devices = solver.devices
         self.mesh = mesh or make_particle_mesh(devices)
@@ -148,6 +149,10 @@ class ShardedDirect:
         self.use_pallas = bool(use_pallas) \
             and solver.dtype == jnp.float32
         self.interpret = bool(interpret)
+        # MXU moment rewrite for the acc ring tiles (pallas branch only);
+        # needs the centroid shift in _sharded_eval — see pallas_direct
+        self.mxu = self.use_pallas if mxu is None else bool(mxu)
+        self.mxu = self.mxu and self.use_pallas
 
     # -- ring kernels -------------------------------------------------------
     def _ring(self, mode, pos_l, gm_l, h_l):
@@ -183,6 +188,12 @@ class ShardedDirect:
                         # (XLA-level cond: only the taken branch
                         # executes).  Fires when particles are
                         # slab-sorted before sharding; always correct.
+                        # The MXU moment rewrite applies ONLY to this
+                        # far branch (mirroring the single-chip design):
+                        # near blocks keep the VPU s*dx form, whose
+                        # self/close pairs are exact — moments would
+                        # cost ~2 digits there (s ~ gm/r^3 with dx ~ 0
+                        # makes s*x vs x_t*s cancellation maximal).
                         gap = jnp.maximum(
                             jnp.min(pos_l[:, 0]) - jnp.max(ps[:, 0]),
                             jnp.min(ps[:, 0]) - jnp.max(pos_l[:, 0]))
@@ -193,7 +204,7 @@ class ShardedDirect:
                             lambda a: pallas_direct.pallas_accel_2set(
                                 pos_l, h_l, a[0], a[1], a[2],
                                 "newtonian", kahan, eps2,
-                                interpret=interp),
+                                interpret=interp, mxu=self.mxu),
                             lambda a: pallas_direct.pallas_accel_2set(
                                 pos_l, h_l, a[0], a[1], a[2],
                                 kind, kahan, eps2, interpret=interp),
@@ -246,6 +257,12 @@ class ShardedDirect:
     # -- public ------------------------------------------------------------
     def _sharded_eval(self, mode, pos):
         n = self.solver.n
+        if mode == "acc" and self.mxu:
+            # centre the frame for the MXU moment rewrite: acceleration
+            # is translation invariant, and the shift (same for targets
+            # and every ring source block) bounds the moment
+            # cancellation error by the system extent
+            pos = pos - jnp.mean(pos, axis=0, keepdims=True)
         posp = jnp.pad(pos, ((0, self.npad - n), (0, 0)))
 
         fn = functools.partial(self._ring, mode)

@@ -134,3 +134,42 @@ def test_mxu_moment_base_pass_matches(center):
     assert not np.array_equal(ref, mx)  # the rewrite actually ran
     scale = np.abs(ref).max()
     np.testing.assert_allclose(mx, ref, atol=3e-6 * scale)
+
+
+def test_mxu_2set_matches_vpu():
+    """pallas_accel_2set(mxu=True) vs the VPU 2-set path: the sharded
+    ring's far-branch kernel (disjoint blocks) plus the self-block case
+    with mask_self=True, which must zero the diagonal before the moment
+    contraction (s_ii * x_i would destroy fp32 P long before the
+    finalisation cancels it)."""
+    from nbody_streams_tpu.ops.pallas_direct import pallas_accel_2set
+
+    rng = np.random.default_rng(23)
+    nt, ns = 300, 500
+    pos_t = jnp.asarray(rng.normal(0, 1.0, (nt, 3)), jnp.float32)
+    pos_s = jnp.asarray(rng.normal(0, 1.0, (ns, 3)) + 8.0, jnp.float32)
+    h_t = jnp.full((nt,), 0.05, jnp.float32)
+    h_s = jnp.full((ns,), 0.05, jnp.float32)
+    gm_s = jnp.asarray(rng.uniform(0.5, 1.5, ns) * 4.3e-6, jnp.float32)
+
+    # disjoint blocks (the ring far branch): no mask needed
+    ref = np.asarray(pallas_accel_2set(pos_t, h_t, pos_s, gm_s, h_s,
+                                       "newtonian", True,
+                                       interpret=INTERPRET), np.float64)
+    mx = np.asarray(pallas_accel_2set(pos_t, h_t, pos_s, gm_s, h_s,
+                                      "newtonian", True,
+                                      interpret=INTERPRET, mxu=True),
+                    np.float64)
+    assert not np.array_equal(ref, mx)
+    np.testing.assert_allclose(mx, ref, atol=3e-6 * np.abs(ref).max())
+
+    # self block: targets == sources, diagonal must be masked in-kernel
+    gm_t = jnp.asarray(rng.uniform(0.5, 1.5, nt) * 4.3e-6, jnp.float32)
+    ref = np.asarray(pallas_accel_2set(pos_t, h_t, pos_t, gm_t, h_t,
+                                       "newtonian", True,
+                                       interpret=INTERPRET), np.float64)
+    mx = np.asarray(pallas_accel_2set(pos_t, h_t, pos_t, gm_t, h_t,
+                                      "newtonian", True, interpret=INTERPRET,
+                                      mxu=True, mask_self=True),
+                    np.float64)
+    np.testing.assert_allclose(mx, ref, atol=3e-6 * np.abs(ref).max())

@@ -155,9 +155,9 @@ def test_pallas_ring_newtonian_fastpath_fires(slab_cluster, monkeypatch):
     orig = pallas_direct.pallas_accel_2set
 
     def spy(pos_t, soft_t, pos_s, gmass_s, soft_s, kind, kahan, eps2,
-            interpret=False):
+            interpret=False, **kw):
         out = orig(pos_t, soft_t, pos_s, gmass_s, soft_s, kind, kahan,
-                   eps2, interpret=interpret)
+                   eps2, interpret=interpret, **kw)
         jax.debug.callback(
             lambda _, k=kind: counts.__setitem__(k, counts.get(k, 0) + 1),
             out[0, 0])
