@@ -120,10 +120,7 @@ def roofline():
             c, _ = jax.lax.scan(body, v, None, length=ITERS)
             return c
 
-        jax.device_get(chain(x))
-        t0 = time.perf_counter()
-        jax.device_get(chain(x))
-        dt = (time.perf_counter() - t0) / ITERS
+        dt = _time_ingraph(chain, x, ITERS)
         lanes = shape[0] * shape[1] * K * grid
         print(json.dumps({
             "metric": f"vpu_{name}_throughput",
@@ -132,22 +129,31 @@ def roofline():
             "ms_per_iter": dt * 1e3}), flush=True)
 
 
-def sol(kind="spline", tm=128, tn=512, n_sub=32, blocks=2048, iters=10):
+def sol(kind="spline", tm=None, tn=None, n_sub=None, blocks=2048, iters=10,
+        mxu=False):
     """Arithmetic speed-of-light for the force tile.
 
     Runs the EXACT `_tile_sum` pair arithmetic (acc mode, Kahan
     superblock accumulate) on VMEM-resident data — no HBM streaming,
     no slab-band masking, no grid logistics — so pairs/s here is the
-    pure-VPU ceiling for this math at this tile geometry.  The ratio
-    real-kernel / this = fraction of speed-of-light.  kind='newtonian'
-    is the ceiling of the two-pass sorted kernel's dominant base pass;
-    kind='spline' of the single-pass kernel and the band pass."""
+    pure-compute ceiling for this math at this tile geometry.  The
+    ratio real-kernel / this = fraction of speed-of-light.  With
+    ``mxu=True`` the tile is the MXU moment form (the shipped base
+    pass, MXU_BASE default); ``mxu=False`` is the VPU s*dx tile
+    (the band pass / single-pass kernel).  kind='newtonian' bounds the
+    two-pass sorted kernel's dominant base pass; kind='spline' the
+    single-pass kernel and the band pass."""
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     from nbody_streams_tpu.ops import pallas_direct as pd
+
+    tm = pd.TM if tm is None else tm
+    tn = pd.TN if tn is None else tn
+    n_sub = pd.MAX_SUB if n_sub is None else n_sub
+    width = 4 if mxu else 3
 
     def kern(xt_ref, yt_ref, zt_ref, ht_ref,
              xs_ref, ys_ref, zs_ref, ms_ref, hs_ref, out_ref, comp_ref):
@@ -159,12 +165,12 @@ def sol(kind="spline", tm=128, tn=512, n_sub=32, blocks=2048, iters=10):
             out_ref[:] = jnp.zeros_like(out_ref)
             comp_ref[:] = jnp.zeros_like(comp_ref)
 
-        partial = jnp.zeros((tm, 3), jnp.float32)
+        partial = jnp.zeros((tm, width), jnp.float32)
         for k in range(n_sub):
             partial = partial + pd._tile_sum(
                 kind, "acc", False, 1e-15, tm, tn, n_sub,
                 xt, yt, zt, ht, None,
-                xs_ref, ys_ref, zs_ref, ms_ref, hs_ref, k, jb)
+                xs_ref, ys_ref, zs_ref, ms_ref, hs_ref, k, jb, mxu=mxu)
         y = partial - comp_ref[:]
         t = out_ref[:] + y
         comp_ref[:] = (t - out_ref[:]) - y
@@ -183,10 +189,10 @@ def sol(kind="spline", tm=128, tn=512, n_sub=32, blocks=2048, iters=10):
         in_specs=[pl.BlockSpec(a.shape, lambda i: (0, 0),
                                memory_space=pltpu.VMEM)
                   for a in tgt + src],
-        out_specs=pl.BlockSpec((tm, 3), lambda i: (0, 0),
+        out_specs=pl.BlockSpec((tm, width), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((tm, 3), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((tm, 3), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((tm, width), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((tm, width), jnp.float32)],
     )
 
     @jax.jit
@@ -198,14 +204,11 @@ def sol(kind="spline", tm=128, tn=512, n_sub=32, blocks=2048, iters=10):
         c, _ = jax.lax.scan(body, xt, None, length=iters)
         return c
 
-    jax.device_get(chain(tgt[0]))
-    t0 = time.perf_counter()
-    jax.device_get(chain(tgt[0]))
-    dt = (time.perf_counter() - t0) / iters
+    dt = _time_ingraph(chain, tgt[0], iters)
     pairs = tm * tn * n_sub * blocks
     print(json.dumps({
         "metric": f"{kind}_kahan_arith_speed_of_light",
-        "tm": tm, "tn": tn, "n_sub": n_sub,
+        "mxu": mxu, "tm": tm, "tn": tn, "n_sub": n_sub,
         "g_pairs_per_s": pairs / dt / 1e9,
         "ms_per_iter": dt * 1e3}), flush=True)
 
@@ -217,6 +220,12 @@ if __name__ == "__main__":
     if mode in ("sol",):
         for kind in (sys.argv[2:] or ["spline", "newtonian"]):
             sol(kind)
+    if mode in ("solmxu",):
+        # ceiling of the SHIPPED base pass (MXU moment form, promoted
+        # 512/512/16 geometry) and of the VPU band pass at the same
+        # geometry, for the docs/performance.md roofline note
+        sol("newtonian", mxu=True)
+        sol("spline", mxu=False)
     if mode in ("sweep64k", "all"):
         sweep(65536, 50, [(512, 512, 16), (512, 512, 32),
                           (256, 512, 32), (512, 1024, 8),
@@ -240,6 +249,10 @@ if __name__ == "__main__":
     if mode in ("mxu3",):
         sweep(65536, 50, [(512, 512, 16)])
         sweep(1_048_576, 2, [(256, 512, 32)])
+    if mode in ("mxu4",):
+        # 64k winner (512,512,16)=181.9 vs (256,512,32)=180.5; 1M has
+        # (256,512,32)=218.4 — decide with (512,512,16/32) at 1M
+        sweep(1_048_576, 2, [(512, 512, 16), (512, 512, 32)])
     if mode in ("refine2",):
         # neighbourhood of the refine64k winner (128, 512, 32) = 150.3,
         # plus that geometry at 1M to confirm it holds at scale

@@ -325,6 +325,11 @@ def _extract_parallel(jobs, t, nk, start, stop, workers):
         failed = [str(exc)]
         for p in procs:
             p.kill()
+        for p in procs:
+            try:
+                p.wait(timeout=10)
+            except Exception:
+                pass
     finally:
         for name in spec_files:
             try:
@@ -336,10 +341,16 @@ def _extract_parallel(jobs, t, nk, start, stop, workers):
             f"worker-process extraction failed ({failed[0]}); reading "
             "serially", RuntimeWarning, stacklevel=3)
         shm.close()
-        shm.unlink()
+        try:
+            shm.unlink()
+        except FileNotFoundError:
+            pass  # a dying worker's resource tracker already unlinked it
         return None
     out = np.ndarray(shape, dtype=np.float64, buffer=shm.buf)
-    shm.unlink()                      # drop the name; mapping survives
+    try:
+        shm.unlink()                  # drop the name; mapping survives
+    except FileNotFoundError:         # pragma: no cover - tracker race
+        pass
     weakref.finalize(out, shm.close)  # release mapping with the array
     return out
 

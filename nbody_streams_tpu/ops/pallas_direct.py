@@ -146,13 +146,14 @@ def _pot_pre(kind, r2, pre):
 __all__ = ["pallas_accel", "pallas_potential", "pallas_accel_2set",
            "pallas_potential_2set"]
 
-# Default tile geometry (tuned on TPU v5e; benchmarks/tile_sweep.py,
-# round 3: 128/512/32 = 150.3 Gint/s @64k and 175.5 @1M vs 147.3/173.7
-# for the round-2 512/512/16; 1024-wide tiles and max_sub=64 fail to
-# compile, tm=64 loses ~4%)
-TM = 128        # targets per grid step
+# Default tile geometry (tuned on TPU v5e; benchmarks/tile_sweep.py).
+# Under the MXU moment base pass (round 3) 512/512/16 wins at both
+# scales: 181.9 Gint/s @64k, 220.0 @1M (vs 180.5/218.4 for 256/512/32;
+# 128/512/32 — the pre-MXU winner — trails by ~5%).  512/512/32 and
+# 1024-wide tiles fail to compile (VMEM).
+TM = 512        # targets per grid step
 TN = 512        # source sub-tile width (lanes)
-MAX_SUB = 32    # sub-tiles per source superblock
+MAX_SUB = 16    # sub-tiles per source superblock
 
 
 def _tile_sum(kind, mode, mask_self, eps2, tm, tn, n_sub,

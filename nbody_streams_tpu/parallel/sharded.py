@@ -151,8 +151,7 @@ class ShardedDirect:
         self.interpret = bool(interpret)
         # MXU moment rewrite for the acc ring tiles (pallas branch only);
         # needs the centroid shift in _sharded_eval — see pallas_direct
-        self.mxu = self.use_pallas if mxu is None else bool(mxu)
-        self.mxu = self.mxu and self.use_pallas
+        self.mxu = (True if mxu is None else bool(mxu)) and self.use_pallas
 
     # -- ring kernels -------------------------------------------------------
     def _ring(self, mode, pos_l, gm_l, h_l):
