@@ -110,8 +110,8 @@ class DirectGravity:
         elif sharded_opts:
             raise ValueError(
                 f"sharded_opts given but impl resolved to {impl!r}; pass "
-                "impl='sharded' (impl='auto' never selects the sharded "
-                "backend)")
+                "impl='sharded' (impl='auto' only selects the sharded "
+                "backend when devices= has more than one device)")
 
     def _check_pos(self, pos):
         if pos.ndim != 2 or pos.shape != (self.n, 3):

@@ -149,6 +149,13 @@ def load_fire_pot(sim_dir, nsnap, sym: str = "n", lmax: int = 4,
     sym_map = {"a": "axi", "s": "sph", "t": "triax", "n": "none"}
     if sym not in sym_map:
         raise ValueError(f"Unknown sym {sym!r}. Allowed: {list(sym_map)}")
+    if save_modified and keep_lm_mult is None and keep_m_cylspl is None:
+        import warnings
+
+        warnings.warn(
+            "save_modified=True writes only *filtered* coefficient files; "
+            "without keep_lm_mult / keep_m_cylspl nothing is modified and "
+            "nothing is written", UserWarning, stacklevel=2)
     if kind not in ("whole", "dark", "bar"):
         raise ValueError(
             f"Unknown kind {kind!r}. Allowed: 'whole', 'dark', 'bar'")

@@ -301,3 +301,13 @@ class TestLoadFirePot:
         for i, (l, m) in enumerate(coefs.lm_labels):
             if (l, m) != (0, 0):
                 assert np.all(coefs.phi[:, i] == 0)
+
+    def test_save_modified_without_filter_warns(self, fire_dir, tmp_path):
+        from nbody_streams_tpu.potentials import load_fire_pot
+
+        out = tmp_path / "mod"
+        with pytest.warns(UserWarning, match="save_modified"):
+            load_fire_pot(fire_dir, 600, lmax=8, kind="dark",
+                          save_modified=True, save_dir=str(out),
+                          verbose=False)
+        assert not out.exists()  # nothing filtered -> nothing written

@@ -8,7 +8,8 @@ on a 1-device TPU mesh — because round-2 fix batches repeatedly found
 Mosaic/axon behaviours that CPU-only coverage cannot catch (x64 leakage,
 block_until_ready semantics, remote-compile costs).
 
-Budget: ~2-3 min with a warm compilation cache (small N, few steps —
+Budget: ~6 min with a warm compilation cache (measured 366 s; small N,
+few steps —
 accuracy is pinned by the CPU suites; this tier proves the code paths
 *execute* on hardware).  Reference analogue: the reference runs its
 whole suite on its real backend (tests/test_physics.py GPU variants).
