@@ -78,7 +78,14 @@ def main(argv=None):
             key = k.replace("-", "_")
             if key == "continue":       # argparse dest is continue_run
                 key = "continue_run"
-            if key not in cli_given and hasattr(args, key):
+            if not hasattr(args, key):
+                # match run_simulation's strict-kwargs behaviour: a
+                # typo'd config key must not be silently ignored
+                valid = sorted(d for d in vars(args) if d != "config")
+                parser.error(
+                    f"unknown config key {k!r} in {args.config} "
+                    f"(valid keys: {', '.join(valid)})")
+            if key not in cli_given:
                 setattr(args, key, v)
 
     from . import Species, make_plummer_sphere, run_simulation
@@ -136,16 +143,24 @@ def build_native_main(argv=None):
 
 
 def bench_main(argv=None):
-    """Entry point for nbody-bench."""
+    """Entry point for nbody-bench.
+
+    In a repo checkout this runs the top-level ``bench.py`` (the
+    one-JSON-line headline benchmark).  From an installed wheel — where
+    bench.py is not shipped — it falls back to the in-package benchmark
+    suite, forwarding ``argv`` (e.g. ``nbody-bench -N 262144``).
+    """
     import runpy
     from pathlib import Path
 
+    argv = list(sys.argv[1:]) if argv is None else list(argv)
     script = Path(__file__).resolve().parent.parent / "bench.py"
-    if script.exists():
+    if not argv and script.exists():
         runpy.run_path(str(script), run_name="__main__")
         return 0
-    print("bench.py not found", file=sys.stderr)
-    return 1
+    from . import bench_suite
+
+    return bench_suite.main(argv) or 0
 
 
 if __name__ == "__main__":

@@ -208,8 +208,12 @@ def _load_restart(output_dir):
         xv = np.array(data["phase_space"])
         t = float(data["time"])
         step = int(data["step"])
+        # None (not 0) when absent — the reference's 4-field format.
+        # The driver reconstructs the counter from the resume step;
+        # counter=0 would make its catch-up loop rewrite snapshot.times
+        # rows for every already-written snapshot.
         counter = (int(data["snapshot_counter"])
-                   if "snapshot_counter" in data.files else 0)
+                   if "snapshot_counter" in data.files else None)
 
         def opt(key):
             return np.array(data[key]) if key in data.files else None

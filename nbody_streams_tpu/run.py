@@ -235,7 +235,10 @@ def run_nbody(
         restart = _load_restart(output_path)
         if restart is not None:
             xv, t_now, start_step, saved_counter = restart[:4]
-            snapshot_counter = int(saved_counter)
+            # reference-format files carry no counter: leave None so the
+            # searchsorted fallback below reconstructs it from start_step
+            snapshot_counter = (None if saved_counter is None
+                                else int(saved_counter))
             if verbose:
                 print(f"Resuming from step {start_step}, time {t_now:.6e}")
         elif save_snapshots and sorted(output_path.glob("snapshot*.h5")):
@@ -248,8 +251,6 @@ def run_nbody(
                 "Pass overwrite=True to start over, or restore the "
                 "restart file.")
         else:
-            import warnings
-
             warnings.warn(
                 "continue_run=True but no restart.npz found in "
                 f"'{output_path}': starting a fresh run from step 0",
@@ -362,99 +363,117 @@ def run_nbody(
 
         if profile_dir:
             jax.profiler.start_trace(profile_dir)
+        try:
 
-        last_xv = xv          # emergency payload: last *completed* state
-        wd_step = start_step
-        wd_t = time_start + start_step * dt
+            last_xv = xv          # emergency payload: last *completed* state
+            wd_step = start_step
+            wd_t = time_start + start_step * dt
 
-        def emergency_restart():
-            _save_restart(last_xv, wd_t, wd_step, output_path,
-                          snapshot_counter, **restart_kwargs)
-            print(f"WATCHDOG: sub-chunk exceeded the {step_timeout_s}s/"
-                  f"step deadline after step {wd_step}; emergency "
-                  f"restart (all completed work) saved to "
-                  f"{output_path}/restart.npz", flush=True)
+            def emergency_restart():
+                _save_restart(last_xv, wd_t, wd_step, output_path,
+                              snapshot_counter, **restart_kwargs)
+                print(f"WATCHDOG: sub-chunk exceeded the {step_timeout_s}s/"
+                      f"step deadline after step {wd_step}; emergency "
+                      f"restart (all completed work) saved to "
+                      f"{output_path}/restart.npz", flush=True)
 
-        # watchdog granularity: arm the deadline over sub-chunks of at
-        # most 50 steps and refresh the restart payload after each, so a
-        # hang loses <= 50 steps instead of a whole chunk (the reference
-        # interrupts per step, run_gpu_tree.py:79-135; per-step host
-        # sync would defeat the scanned-chunk design, 50 is the
-        # compromise)
-        wd_sub = 50
-        compiled_lengths: set = set()
+            # watchdog granularity: arm the deadline over sub-chunks of at
+            # most 50 steps and refresh the restart payload after each, so a
+            # hang loses <= 50 steps instead of a whole chunk (the reference
+            # interrupts per step, run_gpu_tree.py:79-135; per-step host
+            # sync would defeat the scanned-chunk design, 50 is the
+            # compromise)
+            wd_sub = 50
+            compiled_lengths: set = set()
 
-        t_wall0 = pytime.perf_counter()
-        current = start_step
-        for boundary in boundaries:
-            n_steps = boundary - current
-            if n_steps <= 0:
-                continue
-            if step_timeout_s:
-                done = 0
-                while done < n_steps:
-                    s = min(wd_sub, n_steps - done)
-                    allow = 600.0 if s not in compiled_lengths else 30.0
-                    with _ChunkWatchdog(step_timeout_s * s + allow,
-                                        emergency_restart):
-                        state = run_chunk(step_fn, state, s)
-                        jax.block_until_ready(state.pos)
-                    compiled_lengths.add(s)
-                    done += s
-                    last_xv = fetch_xv(state)
-                    wd_step = current + done
-                    wd_t = time_start + wd_step * dt
-            else:
-                state = run_chunk(step_fn, state, n_steps)
-            current = boundary
-            t_now = time_start + current * dt
+            t_wall0 = pytime.perf_counter()
+            current = start_step
+            for boundary in boundaries:
+                n_steps = boundary - current
+                if n_steps <= 0:
+                    continue
+                if step_timeout_s:
+                    done = 0
+                    while done < n_steps:
+                        s = min(wd_sub, n_steps - done)
+                        allow = 600.0 if s not in compiled_lengths else 30.0
+                        with _ChunkWatchdog(step_timeout_s * s + allow,
+                                            emergency_restart):
+                            state = run_chunk(step_fn, state, s)
+                            jax.block_until_ready(state.pos)
+                        compiled_lengths.add(s)
+                        done += s
+                        last_xv = fetch_xv(state)
+                        wd_step = current + done
+                        wd_t = time_start + wd_step * dt
+                else:
+                    state = run_chunk(step_fn, state, n_steps)
+                current = boundary
+                t_now = time_start + current * dt
 
-            due_snap = (snapshot_counter < len(snap_steps)
-                        and current >= snap_steps[snapshot_counter])
-            due_restart = (restart_interval and current % restart_interval == 0
-                           ) or current == total_steps
-            if due_snap or due_restart or debug_energy:
-                xv_host = fetch_xv(state)
-                last_xv = xv_host
-                if nan_check and not np.isfinite(xv_host).all():
-                    _save_restart(xv_host, t_now, current, output_path,
-                                  snapshot_counter, **restart_kwargs)
-                    raise FloatingPointError(
-                        f"Non-finite phase space at step {current}; restart "
-                        f"saved to {output_path}/restart.npz"
-                    )
-                while (snapshot_counter < len(snap_steps)
-                       and current >= snap_steps[snapshot_counter]):
-                    if save_snapshots:
-                        write_snapshot(xv_host, snapshot_counter, t_now)
-                    snapshot_counter += 1
-                if due_restart:
-                    _save_restart(xv_host, t_now, current, output_path,
-                                  snapshot_counter, **restart_kwargs)
-            if verbose:
-                elapsed = pytime.perf_counter() - t_wall0
-                done = current - start_step
-                rate = done / elapsed if elapsed > 0 else 0.0
-                line = (f"  step {current:>7}/{total_steps} | t={t_now:.4e} "
-                        f"| {rate:.1f} steps/s | "
-                        f"avg {1e3 * elapsed / max(done, 1):.1f} ms/step")
-                if debug_energy and e_ref:
-                    ke, pe = energy_fn(state)
-                    etot = float(ke) + float(pe)
-                    line += (f" | Q={float(ke) / abs(float(pe)):.3f} "
-                             f"dE/E={(etot - e_ref) / abs(e_ref):+.2e}")
-                print(line, flush=True)
+                due_snap = (snapshot_counter < len(snap_steps)
+                            and current >= snap_steps[snapshot_counter])
+                due_restart = (restart_interval and current % restart_interval == 0
+                               ) or current == total_steps
+                if due_snap or due_restart or debug_energy:
+                    # the watchdog path already fetched this exact state
+                    # after its final sub-chunk — skip the duplicate D2H
+                    # transfer (96 MB at 2M)
+                    xv_host = last_xv if step_timeout_s else fetch_xv(state)
+                    last_xv = xv_host
+                    if nan_check and not np.isfinite(xv_host).all():
+                        _save_restart(xv_host, t_now, current, output_path,
+                                      snapshot_counter, **restart_kwargs)
+                        raise FloatingPointError(
+                            f"Non-finite phase space at step {current}; restart "
+                            f"saved to {output_path}/restart.npz"
+                        )
+                    while (snapshot_counter < len(snap_steps)
+                           and current >= snap_steps[snapshot_counter]):
+                        if save_snapshots:
+                            write_snapshot(xv_host, snapshot_counter, t_now)
+                        snapshot_counter += 1
+                    if due_restart:
+                        _save_restart(xv_host, t_now, current, output_path,
+                                      snapshot_counter, **restart_kwargs)
+                if verbose:
+                    elapsed = pytime.perf_counter() - t_wall0
+                    done = current - start_step
+                    rate = done / elapsed if elapsed > 0 else 0.0
+                    line = (f"  step {current:>7}/{total_steps} | t={t_now:.4e} "
+                            f"| {rate:.1f} steps/s | "
+                            f"avg {1e3 * elapsed / max(done, 1):.1f} ms/step")
+                    if debug_energy and e_ref is not None:
+                        ke, pe = energy_fn(state)
+                        ke, pe = float(ke), float(pe)
+                        etot = ke + pe
+                        # pe == 0 (massless tracers in an external field) and
+                        # e_ref == 0 are legitimate states, not report errors
+                        q = f"{ke / abs(pe):.3f}" if pe else "inf"
+                        de = ((etot - e_ref) / abs(e_ref) if e_ref
+                              else etot - e_ref)
+                        line += f" | Q={q} dE/E={de:+.2e}"
+                    print(line, flush=True)
 
-        if profile_dir:
-            jax.profiler.stop_trace()
+        finally:
+            # a watchdog KeyboardInterrupt or NaN abort must still
+            # flush the trace — that failing run is the one being
+            # profiled
+            if profile_dir:
+                jax.profiler.stop_trace()
 
         xv_final = fetch_xv(state)
         if current != total_steps:
             # only when no boundary reached total_steps (e.g. resuming a
-            # finished run): the loop's own due_restart already wrote
-            # this payload otherwise — a duplicate compressed write of
-            # the full phase space at shutdown is not free at 2M
-            _save_restart(xv_final, t_now, total_steps, output_path,
+            # finished run, where boundaries is empty and the state never
+            # advanced): the loop's own due_restart already wrote this
+            # payload otherwise — a duplicate compressed write of the
+            # full phase space at shutdown is not free at 2M.  Save the
+            # ACTUAL step of the state (`current`), not total_steps: the
+            # state was never integrated to total_steps here, and a
+            # mislabelled restart would re-integrate on top of
+            # already-evolved phase space on the next continue_run
+            _save_restart(xv_final, t_now, current, output_path,
                           snapshot_counter, **restart_kwargs)
 
     if verbose:

@@ -44,6 +44,16 @@ def test_cli_bad_flag():
         cli_main(["--kernel", "bogus"])
 
 
+def test_cli_unknown_config_key_rejected(tmp_path, capsys):
+    """A typo'd config key must error out (matching run_simulation's
+    strict kwargs), not be silently dropped."""
+    cfg_path = tmp_path / "run.json"
+    cfg_path.write_text(json.dumps({"n": 32, "presicion": "float64"}))
+    with pytest.raises(SystemExit):
+        cli_main(["--config", str(cfg_path)])
+    assert "presicion" in capsys.readouterr().err
+
+
 def test_morton_sort_is_permutation_and_local(rng):
     pos = rng.normal(0, 1, (5000, 3))
     idx = morton_argsort(pos)

@@ -135,6 +135,77 @@ def test_restart_resume_matches_continuous(tmp_path):
                                rtol=1e-12, atol=1e-14)
 
 
+def test_legacy_restart_resume_preserves_snapshot_times(tmp_path):
+    """A reference-format restart.npz (no snapshot_counter field) must
+    not make the resume rewrite snapshot.times rows of already-written
+    snapshots (the counter is reconstructed from the resume step)."""
+    xv, m = small_plummer()
+    sp = [Species.dark(N=80, mass=float(m[0]), softening=SOFT)]
+    common = dict(architecture="cpu", verbose=False, precision="float64",
+                  snapshots=4, restart_interval=10)
+    run_simulation(xv, sp, 0.0, 40 * DT, DT, output_dir=str(tmp_path),
+                   **common)
+    times_before = (tmp_path / "snapshot.times").read_text().strip()
+    rows_before = times_before.splitlines()
+
+    # emulate the reference writing a mid-run restart at step 20: same
+    # fields (no snapshot_counter), same snapshot schedule on resume
+    with np.load(tmp_path / "restart.npz") as data:
+        legacy = {"phase_space": data["phase_space"],
+                  "time": np.float64(20 * DT), "step": np.int64(20)}
+    np.savez(tmp_path / "restart.npz", **legacy)
+
+    run_simulation(xv, sp, 0.0, 40 * DT, DT, output_dir=str(tmp_path),
+                   continue_run=True, **common)
+    rows_after = (tmp_path / "snapshot.times").read_text().strip().splitlines()
+    # rows for snapshots taken before step 20 must be byte-identical;
+    # with the old counter=0 fallback the catch-up loop rewrote them
+    # with late-time state
+    total_steps = 40
+    snap_steps = np.unique(np.round(
+        np.linspace(0, total_steps, 4)).astype(int))
+    n_keep = int(np.searchsorted(snap_steps, 20, "left"))
+    assert n_keep >= 1
+    assert rows_after[:n_keep] == rows_before[:n_keep]
+    assert len(rows_after) == len(rows_before)
+
+
+def test_debug_energy_zero_energy_states(tmp_path, capsys):
+    """pe == 0 (massless tracers in an external field) must not crash
+    the debug_energy progress report with a ZeroDivisionError."""
+    from nbody_streams_tpu.potentials import NFWPotential
+
+    xv, _ = small_plummer(n=16)
+    sp = [Species.dark(N=16, mass=0.0, softening=SOFT)]
+    run_simulation(
+        xv, sp, 0.0, 10 * DT, DT, architecture="cpu", verbose=True,
+        precision="float64", save_snapshots=False, debug_energy=True,
+        external_potential=NFWPotential(mass=1e4, scaleRadius=0.01),
+        output_dir=str(tmp_path),
+    )
+    out = capsys.readouterr().out
+    assert "dE/E" in out      # report ran, with guarded ratios
+
+
+def test_finished_run_resume_restart_label(tmp_path):
+    """Resuming past a shorter time_end must not relabel the restart
+    with the new (smaller) total step count: the saved step must match
+    the phase space actually stored."""
+    xv, m = small_plummer(n=20)
+    sp = [Species.dark(N=20, mass=float(m[0]), softening=SOFT)]
+    common = dict(architecture="cpu", verbose=False, precision="float64",
+                  save_snapshots=False, restart_interval=10)
+    run_simulation(xv, sp, 0.0, 20 * DT, DT, output_dir=str(tmp_path),
+                   **common)
+    res = run_simulation(xv, sp, 0.0, 10 * DT, DT,
+                         output_dir=str(tmp_path), continue_run=True,
+                         **common)
+    with np.load(tmp_path / "restart.npz") as data:
+        assert int(data["step"]) == 20       # not the new total of 10
+        np.testing.assert_allclose(data["phase_space"], res["dark"],
+                                   rtol=0, atol=0)
+
+
 def test_overwrite_guard(tmp_path):
     xv, m = small_plummer(n=20)
     sp = [Species.dark(N=20, mass=float(m[0]), softening=SOFT)]
