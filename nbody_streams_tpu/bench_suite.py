@@ -73,6 +73,27 @@ def main(argv=None):
             print(f"  {kernel:10s} {precision:14s} {dt*1e3:9.2f} ms "
                   f"{gint:8.1f} Gint/s")
 
+    # float64 rows (jnp oracle path — the Pallas kernel is fp32-only by
+    # design, matching the reference's fp64 fallback matrix rows,
+    # fields.py:1201-1796).  Two kernels bound the cost: f64 on the v5e
+    # is emulated and ~50-100x slower than fp32, so skip above 256k
+    # (an N=1M f64 eval would run tens of minutes).
+    if n <= 262144:
+        with jax.enable_x64():
+            for kernel in ("spline", "newtonian"):
+                solver = DirectGravity(m.astype(np.float64), soft,
+                                       kernel=kernel, precision="float64")
+                p0 = jnp.asarray(pos64, jnp.float64)
+                dt = _timeit_scan(lambda c, s=solver: s.accel(c), p0,
+                                  max(1, reps // 3))
+                gint = n * n / dt / 1e9
+                results[(kernel, "float64")] = gint
+                print(f"  {kernel:10s} {'float64':14s} {dt*1e3:9.2f} ms "
+                      f"{gint:8.1f} Gint/s")
+    else:
+        print("  (float64 rows skipped above N=262144: emulated f64 "
+              "would run tens of minutes per eval)")
+
     # ---- section 2: potential kernel ----------------------------------
     print("\nSECTION 2: potential (vs force) kernel")
     solver = DirectGravity(m, soft, kernel="spline",
