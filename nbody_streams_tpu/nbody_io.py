@@ -165,6 +165,7 @@ def _save_restart(
     softening_arr: np.ndarray | None = None,
     species_names: list[str] | None = None,
     species_N: list[int] | None = None,
+    filename: str = "restart.npz",
 ) -> None:
     """Atomic-ish restart checkpoint (write temp then replace)."""
     out = Path(output_dir)
@@ -186,10 +187,10 @@ def _save_restart(
     if species_N is not None:
         payload["species_N"] = np.array(species_N, dtype=np.int64)
 
-    tmp = out / "restart.npz.tmp"
+    tmp = out / (filename + ".tmp")
     with open(tmp, "wb") as fh:
         np.savez_compressed(fh, **payload)
-    tmp.replace(out / "restart.npz")
+    tmp.replace(out / filename)
 
 
 def _load_restart(output_dir):
@@ -292,6 +293,8 @@ def _extract_parallel(jobs, t, nk, start, stop, workers):
     from multiprocessing import shared_memory
 
     shape = (t, nk, 6)
+    if t == 0 or nk == 0:
+        return np.empty(shape, dtype=np.float64)  # nothing to read
     try:
         shm = shared_memory.SharedMemory(
             create=True, size=int(np.prod(shape)) * 8)

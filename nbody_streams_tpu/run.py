@@ -422,11 +422,19 @@ def run_nbody(
                     xv_host = last_xv if step_timeout_s else fetch_xv(state)
                     last_xv = xv_host
                     if nan_check and not np.isfinite(xv_host).all():
+                        # diagnostic payload goes to a SEPARATE file: the
+                        # last good restart.npz is the only recoverable
+                        # checkpoint and must survive the abort
                         _save_restart(xv_host, t_now, current, output_path,
-                                      snapshot_counter, **restart_kwargs)
+                                      snapshot_counter,
+                                      filename="restart_nanabort.npz",
+                                      **restart_kwargs)
                         raise FloatingPointError(
-                            f"Non-finite phase space at step {current}; restart "
-                            f"saved to {output_path}/restart.npz"
+                            f"Non-finite phase space at step {current}; "
+                            f"offending state saved to "
+                            f"{output_path}/restart_nanabort.npz (the last "
+                            f"good restart.npz is untouched — rerun with "
+                            f"continue_run=True to resume from it)"
                         )
                     while (snapshot_counter < len(snap_steps)
                            and current >= snap_steps[snapshot_counter]):

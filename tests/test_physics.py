@@ -400,6 +400,57 @@ def test_extract_orbits_process_pool_matches_serial(tmp_path):
     np.testing.assert_array_equal(parallel.snaps, serial.snaps)
 
 
+def test_extract_orbits_empty_selection_parallel(tmp_path):
+    """snap_indices=[] with a forced process pool must return an empty
+    (0, N, 6) array like the serial path, not crash on a zero-size
+    shared-memory segment (ValueError, not OSError)."""
+    xv, m = small_plummer(n=32)
+    sp = [Species.dark(N=32, mass=float(m[0]), softening=SOFT)]
+    run_simulation(xv, sp, 0.0, 10 * DT, DT, architecture="cpu",
+                   output_dir=str(tmp_path), snapshots=5,
+                   verbose=False, precision="float64")
+    reader = ParticleReader(str(tmp_path / "snapshot.h5"))
+    out = reader.extract_orbits("dark", max_workers=2, snap_indices=[])
+    assert out.posvel.shape == (0, 32, 6)
+
+
+def test_nan_abort_preserves_last_good_restart(tmp_path):
+    """A NaN abort must write the offending state to a SEPARATE
+    diagnostic file and leave the last good restart.npz untouched —
+    overwriting it would destroy the only recoverable checkpoint."""
+    from nbody_streams_tpu.potentials.base import Potential
+
+    class NaNBeyond(Potential):
+        """sqrt(x0 - x): finite (tiny) force inside x < x0, NaN beyond.
+        No `where`: grad through where would 0*nan-contaminate the
+        finite branch too."""
+
+        def __init__(self, x0):
+            self.x0 = x0
+
+        def phi_point(self, xyz, t):
+            import jax.numpy as jnp
+
+            return 1e-6 * jnp.sqrt(self.x0 - xyz[0])
+
+    # one massless tracer moving +x at v=1: crosses x0 between the
+    # step-10 restart and the step-20 boundary
+    xv = np.array([[0.0, 0.0, 0.0, 1.0, 0.0, 0.0]])
+    sp = [Species.dark(N=1, mass=0.0, softening=SOFT)]
+    with pytest.raises(FloatingPointError, match="nanabort"):
+        run_simulation(
+            xv, sp, 0.0, 20 * DT, DT, architecture="cpu", verbose=False,
+            precision="float64", save_snapshots=False, restart_interval=10,
+            external_potential=NaNBeyond(14.5 * DT),
+            output_dir=str(tmp_path))
+    with np.load(tmp_path / "restart.npz") as d:
+        assert int(d["step"]) == 10
+        assert np.isfinite(d["phase_space"]).all()
+    with np.load(tmp_path / "restart_nanabort.npz") as d:
+        assert int(d["step"]) > 10        # detected after the good restart
+        assert not np.isfinite(d["phase_space"]).all()
+
+
 def test_extract_orbits_ram_warning(tmp_path, monkeypatch):
     """ResourceWarning fires before a larger-than-threshold allocation
     (reference parity: nbody_io.py:632-640)."""
