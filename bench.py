@@ -51,8 +51,12 @@ def main():
     ke0, pe0 = energy(state)
     e0 = float(ke0) + float(pe0)
 
+    # slab-order reuse, exactly as the run_simulation driver does it
+    # (one argsort per chunk threaded through the scan carry)
+    presort = solver.spatial_sort_active
+
     # Warm up / compile the scanned chunk
-    state = run_chunk(step_fn, state, STEPS)
+    state = run_chunk(step_fn, state, STEPS, presort=presort)
     jax.device_get(state.pos)
 
     # best of 5 windows: the remote-device tunnel adds multi-ms jitter
@@ -60,7 +64,7 @@ def main():
     dt_step = float("inf")
     for _ in range(5):
         t0 = time.perf_counter()
-        state = run_chunk(step_fn, state, STEPS)
+        state = run_chunk(step_fn, state, STEPS, presort=presort)
         jax.device_get(state.pos)  # axon: block_until_ready may not block
         dt_step = min(dt_step, (time.perf_counter() - t0) / STEPS)
 

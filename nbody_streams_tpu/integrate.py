@@ -39,6 +39,17 @@ class IntegratorState(NamedTuple):
     ext_acc: jax.Array      # cached external-potential acceleration
     extra_state: Any        # ForceExtra threaded state (pytree or ())
     step: jax.Array         # int32 global step counter
+    # (N,) int32 slab order for the sorted Pallas path, refreshed once
+    # per scanned chunk (run_chunk presort=True); () when unused.  A
+    # stale order is exact by construction (see pallas_direct), so
+    # re-sorting per chunk instead of per step deletes the in-step
+    # argsort (~4.8 s/call at N = 2M on XLA's TPU sort).
+    sort_order: Any = ()
+
+
+def _carry_order(state: IntegratorState):
+    """The reusable slab order, or None when the carry doesn't hold one."""
+    return None if isinstance(state.sort_order, tuple) else state.sort_order
 
 
 class ForceExtra:
@@ -87,8 +98,9 @@ def make_accel_fn(
     """
     k = int(external_update_interval)
 
-    def accel(pos, vel, t, step, ext_acc, extra_state, refresh_ext=False):
-        acc = solver.accel(pos)
+    def accel(pos, vel, t, step, ext_acc, extra_state, refresh_ext=False,
+              order=None):
+        acc = solver.accel(pos, order=order)
         if external_potential is not None:
             def fresh(_):
                 return external_potential.force(pos, t).astype(acc.dtype)
@@ -145,29 +157,40 @@ def make_kdk_step(accel_fn, dt: float, t0: float, compensated: bool = True):
                         else jnp.float32) + step.astype(dtype) * h
 
         acc, ext_acc, extra_state = accel_fn(
-            pos, vel, t, step, state.ext_acc, state.extra_state
+            pos, vel, t, step, state.ext_acc, state.extra_state,
+            order=_carry_order(state)
         )
         vel, vel_c = (
             _comp_add(vel, vel_c, acc * half)
             if compensated else (vel + acc * half, vel_c)
         )
         return IntegratorState(pos, vel, pos_c, vel_c, acc, ext_acc,
-                               extra_state, step), None
+                               extra_state, step, state.sort_order), None
 
     return step_fn
 
 
-@functools.partial(jax.jit, static_argnames=("step_fn", "n_steps"),
+@functools.partial(jax.jit, static_argnames=("step_fn", "n_steps", "presort"),
                    donate_argnums=(1,))
-def run_chunk(step_fn, state: IntegratorState, n_steps: int):
-    """Scan ``n_steps`` KDK steps in one compiled program (donated state)."""
+def run_chunk(step_fn, state: IntegratorState, n_steps: int,
+              presort: bool = False):
+    """Scan ``n_steps`` KDK steps in one compiled program (donated state).
+
+    ``presort=True`` refreshes the carry's slab order from the current
+    positions before the scan — one argsort per chunk instead of one
+    per force call (pass it when the solver's ``spatial_sort_active``).
+    """
+    if presort:
+        from .ops.pallas_direct import slab_sort_key
+
+        state = state._replace(sort_order=slab_sort_key(state.pos))
     state, _ = lax.scan(step_fn, state, None, length=n_steps)
     return state
 
 
 def system_energy(state: IntegratorState, solver, mass):
     """(KE, PE) with PE = 0.5 sum m_i phi_i (self-gravity only)."""
-    phi = solver.potential(state.pos)
+    phi = solver.potential(state.pos, order=_carry_order(state))
     v2 = jnp.sum(state.vel * state.vel, axis=1)
     ke = 0.5 * jnp.sum(mass * v2)
     pe = 0.5 * jnp.sum(mass * phi)

@@ -119,9 +119,31 @@ class DirectGravity:
                 f"pos shape {pos.shape} does not match the solver's "
                 f"({self.n}, 3) particle population")
 
+    # -- spatial-sort order reuse --------------------------------------------
+    @property
+    def spatial_sort_active(self) -> bool:
+        """True when accel/potential take the slab-sorted Pallas path and
+        therefore accept a reusable ``order=`` (the integrator re-sorts
+        once per scanned chunk instead of per force call)."""
+        if self.impl != "pallas":
+            return False
+        from . import pallas_direct
+
+        return pallas_direct.uses_spatial_sort(self.kernel, self.n)
+
+    def sort_key(self, pos):
+        """The slab order accel/potential would compute internally."""
+        from . import pallas_direct
+
+        return pallas_direct.slab_sort_key(pos)
+
     # -- backend dispatch ---------------------------------------------------
-    def accel(self, pos):
-        """Softened gravitational acceleration, (N, 3) in solver dtype."""
+    def accel(self, pos, order=None):
+        """Softened gravitational acceleration, (N, 3) in solver dtype.
+
+        ``order`` optionally supplies a precomputed (possibly stale) slab
+        order for the sorted Pallas path — exact for any permutation;
+        ignored by the other backends."""
         self._check_pos(pos)
         pos = pos.astype(self.dtype)
         if self.impl == "pallas":
@@ -129,7 +151,7 @@ class DirectGravity:
 
             return pallas_direct.pallas_accel(
                 pos, self.mass, self.softening, self.G, self.kernel,
-                self.kahan, self.eps2,
+                self.kahan, self.eps2, order=order,
             )
         if self.impl == "sharded":
             return self._sharded.accel(pos)
@@ -138,7 +160,7 @@ class DirectGravity:
             self.kernel, self.kahan, self.block_size, "acc", self.eps2,
         )
 
-    def potential(self, pos):
+    def potential(self, pos, order=None):
         """Softened gravitational potential per particle, (N,)."""
         self._check_pos(pos)
         pos = pos.astype(self.dtype)
@@ -147,7 +169,7 @@ class DirectGravity:
 
             return pallas_direct.pallas_potential(
                 pos, self.mass, self.softening, self.G, self.kernel,
-                self.kahan, self.eps2,
+                self.kahan, self.eps2, order=order,
             )
         if self.impl == "sharded":
             return self._sharded.potential(pos)

@@ -526,7 +526,7 @@ MXU_BASE = True
 
 def _pallas_self_sorted(pos, gmass, soft, kind, kahan, mode, eps2,
                         interpret=False, tm=None, tn=None, max_sub=None,
-                        mxu=None):
+                        mxu=None, order=None):
     """Self-gravity via slab sort + the compact-support two-pass split.
 
     Pass 1 runs the cheap (~16-op) Newtonian kernel over all pairs,
@@ -545,8 +545,18 @@ def _pallas_self_sorted(pos, gmass, soft, kind, kahan, mode, eps2,
     splitting the *grid* can.  Measured single-chip: ~95 -> ~137 Gint/s
     at N = 64k (h = 0.05 Plummer), beating the reference's RTX 3080
     headline of 124 Gint/s (reference: fields.py:743-746).
+
+    ``order`` may supply a precomputed (possibly stale) slab order: the
+    integrator re-sorts once per scanned chunk instead of per force call
+    (XLA's TPU sort costs ~4.8 s at N = 2M — comparable to the force
+    kernel itself).  Any permutation is *exact* here: the band windows
+    are recomputed from the actual positions every call, so rows outside
+    the window are provably Newtonian (|dx| > max h) and a badly stale
+    order only widens ``max_width`` until the single-pass fallback
+    takes over — performance degrades, correctness never.
     """
-    order = jnp.argsort(pos[:, 0])
+    if order is None:
+        order = jnp.argsort(pos[:, 0])
     ps = pos[order]
     gs = gmass[order]
     hsoft = soft[order]
@@ -660,8 +670,22 @@ def pallas_potential_2set(pos_t, soft_t, pos_s, gmass_s, soft_s, kind, kahan,
     )
 
 
+def uses_spatial_sort(kind: str, n: int, spatial_sort=None) -> bool:
+    """Whether pallas_accel/potential will take the slab-sorted path
+    (the predicate the integrator uses to decide whether to thread a
+    reusable sort order through the scan carry)."""
+    if spatial_sort is None:
+        return kind == "spline" and n >= 16384
+    return bool(spatial_sort) and kind == "spline"
+
+
+def slab_sort_key(pos):
+    """The sort order the slab-sorted path uses (argsort along x)."""
+    return jnp.argsort(pos[:, 0])
+
+
 def pallas_accel(pos, mass, soft, G, kind, kahan, eps2=PAIRWISE_EPS2,
-                 interpret=False, spatial_sort=None):
+                 interpret=False, spatial_sort=None, order=None):
     """(N, 3) float32 self-gravity accelerations (single chip).
 
     ``spatial_sort`` (default: auto for the spline kernel at N >= 16384)
@@ -669,30 +693,27 @@ def pallas_accel(pos, mass, soft, G, kind, kahan, eps2=PAIRWISE_EPS2,
     pair is still computed exactly once with its exact kernel factor,
     but the summation order differs from the single-pass kernel, so
     results agree to fp32 round-off (not bitwise).  ~40% fewer VPU ops
-    on typical data.
+    on typical data.  ``order`` optionally supplies a precomputed slab
+    order (see _pallas_self_sorted — exact even when stale).
     """
     gmass = (mass * G).astype(jnp.float32)
     soft = soft.astype(jnp.float32)
     pos = pos.astype(jnp.float32)
-    if spatial_sort is None:
-        spatial_sort = kind == "spline" and pos.shape[0] >= 16384
-    if spatial_sort and kind == "spline":
+    if uses_spatial_sort(kind, pos.shape[0], spatial_sort):
         return _pallas_self_sorted(pos, gmass, soft, kind, kahan, "acc",
-                                   float(eps2), interpret)
+                                   float(eps2), interpret, order=order)
     return pallas_accel_2set(pos, soft, pos, gmass, soft, kind, kahan,
                              eps2, interpret)
 
 
 def pallas_potential(pos, mass, soft, G, kind, kahan, eps2=PAIRWISE_EPS2,
-                     interpret=False, spatial_sort=None):
+                     interpret=False, spatial_sort=None, order=None):
     """(N,) float32 self-gravity potential (self pair masked in-kernel)."""
     gmass = (mass * G).astype(jnp.float32)
     soft = soft.astype(jnp.float32)
     pos = pos.astype(jnp.float32)
-    if spatial_sort is None:
-        spatial_sort = kind == "spline" and pos.shape[0] >= 16384
-    if spatial_sort and kind == "spline":
+    if uses_spatial_sort(kind, pos.shape[0], spatial_sort):
         return _pallas_self_sorted(pos, gmass, soft, kind, kahan, "pot",
-                                   float(eps2), interpret)
+                                   float(eps2), interpret, order=order)
     return pallas_potential_2set(pos, soft, pos, gmass, soft, kind, kahan,
                                  eps2, interpret, mask_self=True)

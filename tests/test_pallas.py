@@ -108,6 +108,79 @@ def test_two_pass_sorted_matches_single_pass(cluster):
     assert d < 1e-6 * np.abs(np.asarray(ref)).max()
 
 
+def test_sorted_path_stale_order_is_exact(cluster):
+    """A precomputed slab order — fresh, stale (perturbed positions), or
+    adversarially shuffled — must give oracle-level results: the band
+    windows are recomputed from actual positions, so any permutation is
+    exact (wider windows or the single-pass fallback, never wrong)."""
+    from nbody_streams_tpu.ops.pallas_direct import _pallas_self_sorted
+
+    pos, mass, soft = cluster
+    gm = mass * 4.3e-6
+    rng = np.random.default_rng(11)
+    ref = np.asarray(_pallas_self_sorted(pos, gm, soft, "spline", True,
+                                         "acc", 1e-15,
+                                         interpret=INTERPRET), np.float64)
+    scale = np.abs(ref).max()
+
+    # stale: the order of slightly-perturbed past positions
+    past = pos + jnp.asarray(rng.normal(0, 0.02, pos.shape), jnp.float32)
+    stale = jnp.argsort(past[:, 0])
+    # adversarial: a completely random permutation
+    shuf = jnp.asarray(rng.permutation(pos.shape[0]), jnp.int32)
+    for order in (jnp.argsort(pos[:, 0]), stale, shuf):
+        out = np.asarray(_pallas_self_sorted(
+            pos, gm, soft, "spline", True, "acc", 1e-15,
+            interpret=INTERPRET, order=order), np.float64)
+        assert np.abs(out - ref).max() < 2e-6 * scale
+
+
+def test_run_chunk_presort_matches_per_call_sort():
+    """run_chunk(presort=True) — one slab sort per chunk threaded
+    through the scan carry — must integrate to the same state as the
+    per-force-call sort (fp32 summation-reorder level)."""
+    import jax
+
+    from nbody_streams_tpu.integrate import (
+        init_state,
+        make_accel_fn,
+        make_kdk_step,
+        run_chunk,
+    )
+    from nbody_streams_tpu.ops.dispatch import DirectGravity
+
+    rng = np.random.default_rng(3)
+    n = 256
+    pos = rng.normal(0, 1, (n, 3))
+    vel = rng.normal(0, 0.1, (n, 3))
+    mass = np.full(n, 1e9 / n)
+
+    class SortedPallas(DirectGravity):
+        """Force the sorted interpret-mode path at small N."""
+
+        def accel(self, pos, order=None):
+            from nbody_streams_tpu.ops import pallas_direct
+
+            return pallas_direct.pallas_accel(
+                pos.astype(self.dtype), self.mass, self.softening, self.G,
+                self.kernel, self.kahan, self.eps2, interpret=True,
+                spatial_sort=True, order=order)
+
+    solver = SortedPallas(mass, np.full(n, 0.05), impl="jnp")
+    accel_fn = make_accel_fn(solver, solver.mass)
+    step_fn = make_kdk_step(accel_fn, 2e-5, 0.0)
+    s0 = init_state(pos, vel, accel_fn, solver.mass, 0.0)
+
+    # run_chunk donates its state: deep-copy for the first call
+    fresh = run_chunk(step_fn, jax.tree.map(jnp.copy, s0), 8)
+    pre = run_chunk(step_fn, s0, 8, presort=True)
+    scale = np.abs(np.asarray(fresh.pos)).max()
+    assert np.abs(np.asarray(pre.pos) - np.asarray(fresh.pos)).max() \
+        < 1e-6 * scale
+    assert np.abs(np.asarray(pre.vel) - np.asarray(fresh.vel)).max() \
+        < 1e-6 * np.abs(np.asarray(fresh.vel)).max()
+
+
 @pytest.mark.parametrize("center", [(0.0, 0.0, 0.0), (120.0, -80.0, 40.0)])
 def test_mxu_moment_base_pass_matches(center):
     """MXU moment rewrite of the two-pass base kernel (S @ [xs ys zs 1]
