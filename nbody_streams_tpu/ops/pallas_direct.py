@@ -214,6 +214,15 @@ def _tile_sum(kind, mode, mask_self, eps2, tm, tn, n_sub,
         jglob = (jb * (n_sub * tn) + k * tn
                  + _lax.broadcasted_iota(jnp.int32, (1, tn), 1))
         s = jnp.where(iglob == jglob, 0.0, s)
+    if mxu:
+        # phi_i = sum_j s_ij is a plain row sum = S @ 1: run it on the
+        # (otherwise idle) MXU instead of VPU cross-lane reductions —
+        # same trick as the acc moments, but with a single moment and
+        # no finalisation (and no centring: no coordinate products, so
+        # no cancellation to bound)
+        return jax.lax.dot_general(
+            s, jnp.ones_like(xs), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)               # (tm, 1)
     return jnp.sum(s, axis=1, keepdims=True)
 
 
@@ -563,8 +572,8 @@ def _pallas_self_sorted(pos, gmass, soft, kind, kahan, mode, eps2,
     hinv = _soft_pre("spline", hsoft)
     mask_self = mode == "pot"
     if mxu is None:
-        mxu = MXU_BASE and mode == "acc" and not interpret
-    if mxu:
+        mxu = MXU_BASE and not interpret
+    if mxu and mode == "acc":
         # centre the coordinates: the MXU moment rewrite subtracts two
         # large sums (S@xs vs x_t*(S@1)), with cancellation error
         # ~ eps * |x| * sum(s).  Acceleration is translation invariant,
@@ -602,7 +611,7 @@ def _pallas_self_sorted(pos, gmass, soft, kind, kahan, mode, eps2,
                                   max_sub=max_sub, interpret=interpret,
                                   mask_self=mask_self,
                                   skip_band=nb, band_start=start,
-                                  mxu=mxu and mode == "acc")
+                                  mxu=mxu)
             band = _pallas_band_correction(p, gs, hinv, start, mode,
                                            eps2, tm, tn, nb,
                                            interpret=interpret,

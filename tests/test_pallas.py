@@ -209,6 +209,37 @@ def test_mxu_moment_base_pass_matches(center):
     np.testing.assert_allclose(mx, ref, atol=3e-6 * scale)
 
 
+def test_mxu_potential_row_sum_matches():
+    """MXU row-sum rewrite of the potential mode (phi = S @ 1 on the
+    systolic array, in-kernel self mask applied before the contraction)
+    vs the VPU lane-reduction path, through the full sorted two-pass
+    split and against the jnp oracle."""
+    from nbody_streams_tpu.ops.pallas_direct import _pallas_self_sorted
+
+    rng = np.random.default_rng(17)
+    n = 6000
+    pos = jnp.asarray(rng.normal(0, 1.0, (n, 3)), jnp.float32)
+    mass = rng.uniform(0.5, 1.5, n).astype(np.float32)
+    gm = jnp.asarray(mass * 4.3e-6)
+    soft = jnp.full((n,), 0.05, jnp.float32)
+    kw = dict(interpret=INTERPRET, tm=64, tn=128, max_sub=4)
+    ref = np.asarray(_pallas_self_sorted(pos, gm, soft, "spline", True,
+                                         "pot", 1e-15, mxu=False, **kw),
+                     np.float64)
+    mx = np.asarray(_pallas_self_sorted(pos, gm, soft, "spline", True,
+                                        "pot", 1e-15, mxu=True, **kw),
+                    np.float64)
+    assert not np.array_equal(ref, mx)  # the rewrite actually ran
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(mx, ref, atol=3e-6 * scale)
+    # absolute anchor: the fp64 jnp oracle (self pair excluded)
+    orc = np.asarray(compute_potential_direct(
+        np.asarray(pos, np.float64), mass.astype(np.float64),
+        np.full(n, 0.05), G=4.3e-6, kernel="spline", precision="float64"),
+        np.float64)
+    np.testing.assert_allclose(mx, orc, atol=3e-6 * np.abs(orc).max())
+
+
 def test_mxu_2set_matches_vpu():
     """pallas_accel_2set(mxu=True) vs the VPU 2-set path: the sharded
     ring's far-branch kernel (disjoint blocks) plus the self-block case
