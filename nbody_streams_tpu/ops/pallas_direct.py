@@ -405,7 +405,8 @@ def _call_kernel(kernel, n_i, n_jb, t_spec, s_spec, tm, width, nt_pad,
 
 def _band_kernel(start_ref, xt_ref, yt_ref, zt_ref, ht_ref,
                  xs_ref, ys_ref, zs_ref, ms_ref, hs_ref, out_ref,
-                 comp_ref, *, eps2, tm, tn, mode, mask_self, kahan):
+                 comp_ref, *, eps2, tm, tn, mode, mask_self, kahan,
+                 mxu=False):
     """Full spline evaluation over each target tile's banded source
     window [start[i], start[i] + n_band) — the rows the Newtonian base
     pass zeroed out.  Each pair is evaluated exactly once across the
@@ -445,6 +446,10 @@ def _band_kernel(start_ref, xt_ref, yt_ref, zt_ref, ht_ref,
     r2 = dx * dx + (dy * dy + (dz * dz + eps2))
     pre = jnp.minimum(ht, hs)
     if mode == "acc":
+        # stays on the VPU deliberately: the band holds the NEAR pairs,
+        # where the moment form's s*x vs x_t*s cancellation is maximal
+        # (|x|/|dx| ~ 100) — measured 30x accuracy loss when tried.
+        # The s*dx products have no cancellation.
         s = gms * _force_pre("spline", r2, pre)
         ax = jnp.sum(s * dx, axis=1, keepdims=True)
         ay = jnp.sum(s * dy, axis=1, keepdims=True)
@@ -460,20 +465,27 @@ def _band_kernel(start_ref, xt_ref, yt_ref, zt_ref, ht_ref,
             jglob = jrow * tn + _lax.broadcasted_iota(jnp.int32, (1, tn),
                                                       1)
             s = jnp.where(iglob == jglob, 0.0, s)
-        _accum(jnp.sum(s, axis=1, keepdims=True))
+        if mxu:
+            _accum(jax.lax.dot_general(
+                s, jnp.ones_like(xs), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32))          # (tm, 1)
+        else:
+            _accum(jnp.sum(s, axis=1, keepdims=True))
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("mode", "eps2", "tm", "tn", "n_band", "interpret",
-                     "mask_self", "kahan"),
+                     "mask_self", "kahan", "mxu"),
 )
 def _pallas_band_correction(pos, gmass, hinv, start, mode, eps2,
                             tm, tn, n_band, interpret=False,
-                            mask_self=False, kahan=False):
+                            mask_self=False, kahan=False, mxu=False):
     """Banded (N x n_band*tn) spline-correction pass; ``start`` gives
     each target tile's first source row (scalar-prefetched into the
-    BlockSpec index maps)."""
+    BlockSpec index maps).  ``mxu`` moves the pot row sum onto the MXU
+    (acc stays VPU: the band's near pairs have maximal moment
+    cancellation — see _band_kernel)."""
     nt = pos.shape[0]
     nt_pad = -(-nt // tm) * tm
     ns_pad = -(-nt // tn) * tn
@@ -496,7 +508,7 @@ def _pallas_band_correction(pos, gmass, hinv, start, mode, eps2,
     width = 3 if mode == "acc" else 1
     kernel = functools.partial(
         _band_kernel, eps2=eps2, tm=tm, tn=tn, mode=mode,
-        mask_self=mask_self, kahan=kahan,
+        mask_self=mask_self, kahan=kahan, mxu=mxu and mode == "pot",
     )
     t_spec = pl.BlockSpec((tm, 1), lambda i, b, s_ref: (i, 0),
                           memory_space=pltpu.VMEM)
@@ -616,7 +628,7 @@ def _pallas_self_sorted(pos, gmass, soft, kind, kahan, mode, eps2,
                                            eps2, tm, tn, nb,
                                            interpret=interpret,
                                            mask_self=mask_self,
-                                           kahan=kahan)
+                                           kahan=kahan, mxu=mxu)
             return base + band
 
         return fast

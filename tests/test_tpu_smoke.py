@@ -115,6 +115,44 @@ def test_tree_shim_on_chip(tpu_device, plummer_small):
                                rtol=1e-6, atol=1e-8)
 
 
+def test_sorted_presort_path_on_chip(tpu_device):
+    """The slab-sorted two-pass split with a chunk-reused sort order —
+    the flagship large-N configuration (sorted Pallas + MXU moments +
+    carry-threaded order) — compiled and stepped on the real chip.
+    N = 16384 is the smallest N that takes the sorted path."""
+    import jax
+    import jax.numpy as jnp
+
+    from nbody_streams_tpu import make_plummer_sphere
+    from nbody_streams_tpu.integrate import (
+        init_state,
+        make_accel_fn,
+        make_kdk_step,
+        run_chunk,
+    )
+    from nbody_streams_tpu.ops.dispatch import DirectGravity
+
+    n = 16384
+    xv, m = make_plummer_sphere(n, M_total=1e9, a=1.0, seed=4)
+    solver = DirectGravity(m, np.full(n, 0.05), impl="pallas")
+    assert solver.spatial_sort_active
+    accel_fn = make_accel_fn(solver, solver.mass)
+    step_fn = make_kdk_step(accel_fn, 2e-5, 0.0)
+    state = init_state(xv[:, :3], xv[:, 3:], accel_fn, solver.mass, 0.0)
+    state = run_chunk(step_fn, state, 5, presort=True)
+    pos = np.asarray(jax.device_get(state.pos))
+    assert np.all(np.isfinite(pos))
+    # carried order is a real permutation of 0..n-1
+    order = np.asarray(jax.device_get(state.sort_order))
+    assert np.array_equal(np.sort(order), np.arange(n))
+    # MXU potential row-sum path on hardware, against the jnp oracle
+    phi = np.asarray(solver.potential(state.pos,
+                                      order=jnp.asarray(order)))
+    oracle = DirectGravity(m, np.full(n, 0.05), impl="jnp")
+    phi_o = np.asarray(oracle.potential(state.pos))
+    np.testing.assert_allclose(phi, phi_o, atol=3e-6 * np.abs(phi_o).max())
+
+
 def test_sharded_on_one_device_tpu_mesh(tpu_device, plummer_small):
     """impl='sharded' on a 1-device TPU mesh: the Pallas ring branch
     (use_pallas auto-True) under shard_map on the real chip, against the
