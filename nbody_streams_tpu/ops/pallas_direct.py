@@ -672,7 +672,7 @@ def pallas_accel_2set(pos_t, soft_t, pos_s, gmass_s, soft_s, kind, kahan,
 
 def pallas_potential_2set(pos_t, soft_t, pos_s, gmass_s, soft_s, kind, kahan,
                           eps2=PAIRWISE_EPS2, interpret=False,
-                          mask_self=False):
+                          mask_self=False, mxu=False):
     """Potential of targets due to sources.
 
     ``mask_self=True`` excludes pairs at identical global row index — use
@@ -682,12 +682,16 @@ def pallas_potential_2set(pos_t, soft_t, pos_s, gmass_s, soft_s, kind, kahan,
     self term is -G m / sqrt(eps2) ~ 1e7 x the physical potential in
     fp32), so the exclusion happens in-kernel at zero cost off the
     diagonal tiles' hot path.
+
+    ``mxu=True`` runs the row sum phi = S @ 1 on the MXU (no centring or
+    finalisation needed — no coordinate products, so no cancellation;
+    the self mask applies before the contraction).
     """
     return _pallas_direct(
         pos_t.astype(jnp.float32), soft_t.astype(jnp.float32),
         pos_s.astype(jnp.float32), gmass_s.astype(jnp.float32),
         soft_s.astype(jnp.float32), kind, kahan, "pot", float(eps2),
-        interpret=interpret, mask_self=mask_self,
+        interpret=interpret, mask_self=mask_self, mxu=mxu,
     )
 
 

@@ -218,10 +218,10 @@ class ShardedDirect:
                     r == 0,
                     lambda a: pallas_direct.pallas_potential_2set(
                         pos_l, h_l, a[0], a[1], a[2], kind, kahan, eps2,
-                        interpret=interp, mask_self=True),
+                        interpret=interp, mask_self=True, mxu=self.mxu),
                     lambda a: pallas_direct.pallas_potential_2set(
                         pos_l, h_l, a[0], a[1], a[2], kind, kahan, eps2,
-                        interpret=interp, mask_self=False),
+                        interpret=interp, mask_self=False, mxu=self.mxu),
                     (ps, ms, hs),
                 )
             # jnp path: exact self-handling via global indices
