@@ -351,8 +351,13 @@ def run_nbody(
                 write_snapshot(fetch_xv(state), snapshot_counter, t_now)
             snapshot_counter += 1
 
-        # Event boundaries: snapshot steps + restart multiples
-        events = set(snap_steps[snap_steps > start_step].tolist())
+        # Event boundaries: snapshot steps + restart multiples.  When
+        # snapshots are off, their schedule must NOT break the scan into
+        # small chunks: every boundary costs a dispatch, a D2H fetch and
+        # a chunk presort (a 1M run with the default 100-snapshot
+        # schedule was paying these every 10 steps instead of every 50)
+        events = (set(snap_steps[snap_steps > start_step].tolist())
+                  if save_snapshots else set())
         if restart_interval and restart_interval > 0:
             events.update(
                 range(
