@@ -68,14 +68,16 @@ def run_gate2m(n=2_097_152, steps=100):
     xv, masses = make_plummer_sphere(n, M_total=1e9, a=1.0, seed=1)
     species = [Species.dark(N=n, mass=float(masses[0]), softening=0.05)]
     dt = 2e-5
-    # identical-config warm-up run: the chunk lengths (and hence the
-    # compiled executables) depend on the snapshot/restart schedule, so
-    # only an identical run guarantees the timed one hits the
-    # persistent compilation cache instead of timing remote compiles
+    # warm-up run with the same *chunk lengths* as the timed run: with
+    # snapshots=3 + restart_interval=50 over 100 steps every boundary
+    # chunk is 50 steps, so a 50-step run (snapshots=2 -> schedule
+    # {0, 50}) compiles exactly the executables the timed run reuses
+    # from the persistent cache — half the warm-up cost of an identical
+    # replay
     run_simulation(
-        xv, species, 0.0, steps * dt, dt,
+        xv, species, 0.0, (steps // 2) * dt, dt,
         architecture="tpu", method="direct",
-        snapshots=3, restart_interval=50, debug_energy=True,
+        snapshots=2, restart_interval=50, debug_energy=True,
         verbose=True, overwrite=True,
         output_dir=str(out_dir) + "_warmup",
     )

@@ -609,10 +609,25 @@ def _pallas_self_sorted(pos, gmass, soft, kind, kahan, mode, eps2,
     t_lo, t_hi = x_t.min(axis=1), x_t.max(axis=1)
     s_lo, s_hi = x_s.min(axis=1), x_s.max(axis=1)
     h_max = jnp.max(hsoft)
-    j_lo = jnp.sum(s_hi[None, :] < (t_lo - h_max)[:, None], axis=1)
-    j_hi = rows - 1 - jnp.sum(s_lo[None, :] > (t_hi + h_max)[:, None],
-                              axis=1)
-    max_width = jnp.max(j_hi - j_lo + 1)
+    # order-independent window: [first, last] index of rows NOT provably
+    # far (a row is far iff its whole x-span is > h_max outside the
+    # tile's).  Counting "entirely below" rows instead (the previous
+    # form) is only equivalent when row spans are monotone — true for a
+    # fresh sort, not for a stale one once a particle crosses slabs.
+    # (Empirically the self-gravity case was still protected: a slab
+    # crosser inflates its own TARGET tile's span, pushing max_width
+    # over nb and forcing the fallback — but that is a coincidence of
+    # targets == sources, not a provable invariant.)  With first/last
+    # the window provably covers every near row whenever
+    # max_width <= nb, for ANY permutation; otherwise the exact
+    # single-pass fallback takes over.  O(n_i * rows) — negligible.
+    far = jnp.logical_or(s_hi[None, :] < (t_lo - h_max)[:, None],
+                         s_lo[None, :] > (t_hi + h_max)[:, None])
+    ridx = jnp.arange(rows, dtype=jnp.int32)[None, :]
+    first = jnp.min(jnp.where(far, rows, ridx), axis=1)
+    last = jnp.max(jnp.where(far, -1, ridx), axis=1)
+    j_lo = first
+    max_width = jnp.max(last - first + 1)
 
     def fast_with(nb):
         start = jnp.clip(j_lo, 0, rows - nb)

@@ -108,19 +108,24 @@ def test_two_pass_sorted_matches_single_pass(cluster):
     assert d < 1e-6 * np.abs(np.asarray(ref)).max()
 
 
-def test_sorted_path_stale_order_is_exact(cluster):
+def test_sorted_path_stale_order_is_exact():
     """A precomputed slab order — fresh, stale (perturbed positions), or
     adversarially shuffled — must give oracle-level results: the band
     windows are recomputed from actual positions, so any permutation is
     exact (wider windows or the single-pass fallback, never wrong)."""
     from nbody_streams_tpu.ops.pallas_direct import _pallas_self_sorted
 
-    pos, mass, soft = cluster
-    gm = mass * 4.3e-6
     rng = np.random.default_rng(11)
+    n = 6000
+    pos = jnp.asarray(rng.normal(0, 1.0, (n, 3)), jnp.float32)
+    gm = jnp.asarray(rng.uniform(0.5, 1.5, n) * 4.3e-6, jnp.float32)
+    soft = jnp.full((n,), 0.05, jnp.float32)
+    # small tiles so the band window (12 rows) is a strict subset of the
+    # 47 source rows — with the default geometry this N degenerates to
+    # band == all rows and window placement is untestable
+    kw = dict(interpret=INTERPRET, tm=64, tn=128, max_sub=4)
     ref = np.asarray(_pallas_self_sorted(pos, gm, soft, "spline", True,
-                                         "acc", 1e-15,
-                                         interpret=INTERPRET), np.float64)
+                                         "acc", 1e-15, **kw), np.float64)
     scale = np.abs(ref).max()
 
     # stale: the order of slightly-perturbed past positions
@@ -128,11 +133,32 @@ def test_sorted_path_stale_order_is_exact(cluster):
     stale = jnp.argsort(past[:, 0])
     # adversarial: a completely random permutation
     shuf = jnp.asarray(rng.permutation(pos.shape[0]), jnp.int32)
-    for order in (jnp.argsort(pos[:, 0]), stale, shuf):
+    # drifter: order is fresh EXCEPT one particle crossed the whole
+    # system since the sort.  This breaks row-span monotonicity — the
+    # count-based window construction silently dropped the drifter's
+    # row from other tiles' bands (wrong near forces, no fallback); the
+    # first/last construction must stay exact.
+    drift_pos = np.asarray(pos).copy()
+    lo = int(np.argmin(drift_pos[:, 0]))
+    hi = int(np.argmax(drift_pos[:, 0]))
+    # land INSIDE the spline support of the x-max particle (3-D offset
+    # 0.017 << h = 0.05): its pair force is dominated by the kernel
+    # factor, so a Newtonian misclassification is large and visible
+    drift_pos[lo] = drift_pos[hi] + np.array([0.012, 0.012, 0.0])
+    drift_pos = jnp.asarray(drift_pos)
+    drift_order = jnp.argsort(pos[:, 0])              # stale: pre-drift
+    ref_drift = np.asarray(_pallas_self_sorted(
+        drift_pos, gm, soft, "spline", True, "acc", 1e-15, **kw),
+        np.float64)
+
+    for p, order, r in ((pos, jnp.argsort(pos[:, 0]), ref),
+                        (pos, stale, ref),
+                        (pos, shuf, ref),
+                        (drift_pos, drift_order, ref_drift)):
         out = np.asarray(_pallas_self_sorted(
-            pos, gm, soft, "spline", True, "acc", 1e-15,
-            interpret=INTERPRET, order=order), np.float64)
-        assert np.abs(out - ref).max() < 2e-6 * scale
+            p, gm, soft, "spline", True, "acc", 1e-15, order=order,
+            **kw), np.float64)
+        assert np.abs(out - r).max() < 2e-6 * np.abs(r).max()
 
 
 def test_run_chunk_presort_matches_per_call_sort():
