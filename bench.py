@@ -45,15 +45,16 @@ def main():
                            precision="float32_kahan", impl="auto")
     accel_fn = make_accel_fn(solver, solver.mass)
     step_fn = make_kdk_step(accel_fn, dt=DT, t0=0.0)
-    state = init_state(xv[:, :3], xv[:, 3:], accel_fn, solver.mass, 0.0)
+    # slab-order reuse, exactly as the run_simulation driver does it:
+    # materialised at init (stable carry structure -> one executable per
+    # chunk length), refreshed once per chunk below
+    presort = solver.spatial_sort_active
+    state = init_state(xv[:, :3], xv[:, 3:], accel_fn, solver.mass, 0.0,
+                       sort_fn=solver.sort_key if presort else None)
 
     energy = jax.jit(lambda s: system_energy(s, solver, solver.mass))
     ke0, pe0 = energy(state)
     e0 = float(ke0) + float(pe0)
-
-    # slab-order reuse, exactly as the run_simulation driver does it
-    # (one argsort per chunk threaded through the scan carry)
-    presort = solver.spatial_sort_active
 
     # Warm up / compile the scanned chunk
     state = run_chunk(step_fn, state, STEPS, presort=presort)

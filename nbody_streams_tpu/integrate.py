@@ -120,8 +120,10 @@ def make_accel_fn(
         if force_extra is not None:
             # phi-aware terms (e.g. DF bound-centre tracking) get the
             # self-gravity potential — one extra O(N^2) pass per step,
-            # matching the reference's direct-path cost trade-off
-            phi = (solver.potential(pos)
+            # matching the reference's direct-path cost trade-off.  The
+            # carried slab order is reused (a per-step argsort here
+            # would silently re-pay exactly the cost presort removes)
+            phi = (solver.potential(pos, order=order)
                    if getattr(force_extra, "needs_phi", False) else None)
             extra, extra_state = force_extra(
                 extra_state, pos, vel, mass, t, phi=phi, step=step
@@ -207,6 +209,7 @@ def init_state(
     dt: float = 0.0,
     dtype=jnp.float32,
     force_extra: ForceExtra | None = None,
+    sort_fn=None,
 ) -> IntegratorState:
     """Build the initial device state, including the first force evaluation.
 
@@ -214,10 +217,18 @@ def init_state(
     and the force_extra state are evaluated at the resume time
     ``t0 + start_step*dt``, not at ``t0`` — time-dependent external
     potentials would otherwise see the wrong epoch for the first kick.
+
+    Pass ``sort_fn`` (e.g. ``solver.sort_key``) whenever the chunks will
+    run with ``presort=True``: it materialises ``sort_order`` in the
+    carry from the start, so the carry PYTREE STRUCTURE never changes
+    between the first and later chunks — a () -> array flip would
+    silently double every compiled executable (run_chunk, energy fns)
+    on this platform's expensive remote-compile path.
     """
     pos = jnp.asarray(pos, dtype)
     vel = jnp.asarray(vel, dtype)
     zeros = jnp.zeros_like(pos)
+    sort_order = sort_fn(pos) if sort_fn is not None else ()
     t = jnp.asarray(t0 + start_step * dt, dtype)
     extra_state = (
         force_extra.init_state(pos, vel, mass, t)
@@ -225,13 +236,14 @@ def init_state(
     )
     step = jnp.asarray(start_step, jnp.int32)
     acc, ext_acc, extra_state = jax.jit(
-        lambda p, v, s, es: _init_accel(
-            accel_fn, p, v, t, s, zeros, es
+        lambda p, v, s, es, o: _init_accel(
+            accel_fn, p, v, t, s, zeros, es, o
         )
-    )(pos, vel, step, extra_state)
+    )(pos, vel, step, extra_state, sort_order)
     return IntegratorState(pos, vel, zeros, jnp.zeros_like(vel), acc,
-                           ext_acc, extra_state, step)
+                           ext_acc, extra_state, step, sort_order)
 
 
-def _init_accel(accel_fn, pos, vel, t, step, ext0, extra_state):
-    return accel_fn(pos, vel, t, step, ext0, extra_state, refresh_ext=True)
+def _init_accel(accel_fn, pos, vel, t, step, ext0, extra_state, order=()):
+    return accel_fn(pos, vel, t, step, ext0, extra_state, refresh_ext=True,
+                    order=None if isinstance(order, tuple) else order)

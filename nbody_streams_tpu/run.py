@@ -312,13 +312,18 @@ def run_nbody(
         step_fn = make_kdk_step(accel_fn, dt, time_start,
                                 compensated=(precision == "float32_kahan"))
 
+        # slab-order reuse: re-sort once per scanned chunk, not per force
+        # call (XLA's TPU argsort costs ~4.8 s at N = 2M).  The order is
+        # materialised in the INITIAL carry so its pytree structure never
+        # changes — a () -> array flip after the first chunk would
+        # silently double every compiled executable (chunks, energy fn,
+        # watchdog allowances) through the remote-compile path
+        presort = solver.spatial_sort_active
         state = init_state(
             xv[:, :3], xv[:, 3:], accel_fn, mass_dev, time_start,
             start_step=start_step, dt=dt, dtype=state_dtype, force_extra=fx,
+            sort_fn=solver.sort_key if presort else None,
         )
-        # slab-order reuse: re-sort once per scanned chunk, not per force
-        # call (XLA's TPU argsort costs ~4.8 s at N = 2M)
-        presort = solver.spatial_sort_active
 
         e_ref = None
         energy_fn = None
@@ -355,9 +360,16 @@ def run_nbody(
         # snapshots are off, their schedule must NOT break the scan into
         # small chunks: every boundary costs a dispatch, a D2H fetch and
         # a chunk presort (a 1M run with the default 100-snapshot
-        # schedule was paying these every 10 steps instead of every 50)
-        events = (set(snap_steps[snap_steps > start_step].tolist())
-                  if save_snapshots else set())
+        # schedule was paying these every 10 steps instead of every 50).
+        # But the NaN gate lives at boundaries too, so keep a bounded
+        # check cadence (<= 250 steps) — a run that blows up must not
+        # burn the remaining thousands of steps before aborting
+        if save_snapshots:
+            events = set(snap_steps[snap_steps > start_step].tolist())
+        elif nan_check:
+            events = set(range(start_step + 250, total_steps, 250))
+        else:
+            events = set()
         if restart_interval and restart_interval > 0:
             events.update(
                 range(
@@ -425,7 +437,9 @@ def run_nbody(
                             and current >= snap_steps[snapshot_counter])
                 due_restart = (restart_interval and current % restart_interval == 0
                                ) or current == total_steps
-                if due_snap or due_restart or debug_energy:
+                # snapshots-off boundaries exist only as NaN-gate checks
+                due_check = nan_check and not save_snapshots
+                if due_snap or due_restart or debug_energy or due_check:
                     # the watchdog path already fetched this exact state
                     # after its final sub-chunk — skip the duplicate D2H
                     # transfer (96 MB at 2M)

@@ -199,7 +199,17 @@ def test_run_chunk_presort_matches_per_call_sort():
 
     # run_chunk donates its state: deep-copy for the first call
     fresh = run_chunk(step_fn, jax.tree.map(jnp.copy, s0), 8)
-    pre = run_chunk(step_fn, s0, 8, presort=True)
+
+    # materialised-at-init order: the carry pytree structure must be
+    # IDENTICAL before and after a presorted chunk — a () -> array flip
+    # would double every compiled executable on the remote-compile path
+    s1 = init_state(pos, vel, accel_fn, solver.mass, 0.0,
+                    sort_fn=solver.sort_key)
+    struct_before = jax.tree.structure(s1)
+    pre = run_chunk(step_fn, s1, 8, presort=True)
+    assert jax.tree.structure(pre) == struct_before
+    order = np.asarray(pre.sort_order)
+    assert np.array_equal(np.sort(order), np.arange(n))
     scale = np.abs(np.asarray(fresh.pos)).max()
     assert np.abs(np.asarray(pre.pos) - np.asarray(fresh.pos)).max() \
         < 1e-6 * scale
