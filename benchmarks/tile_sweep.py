@@ -44,6 +44,11 @@ def sweep(n, iters, geoms):
     gm = jnp.asarray(rng.uniform(0.5, 1.5, n) * 4.3e-6, jnp.float32)
     h = jnp.full((n,), 0.05, jnp.float32)
 
+    # precomputed slab order: stepping amortises the argsort across the
+    # chunk (run_chunk presort), so the geometry sweep must measure the
+    # kernel alone — a per-call sort would flatten geometry differences
+    order = jnp.argsort(pos[:, 0])
+
     results = {}
     for tm, tn, ms in geoms:
         @jax.jit
@@ -51,7 +56,8 @@ def sweep(n, iters, geoms):
             def body(c, _):
                 a = pd._pallas_self_sorted(p + c, gm, h, "spline", True,
                                            "acc", 1e-15,
-                                           tm=_tm, tn=_tn, max_sub=_ms)
+                                           tm=_tm, tn=_tn, max_sub=_ms,
+                                           order=order)
                 return c + a[0, 0] * 1e-30, None
 
             c, _ = jax.lax.scan(body, jnp.float32(0), None, length=iters)
@@ -253,6 +259,12 @@ if __name__ == "__main__":
         # 64k winner (512,512,16)=181.9 vs (256,512,32)=180.5; 1M has
         # (256,512,32)=218.4 — decide with (512,512,16/32) at 1M
         sweep(1_048_576, 2, [(512, 512, 16), (512, 512, 32)])
+    if mode in ("reuse64k",):
+        # geometry re-check under order-reuse (the sweep now measures
+        # the kernel alone — the per-call argsort used to flatten
+        # geometry differences): promoted winner + nearest rivals
+        sweep(65536, 50, [(512, 512, 16), (256, 512, 32),
+                          (512, 512, 32), (512, 1024, 16)])
     if mode in ("refine2",):
         # neighbourhood of the refine64k winner (128, 512, 32) = 150.3,
         # plus that geometry at 1M to confirm it holds at scale
