@@ -69,16 +69,16 @@ def eddington_df(density, potential, r_grid=None, t: float = 0.0):
     from scipy.interpolate import CubicSpline
 
     rho_fn = _density_callable(density)
-    if r_grid is not None:
-        r = np.asarray(r_grid, float)
-        # extend outward: the quadrature below evaluates d2rho/dpsi2 at
-        # psi -> 0 for every E, i.e. beyond psi(r_max) of a truncated
-        # user grid — spline EXTRApolation there biases f(E) at low
-        # energies (measured: 18% for a Plummer tabulated to 10 a)
-        r = np.concatenate([r, np.geomspace(r.max() * 1.25,
-                                            r.max() * 1e4, 48)])
-    else:
-        r = np.geomspace(1e-2, 2e3, 256)
+    r = (np.asarray(r_grid, float) if r_grid is not None
+         else np.geomspace(1e-2, 2e3, 256))
+    # extend outward: the quadrature below evaluates d2rho/dpsi2 at
+    # psi -> 0 for every E, i.e. beyond psi(r_max) of a truncated
+    # grid — spline EXTRApolation there biases f(E) at low energies
+    # (measured: 18% for a Plummer tabulated to 10 a).  Applies to the
+    # DEFAULT grid too: a tracer with a scale radius of hundreds of
+    # length units truncates at 2e3 just as badly as a user grid
+    r = np.concatenate([r, np.geomspace(r.max() * 1.25,
+                                        r.max() * 1e4, 48)])
     pts = np.column_stack([r, np.zeros_like(r), np.zeros_like(r)])
     rho = np.maximum(rho_fn(pts), 1e-300)
     psi = -np.asarray(potential.potential(pts, t=t), float)

@@ -22,12 +22,20 @@ __all__ = [
 ]
 
 
+def _require_h5py():
+    if h5py is None:
+        raise ImportError(
+            "h5py is required for coefficient archives "
+            "(pip install h5py)")
+
+
 def write_coef_to_h5(h5_path, coef_string: str,
                      group_name: str = "snap_000",
                      dataset_name: str = "coefs",
                      overwrite: bool = False,
                      metadata: dict | None = None) -> None:
     """Store one coefficient string under ``group_name/dataset_name``."""
+    _require_h5py()
     h5_path = Path(h5_path)
     dt = h5py.string_dtype(encoding="utf-8")
     with h5py.File(h5_path, "a") as f:
@@ -48,8 +56,28 @@ def write_snapshot_coefs_to_h5(h5_path, coef_strings, times=None,
                                group_fmt: str = "snap_{snap:03d}",
                                dataset_name: str = "coefs",
                                overwrite: bool = True) -> None:
-    """Batch-pack snapshot coefficient strings (+ optional times dataset)."""
+    """Batch-pack snapshot coefficient strings (+ optional times dataset).
+
+    With ``overwrite=True`` (default) any OTHER ``group_fmt``-matching
+    snapshot groups already in the file are deleted first: re-packing an
+    archive with fewer snapshots must not leave stale snap_* groups
+    behind (they would desync from the ``times`` dataset and break
+    ``load_evolving_potential``'s groups/times pairing).
+    """
+    _require_h5py()
     h5_path = Path(h5_path)
+    coef_strings = list(coef_strings)
+    if overwrite and h5_path.exists():
+        import re as _re
+
+        pat = _re.compile(
+            "^" + _re.escape(group_fmt).replace(
+                _re.escape("{snap:03d}"), r"\d+").replace(
+                _re.escape("{snap}"), r"\d+") + "$")
+        with h5py.File(h5_path, "a") as f:
+            for k in [k for k in f.keys()
+                      if isinstance(f[k], h5py.Group) and pat.match(k)]:
+                del f[k]
     for i, s in enumerate(coef_strings):
         write_coef_to_h5(h5_path, s, group_fmt.format(snap=i),
                          dataset_name, overwrite=overwrite)
@@ -63,6 +91,7 @@ def write_snapshot_coefs_to_h5(h5_path, coef_strings, times=None,
 def read_coef_string(h5_path, group_name: str = "snap_000",
                      dataset_name: str = "coefs") -> str:
     """Fetch one stored coefficient string."""
+    _require_h5py()
     with h5py.File(h5_path, "r") as f:
         raw = f[group_name][dataset_name][()]
     return raw.decode() if isinstance(raw, bytes) else str(raw)
@@ -76,6 +105,8 @@ def list_coef_groups(h5_path, dataset_name: str = "coefs"):
     lexicographic sorting breaks past 3-digit archives.
     """
     import re as _re
+
+    _require_h5py()
 
     def key(name):
         m = _re.search(r"(\d+)$", name)

@@ -284,6 +284,7 @@ def fit_iterative_ellipsoid(pos, mass=None, center=None, r_max=None,
     axes = np.eye(3)
     q = s = 1.0
     converged = False
+    it = -1   # n_iter=0: report 0 iterations, identity result
     for it in range(n_iter):
         y = pos @ axes.T
         r_ell2 = y[:, 0]**2 + (y[:, 1] / q)**2 + (y[:, 2] / s)**2
@@ -294,7 +295,9 @@ def fit_iterative_ellipsoid(pos, mass=None, center=None, r_max=None,
         if reduced:
             ww = ww / np.maximum(r_ell2[sel], 1e-12)
         x = pos[sel]
-        tensor = (ww[:, None, None] * x[:, :, None] * x[:, None, :]).sum(0)
+        # matmul form: same 3x3 inertia tensor without the (N, 3, 3)
+        # temporary (~720 MB/iteration at N = 1e7)
+        tensor = (x * ww[:, None]).T @ x
         tensor /= ww.sum()
         evals, evecs = np.linalg.eigh(tensor)
         order = np.argsort(evals)[::-1]

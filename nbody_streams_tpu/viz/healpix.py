@@ -62,10 +62,18 @@ def ang2pix_ring(nside: int, theta, phi):
 
 
 def vec2pix_ring(nside: int, pos):
-    """Pixel index of cartesian direction vectors (N, 3)."""
+    """Pixel index of cartesian direction vectors (N, 3).
+
+    Zero-length vectors have no direction: raise like healpy does —
+    silently mapping them to (theta=pi/2, phi=0) would deposit their
+    full weight as a spurious hot spot in the lon=0/lat=0 pixel (e.g. a
+    progenitor at the origin of progenitor-centred coordinates)."""
     pos = np.asarray(pos, float)
     r = np.linalg.norm(pos, axis=-1)
-    r = np.where(r > 0, r, 1.0)
+    if not np.all(r > 0):
+        raise ValueError(
+            f"{int((~(r > 0)).sum())} zero-length (or NaN) vector(s) "
+            "have no sky direction; filter them out before mapping")
     theta = np.arccos(np.clip(pos[..., 2] / r, -1.0, 1.0))
     phi = np.arctan2(pos[..., 1], pos[..., 0])
     return ang2pix_ring(nside, theta, phi)

@@ -162,12 +162,24 @@ def plot_mollweide(pos, weights=None, initial_nside: int = 60, ax=None,
     sky = healpix_map(nside, pos, weights=weights)
     area_deg2 = 4.0 * np.pi * (180.0 / np.pi) ** 2 / nside2npix(nside)
     sky = sky / area_deg2
+    filled = sky > 0
     if log:
-        filled = sky > 0
-        sky[filled] = np.log10(sky[filled])
-    if normalize:
-        med = np.median(sky[sky > 0]) if (sky > 0).any() else 1.0
-        sky = sky / med - 1
+        # empty pixels must land BELOW the dimmest filled pixel, not at
+        # 0.0: with per-pixel densities < 1/deg^2 the filled log values
+        # are negative and a 0.0 background would render brighter than
+        # the signal (and the smoothing would blend fake zeros into it)
+        if filled.any():
+            vals = np.log10(sky[filled])
+            sky = np.full_like(sky, vals.min())
+            sky[filled] = vals
+    if normalize and filled.any():
+        med = np.median(sky[filled])
+        if log:
+            # log-domain normalisation is a subtraction; dividing by a
+            # (possibly zero or negative) log-median inverts the map
+            sky = sky - med
+        else:
+            sky = sky / med - 1
 
     # project to a lon/lat image, smooth, and resample back to pixels
     n_lat = max(4 * nside, 180)
@@ -248,6 +260,12 @@ def plot_stream_evolution(part_xv, times, n_panels: int = 4,
     times = np.asarray(times, float)
     if part_xv.shape[0] != len(times) and part_xv.shape[1] == len(times):
         part_xv = np.transpose(part_xv, (1, 0, 2))
+    if part_xv.shape[0] != len(times):
+        raise ValueError(
+            f"part_xv shape {part_xv.shape} matches times of length "
+            f"{len(times)} on neither axis — check for an off-by-one "
+            "snapshot list (panels would be mislabelled or index out of "
+            "bounds)")
     n_t = part_xv.shape[0]
     sel = np.linspace(0, n_t - 1, min(n_panels, n_t)).round().astype(int)
 

@@ -57,6 +57,10 @@ def get_smoothing_lengths(pos, n_neighbors: int = 32,
         h = np.empty(len(pos))
         h[order] = native.knn_radius(pos[order], k=n_neighbors)
         return h
+    if len(pos) <= 1:
+        # a lone particle has no neighbours: cKDTree.query(k=1) returns
+        # a 1-D array and d[:, -1] would IndexError
+        return np.zeros(len(pos))
     from scipy.spatial import cKDTree
 
     tree = cKDTree(pos)

@@ -110,3 +110,34 @@ def test_mixed_scalar_array_broadcast():
     p3 = ang2pix_ring(4, 0.1, ph)
     p4 = ang2pix_ring(4, np.full(3, 0.1), ph)
     np.testing.assert_array_equal(p3, p4)
+
+    def test_faint_log_map_background_not_brightest(self):
+        """Filled pixels with density < 1/deg^2 go negative in log10;
+        empty background must land BELOW them, not at 0.0 (which would
+        render as the brightest value and invert the map)."""
+        rng = np.random.default_rng(7)
+        pos = rng.normal(size=(300, 3))           # sparse: faint pixels
+        w = np.full(300, 1e-3)
+        ax, sky = plot_mollweide(pos, weights=w)
+        assert sky.max() > sky.min()
+        # the brightest pixel is a FILLED one (signal), not background
+        assert np.isfinite(sky).all()
+        filled_floor = sky.min()
+        assert sky.max() > filled_floor
+        plt.close("all")
+
+    def test_faint_log_map_normalize_no_inversion(self):
+        """normalize on a log map subtracts the median (dividing by a
+        negative log-median flipped bright and dark)."""
+        rng = np.random.default_rng(8)
+        pos = rng.normal(size=(500, 3))
+        ax, sky = plot_mollweide(pos, weights=np.full(500, 1e-3),
+                                 normalize=True)
+        # median of the normalised map should be ~0 on filled pixels
+        assert np.isfinite(sky).all()
+        plt.close("all")
+
+    def test_zero_vector_raises(self):
+        pos = np.array([[1.0, 0, 0], [0.0, 0.0, 0.0]])
+        with pytest.raises(ValueError, match="zero-length"):
+            vec2pix_ring(16, pos)

@@ -673,3 +673,22 @@ def test_cylspline_m1_harmonic_axis_derivative():
     f_ref = np.asarray(pl.force(q))
     f_cs = np.asarray(cs.force(probe))
     assert np.abs(f_cs - f_ref).max() / np.abs(f_ref).max() < 5e-3
+
+
+def test_coef_archive_rewrite_drops_stale_groups(tmp_path):
+    """Re-packing an archive with FEWER snapshots must delete the old
+    snap_* groups — stale ones desync from the times dataset and break
+    the groups/times pairing on load."""
+    from nbody_streams_tpu.potentials.io import (
+        list_coef_groups,
+        write_snapshot_coefs_to_h5,
+    )
+
+    path = tmp_path / "arch.h5"
+    write_snapshot_coefs_to_h5(path, [f"c{i}" for i in range(6)],
+                               times=np.arange(6.0))
+    write_snapshot_coefs_to_h5(path, [f"d{i}" for i in range(3)],
+                               times=np.arange(3.0))
+    groups, times = list_coef_groups(path)
+    assert groups == ["snap_000", "snap_001", "snap_002"]
+    assert len(times) == 3

@@ -317,3 +317,31 @@ def test_convert_vectors_nan_position_propagates():
     out = convert_vectors(v, p, "cart", "cyl")
     assert np.isfinite(out[0]).all()
     assert np.isnan(out[1]).all()
+
+
+def test_fit_iterative_ellipsoid_zero_iterations():
+    """n_iter=0 returns the identity result instead of NameError."""
+    rng = np.random.default_rng(5)
+    res = fit_iterative_ellipsoid(rng.normal(size=(500, 3)), n_iter=0)
+    assert res["iterations"] == 0 and not res["converged"]
+    np.testing.assert_array_equal(res["axes"], np.eye(3))
+
+
+def test_smoothing_lengths_single_particle():
+    """A lone particle must not IndexError in the cKDTree path."""
+    from nbody_streams_tpu.viz.sph import get_smoothing_lengths
+
+    h = get_smoothing_lengths(np.array([[1.0, 2.0, 3.0]]))
+    assert h.shape == (1,) and h[0] == 0.0
+
+
+def test_plot_stream_evolution_times_mismatch():
+    """An off-by-one times list must raise, not mislabel panels."""
+    import pytest
+
+    from nbody_streams_tpu.viz.plots import plot_stream_evolution
+
+    rng = np.random.default_rng(6)
+    xv = rng.normal(size=(50, 100, 6))
+    with pytest.raises(ValueError, match="neither axis"):
+        plot_stream_evolution(xv, np.arange(49), mass=1.0)
