@@ -69,6 +69,12 @@ def generate_stream_coords(xv, xv_prog=None, return_rotation: bool = False,
         progs = np.atleast_2d(np.asarray(xv_prog, float))
         if progs.shape[0] == 1 and n_streams > 1:
             progs = np.repeat(progs, n_streams, axis=0)
+        if progs.shape != (n_streams, 6):
+            raise ValueError(
+                f"xv_prog shape {np.shape(xv_prog)} does not match "
+                f"{n_streams} stream(s): expected (6,) or "
+                f"({n_streams}, 6) — a misaligned progenitor array "
+                "would silently pair the wrong progenitor with a stream")
 
     phi1s, phi2s, rots = [], [], []
     for s in range(n_streams):
@@ -127,6 +133,11 @@ def get_observed_stream_coords(xv, xv_prog=None, observer=None,
     ``dist`` and ``v_los``.
     """
     xv = np.asarray(xv, float)
+    if xv.ndim != 2 or xv.shape[-1] != 6:
+        raise ValueError(
+            f"get_observed_stream_coords takes one stream (N, 6), got "
+            f"{xv.shape}; loop over streams (or use "
+            "generate_stream_coords for stacked frames)")
     phi1, phi2, rot = generate_stream_coords(xv, xv_prog,
                                              return_rotation=True,
                                              degrees=degrees)

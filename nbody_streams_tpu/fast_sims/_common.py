@@ -128,15 +128,19 @@ def make_perturber_potential(perturber: dict, pot_host, t0: float,
     half = 0.5 * float(window)
     ramp = max(1e-3 * window, 1e-6)
     on0, on1 = t_imp - half, t_imp + half
-    if on1 >= t1:          # mass stays on through the end
-        on1 = t1 + 10 * ramp
     ts, amps = [t0 - 1.0], [0.0 if on0 > t0 else 1.0]
-    for tt, aa in ((on0 - ramp, 0.0), (on0, 1.0), (on1, 1.0),
-                   (on1 + ramp, 0.0)):
+    pts = [(on0 - ramp, 0.0), (on0, 1.0)]
+    if on1 < t1:           # turns off inside the run
+        pts += [(on1, 1.0), (on1 + ramp, 0.0)]
+    # else: mass stays on through the end — no turn-off points at all.
+    # (Synthesising one beyond t1 with a FIXED t1+1.0 end sentinel made
+    # the table non-monotonic for windows > 100 time units; after
+    # ScaledPotential's time re-sort the perturber decayed early.)
+    for tt, aa in pts:
         if ts[-1] < tt:
             ts.append(tt)
             amps.append(aa)
-    ts.append(t1 + 1.0)
+    ts.append(max(t1, ts[-1]) + 1.0)
     amps.append(amps[-1])
     table = np.column_stack([ts, amps, np.ones(len(ts))])
     return ScaledPotential(moving, table)

@@ -94,11 +94,16 @@ def integrate_orbits_released(pot, xv_release, t_release, t0: float,
     dt = (t1 - t0) / n_steps
     acc = _accel_fn(pot, extra_accel)
 
+    # release comparison must follow the integration DIRECTION: in a
+    # backward run (t1 < t0, dt < 0) a particle is live once the clock
+    # has passed BELOW its release time
+    sgn = 1.0 if dt >= 0 else -1.0
+
     def body(carry, i):
         xv, t = carry
         t_next = t0 + (i + 1) * dt
         stepped = _rk4_step(acc, xv, t, dt)
-        live = (t_release <= t + 0.5 * jnp.abs(dt))[:, None]
+        live = (sgn * t_release <= sgn * t + 0.5 * jnp.abs(dt))[:, None]
         xv = jnp.where(live, stepped, xv_release)
         out = xv if save_every else None
         return (xv, t_next), out
@@ -187,8 +192,13 @@ def integrate_orbit_adaptive(pot, xv0, t0: float, t1: float,
     sign = 1.0 if t1 >= t0 else -1.0
 
     def err_norm(err, xv_a, xv_b):
+        # RMS over the 6 phase-space components of each orbit, then MAX
+        # over the batch: the shared step must satisfy the WORST orbit.
+        # A batch-wide mean would dilute one plunging orbit's error by
+        # sqrt(batch) and silently accept steps that violate its rtol.
         scale = atol + rtol * jnp.maximum(jnp.abs(xv_a), jnp.abs(xv_b))
-        return jnp.sqrt(jnp.mean((err / scale) ** 2))
+        per_orbit = jnp.sqrt(jnp.mean((err / scale) ** 2, axis=-1))
+        return jnp.max(per_orbit)
 
     def advance_interval(carry, i):
         xv, h = carry

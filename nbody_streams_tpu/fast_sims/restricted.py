@@ -105,6 +105,12 @@ def run_restricted_nbody(
     dt_chunk = (time_end - t0) / n_outer
 
     times_out, prog_out, part_out, mbound_out = [], [], [], []
+    # NOTE: each chunk builds a fresh moving/refit potential whose tables
+    # are baked into the scan as constants, so every chunk retraces its
+    # integrations (~0.3-1 s/chunk on CPU).  Threading the tables through
+    # as traced arguments would compile once but requires parameterising
+    # the whole Potential protocol; at restricted-N-body scales (1e3-1e4
+    # particles, <=200 chunks) the retrace is an accepted trade-off.
     t = t0
     for k in range(n_outer):
         t_next = t0 + (k + 1) * dt_chunk

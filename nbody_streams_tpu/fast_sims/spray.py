@@ -14,6 +14,8 @@ stack — the reference drives Agama's C++ integrator):
 """
 from __future__ import annotations
 
+import warnings
+
 import numpy as np
 
 from ..constants import G_DEFAULT
@@ -228,10 +230,18 @@ def create_particle_spray_stream(
     # documented blow-up mode on cusp-plunging progenitor orbits.
     from .orbits import integrate_orbit_adaptive
 
+    # tolerance scaled to the working dtype: 1e-10 is unattainable at
+    # float32 (error-estimate rounding floor ~1e-7) — the controller
+    # would shrink h until acceptance is noise, burning substeps and
+    # risking max_substeps NaN-poisoning on eccentric orbits
+    import jax
+
+    f64 = jax.config.jax_enable_x64
+    tol = 1e-10 if f64 else 3e-7
     _, traj_back = integrate_orbit_adaptive(pot_rewind, sat_now,
                                             time_end, t_start,
-                                            n_out=n_steps, rtol=1e-10,
-                                            atol=1e-10)
+                                            n_out=n_steps, rtol=tol,
+                                            atol=tol)
     traj_fwd = np.asarray(traj_back)[::-1]
     times_fwd = np.linspace(t_start, time_end, n_steps + 1)
     if verbose:
@@ -245,7 +255,16 @@ def create_particle_spray_stream(
     prog_moving = moving_potential(prog_pot, times_fwd, traj_fwd)
     pot_total = pot_rewind + prog_moving
 
-    # 3) release schedule
+    # 3) release schedule (pairs: one leading + one trailing particle
+    # per release)
+    if num_particles < 2:
+        raise ValueError("num_particles must be >= 2 (particles are "
+                         "released in leading/trailing pairs)")
+    if num_particles % 2:
+        warnings.warn(
+            f"num_particles={num_particles} is odd; releasing "
+            f"{num_particles - 1} (leading/trailing pairs)",
+            stacklevel=2)
     n_rel = num_particles // 2
     if time_stripping is None:
         rel_idx = np.linspace(0, n_steps, n_rel).round().astype(int)
@@ -299,7 +318,7 @@ def create_particle_spray_stream(
         out_times = np.array([time_end])
     else:
         # mask pre-release states to NaN (reference convention)
-        mask = times_out[:, None] < np.repeat(rel_times, 2)[None, :]
+        mask = times_out[:, None] < np.asarray(t_release)[None, :]
         part = np.where(mask[:, :, None], np.nan, part)
         result_part = np.transpose(part, (1, 0, 2))  # (N, T, 6)
         sel = np.searchsorted(times_fwd, times_out).clip(0, n_steps)

@@ -82,6 +82,8 @@ def tree_gravity_gpu(pos, mass, eps=None, G: float = G_DEFAULT,
     if eps is None:                    # fall back to the handle's eps
         eps = tree.eps if tree is not None else 0.05
     eps_arr = np.broadcast_to(np.asarray(eps, np.float32), (n,))
+    # scalar (shared) mass is part of the reference surface too
+    mass = np.broadcast_to(np.asarray(mass, np.float32), (n,))
     _note_exact(theta)
     handle = tree if tree is not None else TreeGPU(n)
     solver = handle._get_solver(mass, eps_arr, G)

@@ -423,3 +423,58 @@ def test_jaxppoly_vector_evaluation():
     ref3 = CubicSpline(t, v3, bc_type="not-a-knot")
     np.testing.assert_allclose(np.asarray(sp3(q)), ref3(q), rtol=1e-6,
                                atol=1e-12)
+
+
+def test_released_ensemble_backward_integration(host):
+    """Backward runs (t1 < t0) must hold particles until the clock
+    passes BELOW their release time; the forward-only gate released
+    everything at the first step."""
+    xv0, _ = circular_state(host, 30.0)
+    ics = np.tile(xv0, (3, 1))
+    t_rel = np.array([1.0, 0.5, -0.01])      # last never releases
+    times, final = integrate_orbits_released(host, ics, t_rel, 1.0, 0.0,
+                                             1000)
+    final = np.asarray(final)
+    assert np.abs(final[0] - xv0).max() > 1.0
+    np.testing.assert_allclose(final[2], xv0)   # held for the whole run
+    # later (in wall-clock) release -> released EARLIER backward ->
+    # further along the reversed orbit
+    assert np.abs(final[0, 1] - xv0[1]) > np.abs(final[1, 1] - xv0[1])
+
+
+def test_perturber_window_stays_on_through_end(host):
+    """A mass-on window extending past time_end must keep amplitude 1
+    to the end: the old fixed t1+1.0 sentinel made the table
+    non-monotonic for windows > 100 time units and the re-sort turned
+    the perturber off early."""
+    from nbody_streams_tpu.fast_sims._common import (
+        make_perturber_potential,
+    )
+
+    pert = {"mass": 1e10, "scaleRadius": 5.0,
+            "w_subhalo_impact": [50.0, 0, 0, 0, 120.0, 0],
+            "time_impact": 0.5, "time_window": 200.0}
+    pot = make_perturber_potential(pert, host, 0.0, 1.0)
+    probe = np.array([[60.0, 0.0, 0.0]])
+    # amplitude ~1 throughout: potential at t1 comparable to at t_imp
+    v_mid = float(np.asarray(pot.potential(probe, t=0.5))[0])
+    v_end = float(np.asarray(pot.potential(probe, t=1.0))[0])
+    assert v_mid < 0 and v_end < 0
+    assert abs(v_end) > 0.2 * abs(v_mid)     # not ramped to zero
+
+
+def test_spray_odd_num_particles_warns(host):
+    import warnings as _w
+
+    from nbody_streams_tpu.fast_sims import create_particle_spray_stream
+
+    xv0, _ = circular_state(host, 40.0)
+    common = dict(initmass=1e6, sat_cen_present=xv0, scaleradius=0.05,
+                  prog_pot_kind="Plummer", time_total=0.2, time_end=0.0,
+                  n_steps=100, seed=1)
+    with pytest.warns(UserWarning, match="odd"):
+        res = create_particle_spray_stream(host, num_particles=11,
+                                           **common)
+    assert res["part_xv"].shape[0] == 10
+    with pytest.raises(ValueError, match=">= 2"):
+        create_particle_spray_stream(host, num_particles=1, **common)
