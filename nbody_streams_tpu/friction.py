@@ -75,6 +75,14 @@ def compute_sigma_r(pot, t_eval: float = 0.0, grid_r=None,
 
     r = (np.asarray(grid_r, float) if grid_r is not None
          else np.geomspace(1e-2, 2e3, 200))
+    if method == "quasispherical":
+        # extend outward: the Eddington integral sweeps psi -> 0, i.e.
+        # radii beyond any truncated grid; evaluating the rho(psi)
+        # spline there would be cubic EXTRApolation (divergent junk
+        # that the f >= 0 clip turns into sigma collapsing to the
+        # floor at large r)
+        r = np.concatenate([r, np.geomspace(r.max() * 1.25,
+                                            r.max() * 1e3, 32)])
     pts = np.column_stack([r, np.zeros_like(r), np.zeros_like(r)])
     rho = np.maximum(np.asarray(pot.density(pts, t=t_eval), float), 1e-300)
 
@@ -92,10 +100,24 @@ def compute_sigma_r(pot, t_eval: float = 0.0, grid_r=None,
             raise ValueError(
                 "quasispherical sigma needs psi = -Phi monotonically "
                 "decreasing in r (is the potential spherical-ish?)")
+        if psi[-1] <= 0:
+            raise ValueError(
+                "quasispherical sigma needs psi = -Phi > 0 on the whole "
+                f"grid (psi({r[-1]:.3g}) = {psi[-1]:.3g}): the Eddington "
+                "inversion assumes the Agama zero-point Phi(inf) = 0 — "
+                "re-anchor the potential (e.g. subtract Phi at a large "
+                "radius) or pass a tighter grid_r")
         from scipy.interpolate import CubicSpline
 
         rho_of_psi = CubicSpline(psi[::-1], rho[::-1])
-        d2rho = rho_of_psi.derivative(2)
+        _d2 = rho_of_psi.derivative(2)
+        psi_lo = psi[-1]
+
+        def d2rho(p):
+            # zero-fill below the tabulated range instead of cubic
+            # extrapolation: rho -> 0 out there, and extrapolated junk
+            # otherwise dominates the lowest-E integrals
+            return np.where(p >= psi_lo, _d2(np.maximum(p, psi_lo)), 0.0)
 
         # f(E) on the psi grid; substitute psi = E(1 - u^2) to remove
         # the inverse-sqrt endpoint singularity
@@ -201,11 +223,19 @@ def shrinking_sphere_com(pos, vel, mass, n_iter: int = 5,
 
     def body(carry, _):
         com, r = carry
-        r = r * frac
+        r_new = r * frac
         d = jnp.linalg.norm(pos - com, axis=1)
-        w = m * (d <= r)
-        wsum = jnp.maximum(jnp.sum(w), 1e-300)
-        com = jnp.sum(pos * w[:, None], axis=0) / wsum
+        w = m * (d <= r_new)
+        wsum = jnp.sum(w)
+        # empty aperture (e.g. a disrupted satellite whose weighted
+        # centre fell between two clumps): keep the previous centre and
+        # aperture — dividing by the 1e-300 floor would snap the CoM to
+        # the coordinate origin, i.e. the HOST centre
+        ok = wsum > 0
+        com = jnp.where(
+            ok, jnp.sum(pos * w[:, None], axis=0)
+            / jnp.maximum(wsum, 1e-300), com)
+        r = jnp.where(ok, r_new, r)
         return (com, r), None
 
     (com, r), _ = lax.scan(body, (com, r), None, length=n_iter)
@@ -224,9 +254,14 @@ def chandrasekhar_accel(r_com, v_com, M_sat, rho, sigma, t, G=G_DEFAULT,
                         coulomb_mode: str = "variable",
                         fixed_ln_lambda: float = 3.0,
                         core_gamma: float = 0.0, r_core: float = 1.0):
-    """BT2008 eq. 8.13 DF acceleration at the CoM (jittable, (3,))."""
-    r = jnp.linalg.norm(r_com)
-    v = jnp.linalg.norm(v_com)
+    """BT2008 eq. 8.13 DF acceleration at the CoM (jittable).
+
+    Batch-aware: ``r_com``/``v_com`` may be (3,) or (N, 3) (with
+    ``rho``/``sigma`` scalar or (N,)) — norms are taken along the last
+    axis, NOT over the whole batch (a Frobenius norm of (N, 3) input
+    would give every orbit one shared, wrong speed)."""
+    r = jnp.linalg.norm(r_com, axis=-1)
+    v = jnp.linalg.norm(v_com, axis=-1)
     v_safe = jnp.maximum(v, 1e-6)
     x = v_safe / (jnp.sqrt(2.0) * jnp.maximum(sigma, 1e-6))
 
@@ -243,9 +278,9 @@ def chandrasekhar_accel(r_com, v_com, M_sat, rho, sigma, t, G=G_DEFAULT,
     if core_gamma > 0.0:
         a_mag = a_mag * jnp.minimum(
             1.0, (r / r_core) ** core_gamma)
-    a = -(v_com / v_safe) * a_mag
+    a = -(v_com / v_safe[..., None]) * a_mag[..., None]
     # vanish when the satellite is at rest or at the exact centre
-    live = (r > 1e-6) & (v > 1e-6)
+    live = ((r > 1e-6) & (v > 1e-6))[..., None]
     return jnp.where(live, a, jnp.zeros_like(a))
 
 

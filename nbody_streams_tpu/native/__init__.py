@@ -72,6 +72,18 @@ def build(verbose: bool = True) -> bool:
     return ok
 
 
+def _check_pos3(pos) -> np.ndarray:
+    """Validate/contiguate an (N, 3) position buffer before handing its
+    raw pointer to the C library — a (N, 2) array would be read 3N
+    doubles deep (out-of-bounds heap read / segfault)."""
+    pos = np.ascontiguousarray(pos, dtype=np.float64)
+    if pos.ndim != 2 or pos.shape[1] != 3:
+        raise ValueError(
+            f"positions must be (N, 3), got {pos.shape}; pad 2-D data "
+            "with a zero column")
+    return pos
+
+
 def morton_argsort(pos) -> np.ndarray:
     """Z-order (Morton) spatial sort permutation for (N, 3) positions.
 
@@ -79,7 +91,7 @@ def morton_argsort(pos) -> np.ndarray:
     this in NumPy at 50-150 ms / 5M particles, sph_kernels.py:78-80);
     fallback: NumPy bit-interleave.
     """
-    pos = np.ascontiguousarray(pos, dtype=np.float64)
+    pos = _check_pos3(pos)
     n = pos.shape[0]
     lib = _load()
     if lib is not None:
@@ -114,7 +126,7 @@ def knn_radius(pos, k: int = 32) -> np.ndarray:
 
     Native path: OpenMP grid-hash search; fallback: SciPy cKDTree.
     """
-    pos = np.ascontiguousarray(pos, dtype=np.float64)
+    pos = _check_pos3(pos)
     n = pos.shape[0]
     lib = _load()
     if lib is not None:

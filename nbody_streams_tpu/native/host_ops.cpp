@@ -109,18 +109,32 @@ int knn_radius(const double* pos, int64_t n, int k, double* out_h) {
             }
         }
     }
-    double span[3], vol = 1.0;
-    for (int d = 0; d < 3; ++d) {
+    double span[3];
+    for (int d = 0; d < 3; ++d)
         span[d] = std::max(hi[d] - lo[d], 1e-300);
-        vol *= span[d];
+    // aim for ~ k/4 particles per cell — over the EFFECTIVE dims only.
+    // Coplanar/collinear inputs have one or more ~0 spans; including
+    // them in the volume drives the cell size to ~0, which both
+    // over-refines the live dims (observed: 27 s for a 500-point disc)
+    // and makes span/cell overflow int — a UB double->int cast
+    // (observed: INT_MIN, one cell, O(n^2) queries).
+    double max_span = std::max(span[0], std::max(span[1], span[2]));
+    double measure = 1.0;
+    int eff = 0;
+    bool live[3];
+    for (int d = 0; d < 3; ++d) {
+        live[d] = span[d] > 1e-9 * max_span;
+        if (live[d]) { measure *= span[d]; ++eff; }
     }
-    // aim for ~ k/4 particles per cell in the core box
-    double cell = std::cbrt(vol * (0.25 * k) / (0.9 * (double)n));
+    double cell = std::pow(measure * (0.25 * k) / (0.9 * (double)n),
+                           1.0 / eff);
     int ncell[3];
     int64_t total_cells = 1;
     for (int d = 0; d < 3; ++d) {
-        ncell[d] = std::max(1, (int)(span[d] / cell));
-        ncell[d] = std::min(ncell[d], 256);
+        double ratio = live[d] && cell > 0.0 ? span[d] / cell : 1.0;
+        if (!(ratio >= 1.0)) ratio = 1.0;        // NaN/inf/sub-1 -> 1
+        if (ratio > 256.0) ratio = 256.0;
+        ncell[d] = (int)ratio;
         total_cells *= ncell[d];
     }
 
@@ -152,7 +166,6 @@ int knn_radius(const double* pos, int64_t n, int k, double* out_h) {
 
     double cw[3];
     for (int d = 0; d < 3; ++d) cw[d] = span[d] / ncell[d];
-    double min_cw = std::min(cw[0], std::min(cw[1], cw[2]));
 
 #pragma omp parallel
     {
@@ -161,72 +174,98 @@ int knn_radius(const double* pos, int64_t n, int k, double* out_h) {
         for (int64_t i = 0; i < n; ++i) {
             int c0[3];
             cell_of(i, c0);
-            // clamped outliers sit outside their assigned cell: account
-            // for that distance in the ring termination bound
-            double excess2 = 0.0;
+            // distance from the point to its cell walls, per direction
+            // (positive even for clamped outliers sitting outside the
+            // box) — feeds an exact per-dim ring lower bound below
+            double dminus[3], dplus[3];
             for (int d = 0; d < 3; ++d) {
                 double cl = lo[d] + c0[d] * cw[d];
                 double ch = cl + cw[d];
                 double v = pos[3 * i + d];
-                double e = v < cl ? cl - v : (v > ch ? v - ch : 0.0);
-                excess2 += e * e;
+                dminus[d] = std::max(v - cl, 0.0);
+                dplus[d] = std::max(ch - v, 0.0);
             }
-            double excess = std::sqrt(excess2);
             int found = 0;
             double worst = 1e300;
             // expanding shells of cells
             int max_ring = std::max(ncell[0],
                                     std::max(ncell[1], ncell[2]));
             for (int ring = 0; ring <= max_ring; ++ring) {
-                // stop when the closest possible point in this ring is
-                // farther than our current k-th distance; a particle
-                // inside its own cell is at least (ring-1) cell widths
-                // from ring-`ring` cells (minus any clamp excess)
-                if (found >= k &&
-                    (double)(ring - 1) * min_cw - excess
-                        > std::sqrt(worst))
-                    break;
-                for (int dx = -ring; dx <= ring; ++dx)
-                    for (int dy = -ring; dy <= ring; ++dy)
-                        for (int dz = -ring; dz <= ring; ++dz) {
-                            if (std::max(std::abs(dx),
-                                         std::max(std::abs(dy),
-                                                  std::abs(dz))) != ring)
-                                continue;
-                            int c[3] = {c0[0] + dx, c0[1] + dy,
-                                        c0[2] + dz};
-                            if (c[0] < 0 || c[0] >= ncell[0] ||
-                                c[1] < 0 || c[1] >= ncell[1] ||
-                                c[2] < 0 || c[2] >= ncell[2])
-                                continue;
-                            int64_t cid = cell_id(c);
-                            for (int64_t p = counts[cid];
-                                 p < counts[cid + 1]; ++p) {
-                                int64_t j = order[p];
-                                if (j == i) continue;
-                                double d2 = 0;
-                                for (int d = 0; d < 3; ++d) {
-                                    double dd = pos[3 * i + d]
-                                        - pos[3 * j + d];
-                                    d2 += dd * dd;
-                                }
-                                if (found < k) {
-                                    best[found++] = d2;
-                                    if (found == k) {
-                                        std::make_heap(best.begin(),
-                                                       best.end());
-                                        worst = best.front();
-                                    }
-                                } else if (d2 < worst) {
-                                    std::pop_heap(best.begin(),
-                                                  best.end());
-                                    best[k - 1] = d2;
-                                    std::push_heap(best.begin(),
-                                                   best.end());
-                                    worst = best.front();
-                                }
-                            }
+                // exact shell lower bound: every shell cell has SOME
+                // dim at offset +-ring; the distance is at least the
+                // point's distance along that dim.  Directional, so a
+                // clamped outlier's bound GROWS with its offset instead
+                // of being discounted by it (the old scalar -excess
+                // form scanned ~excess/cw extra rings per outlier —
+                // 70 s at 600k Gaussian points from the 10% tails).
+                if (ring > 0) {
+                    double nearest = 1e300;
+                    for (int d = 0; d < 3; ++d) {
+                        if (c0[d] - ring >= 0)
+                            nearest = std::min(
+                                nearest, (double)(ring - 1) * cw[d]
+                                             + dminus[d]);
+                        if (c0[d] + ring < ncell[d])
+                            nearest = std::min(
+                                nearest, (double)(ring - 1) * cw[d]
+                                             + dplus[d]);
+                    }
+                    if (nearest == 1e300)
+                        break;              // no cells at this ring on
+                    if (found >= k && nearest > std::sqrt(worst))
+                        break;
+                }
+                // enumerate the shell directly, clamped to the grid:
+                // a full (2r+1)^3 cube scan with a skip test costs
+                // O(r^3) per ring even when (e.g.) the z grid is one
+                // cell thick or the query sits at a grid corner —
+                // observed as effectively O(n^2) on thin-disc inputs
+                int dx0 = std::max(-ring, -c0[0]);
+                int dx1 = std::min(ring, ncell[0] - 1 - c0[0]);
+                int dy0 = std::max(-ring, -c0[1]);
+                int dy1 = std::min(ring, ncell[1] - 1 - c0[1]);
+                int dz0 = std::max(-ring, -c0[2]);
+                int dz1 = std::min(ring, ncell[2] - 1 - c0[2]);
+                auto scan_cell = [&](int dx, int dy, int dz) {
+                    int c[3] = {c0[0] + dx, c0[1] + dy, c0[2] + dz};
+                    int64_t cid = cell_id(c);
+                    for (int64_t p = counts[cid];
+                         p < counts[cid + 1]; ++p) {
+                        int64_t j = order[p];
+                        if (j == i) continue;
+                        double d2 = 0;
+                        for (int d = 0; d < 3; ++d) {
+                            double dd = pos[3 * i + d] - pos[3 * j + d];
+                            d2 += dd * dd;
                         }
+                        if (found < k) {
+                            best[found++] = d2;
+                            if (found == k) {
+                                std::make_heap(best.begin(), best.end());
+                                worst = best.front();
+                            }
+                        } else if (d2 < worst) {
+                            std::pop_heap(best.begin(), best.end());
+                            best[k - 1] = d2;
+                            std::push_heap(best.begin(), best.end());
+                            worst = best.front();
+                        }
+                    }
+                };
+                for (int dx = dx0; dx <= dx1; ++dx)
+                    for (int dy = dy0; dy <= dy1; ++dy) {
+                        if (std::max(std::abs(dx), std::abs(dy))
+                                == ring) {
+                            // side face: the full clamped dz column
+                            for (int dz = dz0; dz <= dz1; ++dz)
+                                scan_cell(dx, dy, dz);
+                        } else {
+                            // interior column: only the two end caps
+                            if (-ring >= dz0) scan_cell(dx, dy, -ring);
+                            if (ring != -ring && ring <= dz1)
+                                scan_cell(dx, dy, ring);
+                        }
+                    }
             }
             out_h[i] = found ? std::sqrt(
                 found < k ? *std::max_element(best.begin(),

@@ -576,7 +576,7 @@ class ParticleReader:
         else reads serially.  ``max_workers=1`` forces serial;
         an integer > 1 forces that many processes.
 
-        Emits a ResourceWarning before allocating > 4 GB (reference
+        Warns before allocating > 4 GB (reference
         parity: nbody_io.py:632-640).
         """
         species = next(
@@ -604,7 +604,10 @@ class ParticleReader:
                 f"({snaps.size} snapshots x {species.N} particles). Use "
                 "snap_indices to load a subset, or iterate over "
                 "read_snapshot() instead.",
-                ResourceWarning, stacklevel=2)
+                # UserWarning, NOT ResourceWarning: Python's default
+                # filters silently swallow ResourceWarning, and a
+                # suppressed pre-OOM notice is no notice at all
+                UserWarning, stacklevel=2)
 
         if max_workers == "auto":
             try:  # affinity/cgroup-aware, unlike os.cpu_count()

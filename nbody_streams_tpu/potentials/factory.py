@@ -283,11 +283,13 @@ def load_potential_ini(path) -> Potential:
                 s = ln.strip()
                 if not s or s.startswith("#"):
                     continue
-                parts = s.split()
+                # split on the FIRST whitespace only: the payload is a
+                # file path that may itself contain spaces
+                parts = s.split(None, 1)
                 if len(parts) < 2:
                     continue
                 times.append(float(parts[0]))
-                pots.append(_build_single(parts[1], base))
+                pots.append(_build_single(parts[1].strip(), base))
             interp = str(params.get("interplinear", "true")).lower() \
                 not in ("false", "0")
             p = EvolvingPotential(pots, times, interpolate=interp)

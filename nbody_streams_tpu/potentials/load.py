@@ -46,8 +46,13 @@ def load_potential(source, group_name: str = "snap_000",
         coefs = source
     else:
         if isinstance(source, (str, Path)) and "\n" not in str(source) \
-                and Path(source).suffix.lower() in (".h5", ".hdf5") \
-                and Path(source).exists():
+                and Path(source).suffix.lower() in (".h5", ".hdf5"):
+            if not Path(source).exists():
+                # falling through to the text parser would report a
+                # confusing 'not a valid Agama coef file' for a typo'd
+                # archive path
+                raise FileNotFoundError(
+                    f"coefficient archive not found: {source}")
             source = read_coef_string(source, group_name)
         coefs = read_coefs(source)
     pot = _build(coefs, keep_lm_mult, keep_m_cylspl)

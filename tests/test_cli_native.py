@@ -114,3 +114,31 @@ def test_default_impl_respects_default_device(monkeypatch):
     # pinned to a CPU device: must fall back to jnp
     with jax.default_device(jax.devices("cpu")[0]):
         assert dispatch._default_impl(None) == "jnp"
+
+
+def test_knn_degenerate_geometries_match_ckdtree():
+    """Coplanar / collinear / thin-disc inputs: the grid-hash kNN used
+    to hit a UB int cast (single-cell O(n^2) grids), a never-firing ring
+    bound (~hang), and outlier excess-ring scans; all must now match
+    cKDTree exactly at interactive speed."""
+    pytest.importorskip("scipy")
+    from scipy.spatial import cKDTree
+
+    from nbody_streams_tpu import native
+
+    if not native.native_available():
+        pytest.skip("native host-ops not built")
+    rng = np.random.default_rng(0)
+    cases = [
+        (np.column_stack([rng.normal(0, 1, (4000, 2)),
+                          np.full(4000, 5.0)]), 16),          # coplanar
+        (np.column_stack([np.linspace(0, 1, 2000),
+                          np.zeros(2000), np.zeros(2000)]), 8),  # line
+        (np.column_stack([rng.normal(0, 10, (5000, 2)),
+                          rng.normal(0, 0.01, 5000)]), 16),   # thin disc
+        (rng.normal(0, 1, (4000, 3)), 16),                    # 3-D cloud
+    ]
+    for pos, k in cases:
+        h = native.knn_radius(pos, k=k)
+        d, _ = cKDTree(pos).query(pos, k=k + 1)
+        np.testing.assert_allclose(h, d[:, -1], rtol=1e-10)

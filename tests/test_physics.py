@@ -452,8 +452,9 @@ def test_nan_abort_preserves_last_good_restart(tmp_path):
 
 
 def test_extract_orbits_ram_warning(tmp_path, monkeypatch):
-    """ResourceWarning fires before a larger-than-threshold allocation
-    (reference parity: nbody_io.py:632-640)."""
+    """A (default-filter-visible) warning fires before a
+    larger-than-threshold allocation (reference parity:
+    nbody_io.py:632-640)."""
     from nbody_streams_tpu import nbody_io
 
     xv, m = small_plummer(n=32)
@@ -463,5 +464,5 @@ def test_extract_orbits_ram_warning(tmp_path, monkeypatch):
                    verbose=False, precision="float64")
     reader = ParticleReader(str(tmp_path / "snapshot.h5"))
     monkeypatch.setattr(nbody_io, "_RAM_WARN_GB", 1e-9)
-    with pytest.warns(ResourceWarning, match="GB of RAM"):
+    with pytest.warns(UserWarning, match="GB of RAM"):
         reader.extract_orbits("dark", max_workers=1)
