@@ -60,20 +60,48 @@ class KingModel:
         hit_edge.terminal = True
         hit_edge.direction = -1
 
+        # accuracy comes from rtol/atol, not the step cap: max_step=10
+        # vs 0.02 agrees to ~1e-10 in x_t and m_tot while cutting a
+        # W0=17 build from ~55 s to ~0.3 s (the event is a monotonic
+        # zero crossing, so a coarse cap cannot skip it)
         sol = solve_ivp(rhs, [1e-6, 1e4], [W0, 0.0], events=hit_edge,
-                        max_step=0.02, rtol=1e-10, atol=1e-12,
+                        max_step=10.0, rtol=1e-10, atol=1e-12,
                         dense_output=True)
-        x_t = float(sol.t_events[0][0])          # dimensionless tidal radius
+        tail = None
+        if sol.t_events[0].size == 0:
+            # very deep model (W0 >~ 16): the tidal edge lies beyond
+            # x = 1e4 core radii.  Continue from the endpoint with a
+            # looser step cap — w(x) is monotonically decreasing out
+            # here, so the sign-change event cannot be skipped.
+            tail = solve_ivp(rhs, [1e4, 1e7], sol.y[:, -1],
+                             events=hit_edge, max_step=100.0,
+                             rtol=1e-10, atol=1e-12, dense_output=True)
+            if tail.t_events[0].size == 0:
+                raise ValueError(
+                    f"King model W0={W0} is too deep: no tidal edge "
+                    "within 1e7 core radii (physical King models have "
+                    "W0 <~ 16; check the parameter)")
+
+        def dense(x):
+            # piecewise dense output across the (optional) continuation
+            if tail is None:
+                return sol.sol(x)
+            x = np.asarray(x, float)
+            return np.where(x <= 1e4, sol.sol(np.minimum(x, 1e4)),
+                            tail.sol(np.maximum(x, 1e4)))
+
+        x_t = float((tail if tail is not None
+                     else sol).t_events[0][0])   # dimensionless tidal radius
         xs = np.geomspace(1e-4, x_t * 0.999999, 400)
-        ws = sol.sol(xs)[0]
+        ws = dense(xs)[0]
         ws = np.maximum(ws, 0.0)
         rho_hat = _king_rho_hat(ws) / rho0       # rho / rho_0
 
         # cumulative mass (dimensionless): m(x) = int 9? -> from ODE,
         # x^2 dw/dx = -9 m(x)/(4 pi ...) in these units m(x) ~ -x^2 w'
-        dws = sol.sol(xs)[1]
+        dws = dense(xs)[1]
         m_hat = -(xs**2) * dws                   # proportional to M(<x)
-        m_tot_hat = float(-(x_t**2) * sol.sol(x_t)[1])
+        m_tot_hat = float(-(x_t**2) * dense(x_t)[1])
 
         # physical scaling: x = r/r_c, total mass = mass
         self.r_core = float(r_core)

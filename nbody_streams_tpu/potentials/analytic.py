@@ -131,7 +131,10 @@ class LogHaloPotential(Potential):
 
     def __init__(self, velocity: float = 1.0, coreRadius: float = 0.01,
                  axisRatioY: float = 1.0, axisRatioZ: float = 1.0,
-                 scaleRadius: float | None = None, **_ignored):
+                 scaleRadius: float | None = None, G: float = G_DEFAULT):
+        # G accepted (and ignored) for factory uniformity only: the
+        # logarithmic halo is parameterised by v0, not GM.  Anything
+        # else (e.g. a typo'd kwarg) must raise like the other classes.
         # Agama names the core radius 'scaleRadius' for type=Logarithmic
         if scaleRadius is not None:
             coreRadius = scaleRadius

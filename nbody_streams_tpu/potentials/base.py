@@ -44,7 +44,10 @@ def _prep(xyz):
     if arr.ndim == 0 or arr.shape[-1] != 3:
         raise ValueError(f"positions must be (..., 3), got {arr.shape}")
     if arr.dtype not in (jnp.float32, jnp.float64):
-        arr = arr.astype(jnp.float32)
+        # integer/bool input: promote to the DEFAULT float width —
+        # float64 under x64 (hard-coding float32 here would silently
+        # degrade the float64 validation pipeline to 1e-7 accuracy)
+        arr = arr.astype(jnp.result_type(float))
     if arr.ndim == 1:
         return arr[None, :], None
     lead = arr.shape[:-1]

@@ -296,11 +296,6 @@ class CylSplinePotential(Potential):
             total = total + phim * trig
         return total
 
-    def _interior_batch(self, R, z, cos_p, sin_p):
-        import jax
-
-        return jax.vmap(self._interior_point)(R, z, cos_p, sin_p)
-
     # ------------------------------------------------------------------
     def _outer_point(self, r, cos_t, sin_t, cos_p, sin_p,
                      outer_w=None):

@@ -85,7 +85,8 @@ def run_simulation(
         )
     if architecture not in ("cpu", "gpu", "tpu", "auto"):
         raise ValueError(
-            f"architecture must be 'cpu' or 'tpu', got {architecture!r}"
+            "architecture must be 'cpu', 'tpu', 'gpu' (alias), or "
+            f"'auto', got {architecture!r}"
         )
     if method not in ("direct", "tree"):
         raise ValueError(f"method must be 'direct' or 'tree', got {method!r}")

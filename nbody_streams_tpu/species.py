@@ -129,6 +129,14 @@ def _emit_performance_warnings(n_total: int, architecture: str,
     direct path inheriting the GPU-direct threshold: the mesh-sharded
     direct path scales to ~2M particles before a tree/FMM tier would win.
     """
+    if architecture in ("auto", None):
+        # resolve to the backend run_nbody will actually pick — the
+        # branches below compare literal strings, so an unresolved
+        # 'auto' would silently skip every per-backend threshold
+        import jax
+
+        architecture = ("cpu" if jax.default_backend() == "cpu"
+                        else "tpu")
     if n_total > 2_000_000 and method != "tree":
         warnings.warn(
             f"{n_total:,} particles: direct summation at this scale will be "

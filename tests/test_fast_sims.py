@@ -106,6 +106,17 @@ def test_king_sampling_virial():
     assert 0.3 < q < 2.0
 
 
+def test_king_deep_model_beyond_first_span():
+    """W0=18's tidal edge lies beyond 1e4 core radii: the ODE must
+    continue past the first integration span (it used to crash with an
+    opaque IndexError when the edge event never fired)."""
+    km = KingModel(W0=18.0, mass=1e8, r_core=0.5)
+    assert km.r_tidal / km.r_core > 1e4
+    np.testing.assert_allclose(km.m_grid[-1], 1e8, rtol=1e-3)
+    # density profile stays monotone through the span seam at x=1e4
+    assert np.all(np.diff(km.rho_grid) < 0)
+
+
 # ---------------------------------------------------------------------------
 # Jacobi radius + spray ICs
 # ---------------------------------------------------------------------------

@@ -692,3 +692,30 @@ def test_coef_archive_rewrite_drops_stale_groups(tmp_path):
     groups, times = list_coef_groups(path)
     assert groups == ["snap_000", "snap_001", "snap_002"]
     assert len(times) == 3
+
+
+def test_loghalo_rejects_unknown_kwargs():
+    """A typo'd kwarg must raise like every other analytic potential —
+    the old **_ignored catch-all silently built default (wrong)
+    physics.  G is still accepted (factory uniformity) and ignored."""
+    from nbody_streams_tpu.potentials.analytic import LogHaloPotential
+
+    with pytest.raises(TypeError):
+        LogHaloPotential(velocty=220.0)  # codespell:ignore velocty
+    a = LogHaloPotential(velocity=220.0, G=1.0)
+    b = LogHaloPotential(velocity=220.0, G=4.3e-6)
+    p = np.array([1.0, 2.0, 3.0])
+    assert float(a.potential(p)) == float(b.potential(p))
+
+
+def test_prep_promotes_integer_input_to_default_float():
+    """Integer positions must evaluate at the default float width
+    (float64 under x64, as in these tests) — the old hard-coded float32
+    cast silently degraded the float64 pipeline to ~1e-7 accuracy."""
+    from nbody_streams_tpu.potentials.analytic import NFWPotential
+
+    pot = NFWPotential(mass=1e12, scaleRadius=20.0)
+    phi_int = pot.potential(np.array([10, 0, 0]))
+    phi_f64 = pot.potential(np.array([10.0, 0.0, 0.0]))
+    assert np.asarray(phi_int).dtype == np.float64
+    assert float(phi_int) == float(phi_f64)

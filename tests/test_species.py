@@ -85,3 +85,24 @@ def test_no_warning_small():
     with warnings.catch_warnings():
         warnings.simplefilter("error")
         _emit_performance_warnings(1000, "tpu", "direct")
+
+
+def test_performance_warning_fires_under_auto():
+    """The default architecture='auto' must resolve to the actual
+    backend before the per-backend thresholds are compared — it used to
+    match neither branch and silently skip every warning."""
+    # tests run with the cpu backend forced (conftest), so 'auto'
+    # resolves to 'cpu' and the 20k cpu-direct threshold applies
+    with pytest.warns(PerformanceWarning):
+        _emit_performance_warnings(25_000, "auto", "direct")
+
+
+def test_run_simulation_invalid_architecture_message():
+    """The rejection message must list every accepted value — it used
+    to claim only 'cpu'/'tpu' while the guard accepts 'gpu'/'auto'."""
+    from nbody_streams_tpu.sim import run_simulation
+
+    xv = np.zeros((4, 6))
+    with pytest.raises(ValueError, match="'gpu'.*'auto'"):
+        run_simulation(xv, [Species.dark(4, 1.0)], 0.0, 1.0, 0.5,
+                       architecture="cuda")
