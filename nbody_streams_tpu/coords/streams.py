@@ -112,11 +112,20 @@ def generate_stream_coords(xv, xv_prog=None, return_rotation: bool = False,
 
 
 def to_stream_coords(xv, rotation, degrees: bool = True):
-    """(phi1, phi2, r) of particles in an existing stream frame."""
+    """(phi1, phi2, r) of particles in an existing stream frame.
+
+    xv: (N, 6) or (N, 3) positions, or one row (6,) / (3,).
+    """
     xv = np.asarray(xv, float)
-    pos = xv[:, :3] if xv.shape[-1] >= 3 else xv
+    single = xv.ndim == 1
+    if single:
+        xv = xv[None]
+    pos = xv[:, :3]
     p1, p2 = _angles(pos, np.asarray(rotation, float), degrees)
-    return p1, p2, np.linalg.norm(pos, axis=1)
+    r = np.linalg.norm(pos, axis=1)
+    if single:
+        return p1[0], p2[0], r[0]
+    return p1, p2, r
 
 
 def get_observed_stream_coords(xv, xv_prog=None, observer=None,
@@ -124,8 +133,10 @@ def get_observed_stream_coords(xv, xv_prog=None, observer=None,
     """Full observable set for a stream in galactocentric coordinates.
 
     Returns dict with phi1, phi2, dist (from observer), v_los, pm_phi1,
-    pm_phi2 (angular velocities along the frame axes, mas/yr-free units
-    km/s/kpc).  Default observer at the galactic centre.
+    pm_phi2 (angular velocities along the frame axes, in the same angle
+    unit as phi1/phi2 per code time unit: deg/time when ``degrees=True``,
+    rad/time = km/s/kpc otherwise).  Default observer at the galactic
+    centre.
 
     phi1/phi2 are GALACTOCENTRIC stream-frame angles (reference
     semantics, coords/streams.py:341), and pm_phi1/pm_phi2 are the time
@@ -157,6 +168,10 @@ def get_observed_stream_coords(xv, xv_prog=None, observer=None,
     dphi2 = (proj_v[:, 2] * rxy - proj_p[:, 2]
              * (proj_p[:, 0] * proj_v[:, 0] + proj_p[:, 1] * proj_v[:, 1])
              / rxy) / r3**2
+    if degrees:
+        # keep pm_phi1 == d(phi1)/dt for the angles returned above
+        dphi1 = np.rad2deg(dphi1)
+        dphi2 = np.rad2deg(dphi2)
     return {
         "phi1": phi1,
         "phi2": phi2,

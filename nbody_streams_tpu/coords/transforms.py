@@ -16,12 +16,11 @@ _SYSTEMS = ("cart", "sph", "cyl")
 
 
 def _as_rows(arr):
+    """Flatten (..., 3) to (M, 3); returns (rows, lead_shape)."""
     arr = np.asarray(arr, float)
-    single = arr.ndim == 1
-    out = np.atleast_2d(arr)
-    if out.shape[-1] != 3:
+    if arr.ndim == 0 or arr.shape[-1] != 3:
         raise ValueError(f"expected (..., 3), got {arr.shape}")
-    return out, single
+    return arr.reshape(-1, 3), arr.shape[:-1]
 
 
 def _nan_rows(inp, out):
@@ -68,14 +67,14 @@ def convert_coords(coords, from_sys: str, to_sys: str,
             f"coordinate systems must be one of {_SYSTEMS}, got "
             f"{from_sys!r} -> {to_sys!r}"
         )
-    arr, single = _as_rows(coords)
+    arr, lead = _as_rows(coords)
     if from_sys == to_sys:
         out = arr.copy()
     else:
         out = _from_cart(_to_cart(arr, from_sys, mollweide), to_sys,
                          mollweide)
     out = _nan_rows(arr, out)
-    return out[0] if single else out
+    return out.reshape(lead + (3,))
 
 
 def _sph_basis(theta, phi):
@@ -113,8 +112,12 @@ def convert_vectors(vectors, positions, from_sys: str, to_sys: str,
             f"vector systems must be one of {_SYSTEMS}, got "
             f"{from_sys!r} -> {to_sys!r}"
         )
-    vec, single = _as_rows(vectors)
-    pos, _ = _as_rows(positions)
+    vec, lead = _as_rows(vectors)
+    pos, plead = _as_rows(positions)
+    if plead != lead:
+        raise ValueError(
+            f"positions shape {plead + (3,)} does not match vectors "
+            f"shape {lead + (3,)}")
     xyz = _to_cart(pos, position_system, mollweide)
     sph = _from_cart(xyz, "sph", False)
     theta, phi = sph[:, 1], sph[:, 2]
@@ -135,12 +138,12 @@ def convert_vectors(vectors, positions, from_sys: str, to_sys: str,
     # coordinate, so the whole row must go NaN
     out = _nan_rows(np.concatenate([vec, pos], axis=1),
                     np.asarray(out, float))
-    return out[0] if single else out
+    return out.reshape(lead + (3,))
 
 
 def convert_to_vel_los(positions, velocities, observer=None):
     """Line-of-sight velocity relative to an observer (default origin)."""
-    pos, single = _as_rows(positions)
+    pos, lead = _as_rows(positions)
     vel, _ = _as_rows(velocities)
     if observer is not None:
         obs = np.asarray(observer, float)
@@ -149,4 +152,4 @@ def convert_to_vel_los(positions, velocities, observer=None):
             vel = vel - obs[3:6]
     r = np.linalg.norm(pos, axis=1)
     los = np.sum(pos * vel, axis=1) / np.maximum(r, 1e-30)
-    return los[0] if single else los
+    return los.reshape(lead) if lead else los[0]

@@ -48,7 +48,7 @@ import numpy as np
 
 from .base import Potential
 from .coefs import CylSplineCoefs, read_cylspl_coefs
-from .multipole import MUL0, MUL1
+from .multipole import MUL0, MUL1, legendre_nrm, trig_m_recurrence
 
 __all__ = ["CylSplinePotential"]
 
@@ -165,6 +165,7 @@ class CylSplinePotential(Potential):
         self.r_enc = math.hypot(self.r_max, max(self.z_max, -self.z_min))
         self.r0_outer = min(self.r_max, max(self.z_max, -self.z_min))
         self._prune = bool(prune)
+        self.lmax_outer = int(lmax_outer)
         self._build_outer(lmax_outer, dt)
 
     # ------------------------------------------------------------------
@@ -278,12 +279,7 @@ class CylSplinePotential(Potential):
         else:
             phi0 = fsc0
 
-        mmax = self.mmax
-        cos_m = {0: 1.0}
-        sin_m = {0: 0.0}
-        for m in range(1, mmax + 1):
-            cos_m[m] = cos_m[m - 1] * cos_p - sin_m[m - 1] * sin_p
-            sin_m[m] = sin_m[m - 1] * cos_p + cos_m[m - 1] * sin_p
+        cos_m, sin_m = trig_m_recurrence(cos_p, sin_p, self.mmax)
 
         total = phi0  # m = 0 contribution (trig = 1)
         for idx, m in enumerate(self.m_vals):
@@ -303,29 +299,8 @@ class CylSplinePotential(Potential):
         mmax = max(abs(m) for _, m in self.outer_labels)
         r = jnp.maximum(r, 0.5 * self.r_b)
 
-        cos_m = {0: 1.0}
-        sin_m = {0: 0.0}
-        for m in range(1, mmax + 1):
-            cos_m[m] = cos_m[m - 1] * cos_p - sin_m[m - 1] * sin_p
-            sin_m[m] = sin_m[m - 1] * cos_p + cos_m[m - 1] * sin_p
-
-        p = {}
-        for m in range(0, mmax + 1):
-            pref = math.sqrt((2 * m + 1)
-                             / (4.0 * math.pi * math.factorial(2 * m)))
-            dfact = 1.0
-            for i in range(1, 2 * m, 2):
-                dfact *= i
-            pmm = ((-1.0) ** m) * pref * dfact * sin_t ** m
-            p[(m, m)] = pmm
-            if m + 1 <= lmax:
-                p[(m + 1, m)] = math.sqrt(2 * m + 3.0) * cos_t * pmm
-            for l in range(m + 2, lmax + 1):
-                a = math.sqrt((4.0 * l * l - 1.0) / (l * l - m * m))
-                b = math.sqrt(((l - 1.0) ** 2 - m * m)
-                              / (4.0 * (l - 1.0) ** 2 - 1.0))
-                p[(l, m)] = a * (cos_t * p[(l - 1, m)]
-                                 - b * p[(l - 2, m)])
+        cos_m, sin_m = trig_m_recurrence(cos_p, sin_p, mmax)
+        p = legendre_nrm(cos_t, sin_t, lmax, mmax)
 
         w = self.outer_w if outer_w is None else outer_w
         total = 0.0

@@ -229,8 +229,11 @@ class EvolvingPotential(Potential):
                     or not np.allclose(np.asarray(c.z_grid), z0)
                     or [int(m) for m in c.m_values] != m0):
                 return None
+        if len({p.lmax_outer for p in self.pots}) != 1:
+            return None
         rscale = self.pots[0].rscale       # shared asinh scale
         plain = [CylSplinePotential(p.coefs, log_scaling=False,
+                                    lmax_outer=self.pots[0].lmax_outer,
                                     rscale=rscale, prune=False)
                  for p in self.pots]
         if not all(p.m_vals == plain[0].m_vals

@@ -50,6 +50,48 @@ MUL0 = 2.0 * math.sqrt(math.pi)        # m = 0 angular multiplier
 MUL1 = 2.0 * math.sqrt(2.0 * math.pi)  # m != 0
 
 
+def trig_m_recurrence(cos_p, sin_p, mmax):
+    """cos(m phi), sin(m phi) for m = 0..mmax by the angle-addition
+    recurrence; shared by the Multipole angular factors and the
+    CylSpline Fourier sum / outer expansion."""
+    cos_m = {0: jnp.ones_like(cos_p)}
+    sin_m = {0: jnp.zeros_like(sin_p)}
+    for m in range(1, mmax + 1):
+        cos_m[m] = cos_m[m - 1] * cos_p - sin_m[m - 1] * sin_p
+        sin_m[m] = sin_m[m - 1] * cos_p + cos_m[m - 1] * sin_p
+    return cos_m, sin_m
+
+
+def legendre_nrm(cos_t, sin_t, lmax, mmax):
+    """Orthonormalised associated Legendre P~_lm with CS phase as a
+    dict (l, m) -> value, shared by MultipolePotential._angular and
+    CylSplinePotential._outer_point:
+    P~_mm = COEF_m sin^m(theta),  COEF_m = (-1)^m PREFACT_m (2m-1)!!
+    upward l-recurrence:
+      P~_lm = a (cos P~_{l-1,m}) - b P~_{l-2,m}
+      a = sqrt((4l^2-1)/(l^2-m^2)), b = sqrt(((l-1)^2-m^2)/(4(l-1)^2-1))
+    """
+    p = {}
+    for m in range(0, mmax + 1):
+        pref = math.sqrt((2 * m + 1)
+                         / (4.0 * math.pi * math.factorial(2 * m)))
+        dfact = 1.0
+        for i in range(1, 2 * m, 2):
+            dfact *= i
+        coef_m = ((-1.0) ** m) * pref * dfact
+        pmm = coef_m * sin_t ** m
+        p[(m, m)] = pmm
+        if m + 1 <= lmax:
+            p[(m + 1, m)] = (math.sqrt(2 * m + 3.0) * cos_t * pmm)
+        for l in range(m + 2, lmax + 1):
+            a = math.sqrt((4.0 * l * l - 1.0) / (l * l - m * m))
+            b = math.sqrt((((l - 1.0) ** 2 - m * m)
+                           / (4.0 * (l - 1.0) ** 2 - 1.0)))
+            p[(l, m)] = a * (cos_t * p[(l - 1, m)]
+                             - b * p[(l - 2, m)])
+    return p
+
+
 def _quintic_d2(x, f, d1):
     """Node second derivatives for the C2 quintic spline through
     (f, d1), from the tridiagonal system enforcing a continuous 4th
@@ -403,37 +445,8 @@ class MultipolePotential(Potential):
     # -- angular part -------------------------------------------------------
     def _angular(self, cos_t, sin_t, cos_p, sin_p):
         """Y factors per stored harmonic, same order as self.labels: (C,)."""
-        lmax, mmax = self.lmax, self.mmax
-        # cos(m phi), sin(m phi) by recurrence
-        cos_m = {0: jnp.ones_like(cos_p)}
-        sin_m = {0: jnp.zeros_like(sin_p)}
-        for m in range(1, mmax + 1):
-            cos_m[m] = cos_m[m - 1] * cos_p - sin_m[m - 1] * sin_p
-            sin_m[m] = sin_m[m - 1] * cos_p + cos_m[m - 1] * sin_p
-
-        # Orthonormalised associated Legendre with CS phase:
-        # P~_mm = COEF_m sin^m(theta),  COEF_m = (-1)^m PREFACT_m (2m-1)!!
-        # upward l-recurrence:
-        #   P~_lm = a (cos P~_{l-1,m}) - b P~_{l-2,m}
-        #   a = sqrt((4l^2-1)/(l^2-m^2)), b = sqrt(((l-1)^2-m^2)/(4(l-1)^2-1))
-        p = {}
-        for m in range(0, mmax + 1):
-            pref = math.sqrt((2 * m + 1)
-                             / (4.0 * math.pi * math.factorial(2 * m)))
-            dfact = 1.0
-            for i in range(1, 2 * m, 2):
-                dfact *= i
-            coef_m = ((-1.0) ** m) * pref * dfact
-            pmm = coef_m * sin_t ** m
-            p[(m, m)] = pmm
-            if m + 1 <= lmax:
-                p[(m + 1, m)] = (math.sqrt(2 * m + 3.0) * cos_t * pmm)
-            for l in range(m + 2, lmax + 1):
-                a = math.sqrt((4.0 * l * l - 1.0) / (l * l - m * m))
-                b = math.sqrt((((l - 1.0) ** 2 - m * m)
-                               / (4.0 * (l - 1.0) ** 2 - 1.0)))
-                p[(l, m)] = a * (cos_t * p[(l - 1, m)]
-                                 - b * p[(l - 2, m)])
+        cos_m, sin_m = trig_m_recurrence(cos_p, sin_p, self.mmax)
+        p = legendre_nrm(cos_t, sin_t, self.lmax, self.mmax)
 
         ys = []
         for l, m in self.labels:

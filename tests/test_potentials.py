@@ -719,3 +719,39 @@ def test_prep_promotes_integer_input_to_default_float():
     phi_f64 = pot.potential(np.array([10.0, 0.0, 0.0]))
     assert np.asarray(phi_int).dtype == np.float64
     assert float(phi_int) == float(phi_f64)
+
+
+def test_evolving_cylspline_stack_preserves_lmax_outer():
+    """The stacked rebuild must reuse the snapshots' lmax_outer, not
+    the class default of 8 — otherwise the outer continuation silently
+    loses the harmonics the user asked for (r3 review)."""
+    from nbody_streams_tpu.potentials.modifiers import EvolvingPotential
+
+    def make(mass, lmax_outer):
+        mn = MiyamotoNagaiPotential(mass=mass, scaleRadius=3.0,
+                                    scaleHeight=0.4)
+        r_grid = np.concatenate([[0.0], np.geomspace(0.1, 60.0, 24)])
+        zp = np.geomspace(0.05, 12.0, 12)
+        z_grid = np.concatenate([-zp[::-1], [0.0], zp])
+        rr, zz = np.meshgrid(r_grid, z_grid, indexing="ij")
+        p = np.column_stack([rr.ravel(), np.zeros(rr.size), zz.ravel()])
+        tab = np.asarray(mn.potential(p)).reshape(rr.shape)
+        return CylSplinePotential(CylSplineCoefs(
+            R_grid=r_grid, z_grid=z_grid, m_values=[0], phi=tab[None]),
+            lmax_outer=16)
+
+    times = np.linspace(0, 5, 3)
+    pots = [make(m, 16) for m in np.linspace(4e10, 6e10, 3)]
+    assert pots[0].lmax_outer == 16
+    ev = EvolvingPotential(pots, times)
+    assert ev._stacked is not None
+    assert ev._stacked["template"].lmax_outer == 16
+    # outer-region values (beyond the grid) match the lerped members
+    pts = np.array([[80.0, 10.0, 20.0], [0.0, 0.0, 90.0]])
+    tq = 1.3
+    i = int(np.searchsorted(times, tq) - 1)
+    a = (tq - times[i]) / (times[i + 1] - times[i])
+    expected = ((1 - a) * np.asarray(pots[i].potential(pts))
+                + a * np.asarray(pots[i + 1].potential(pts)))
+    np.testing.assert_allclose(np.asarray(ev.potential(pts, t=tq)),
+                               expected, rtol=2e-4)

@@ -300,12 +300,17 @@ def test_observed_pm_is_rate_of_returned_angles():
     xv2[:, :3] += xv[:, 3:] * dt
     p1a, p2a, _ = to_stream_coords(xv, out["rotation"])
     p1b, p2b, _ = to_stream_coords(xv2, out["rotation"])
-    np.testing.assert_allclose(out["pm_phi1"],
-                               np.radians(p1b - p1a) / dt,
-                               rtol=1e-4, atol=1e-7)
-    np.testing.assert_allclose(out["pm_phi2"],
-                               np.radians(p2b - p2a) / dt,
-                               rtol=1e-4, atol=1e-7)
+    # degrees=True default: pm must be in deg/time, the rate of the
+    # RETURNED (degree) angles (r3 review: was rad/time regardless)
+    np.testing.assert_allclose(out["pm_phi1"], (p1b - p1a) / dt,
+                               rtol=1e-4, atol=6e-6)
+    np.testing.assert_allclose(out["pm_phi2"], (p2b - p2a) / dt,
+                               rtol=1e-4, atol=6e-6)
+    # and radian mode stays km/s/kpc
+    out_r = get_observed_stream_coords(xv, xv[15], observer=obs_vec,
+                                       degrees=False)
+    np.testing.assert_allclose(out_r["pm_phi1"],
+                               np.deg2rad(out["pm_phi1"]), rtol=1e-12)
 
 
 def test_convert_vectors_nan_position_propagates():
@@ -345,3 +350,37 @@ def test_plot_stream_evolution_times_mismatch():
     xv = rng.normal(size=(50, 100, 6))
     with pytest.raises(ValueError, match="neither axis"):
         plot_stream_evolution(xv, np.arange(49), mass=1.0)
+
+
+def test_convert_coords_batched_leading_shape():
+    """(S, N, 3) input round-trips with the leading shape preserved
+    (r3 review: 2-D-only indexing crashed on batched input)."""
+    from nbody_streams_tpu.coords import convert_vectors
+
+    x = np.random.default_rng(3).normal(size=(2, 5, 3))
+    s = convert_coords(x, "cart", "sph")
+    assert s.shape == (2, 5, 3)
+    np.testing.assert_allclose(convert_coords(s, "sph", "cart"), x,
+                               atol=1e-12)
+    np.testing.assert_allclose(s[1], convert_coords(x[1], "cart", "sph"))
+    v = convert_vectors(x, x, "cart", "cyl")
+    assert v.shape == (2, 5, 3)
+    np.testing.assert_allclose(v[0], convert_vectors(x[0], x[0],
+                                                     "cart", "cyl"))
+    los = convert_to_vel_los(x, x)
+    assert los.shape == (2, 5)
+    import pytest
+
+    with pytest.raises(ValueError, match="does not match"):
+        convert_vectors(x, x[0], "cart", "sph")
+
+
+def test_to_stream_coords_single_row():
+    """One (6,) phase-space row works like every other coords API
+    (r3 review: IndexError)."""
+    xv = np.random.default_rng(4).normal(size=(7, 6)) * 10
+    rot = np.eye(3)
+    p1, p2, r = to_stream_coords(xv[0], rot)
+    P1, P2, R = to_stream_coords(xv, rot)
+    assert np.ndim(p1) == 0
+    np.testing.assert_allclose([p1, p2, r], [P1[0], P2[0], R[0]])
