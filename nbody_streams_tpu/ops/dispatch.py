@@ -113,6 +113,17 @@ class DirectGravity:
                 "impl='sharded' (impl='auto' only selects the sharded "
                 "backend when devices= has more than one device)")
 
+    def shard_state(self, tree):
+        """Block-shard (N, ...) state arrays over the particle mesh.
+
+        A no-op for the single-device backends.  For ``impl='sharded'``
+        this places the integrator state with the same sharding the ring
+        body expects, so scanned KDK steps run fully sharded instead of
+        paying an XLA reshard per force call."""
+        if self.impl == "sharded":
+            return self._sharded.shard_state(tree)
+        return tree
+
     def _check_pos(self, pos):
         if pos.ndim != 2 or pos.shape != (self.n, 3):
             raise ValueError(

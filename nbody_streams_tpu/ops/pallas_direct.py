@@ -292,7 +292,7 @@ def _pad1(a, npad):
 def _soft_pre(kind, h):
     """Per-particle precomputed softening quantity (see _force_pre)."""
     if kind == "spline":
-        return jnp.where(h > 0, 1.0 / jnp.maximum(h, 1e-300), jnp.inf)
+        return jnp.where(h > 0, 1.0 / h, jnp.inf)
     return h * h
 
 

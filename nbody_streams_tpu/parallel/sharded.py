@@ -51,9 +51,10 @@ def make_particle_mesh(devices=None) -> Mesh:
     return Mesh(np.array(devices), (AXIS,))
 
 
-def _tile_forces_blocked(kind, kahan, block, eps2,
-                         pos_t, h_t, idx_t, pos_s, m_s, h_s, idx_s):
-    """Blocked jnp fallback tile: targets (Nt) x sources (Ns) forces."""
+def _tile_blocked(mode, kind, kahan, block, eps2,
+                  pos_t, h_t, idx_t, pos_s, m_s, h_s, idx_s):
+    """Blocked jnp fallback tile: targets (Nt) x sources (Ns),
+    ``mode`` = 'acc' (forces, (Nt, 3)) or 'pot' (potential, (Nt,))."""
     ns = pos_s.shape[0]
     nb = -(-ns // block)
     npad = nb * block
@@ -61,42 +62,12 @@ def _tile_forces_blocked(kind, kahan, block, eps2,
     m_sp = jnp.pad(m_s, (0, npad - ns))
     h_sp = jnp.pad(h_s, (0, npad - ns))
     idx_sp = jnp.pad(idx_s, (0, npad - ns), constant_values=-1)
+    tile_fn = pairwise.accel_tile if mode == "acc" else pairwise.potential_tile
 
     def scan_fn(carry, sb):
         total, comp = carry
         ps, ms, hs, js = sb
-        part = pairwise.accel_tile(kind, pos_t, h_t, idx_t, ps, ms, hs, js,
-                                   eps2=eps2)
-        if kahan:
-            total, comp = pairwise.kahan_add(total, comp, part)
-        else:
-            total = total + part
-        return (total, comp), None
-
-    init = (jnp.zeros_like(pos_t), jnp.zeros_like(pos_t))
-    (total, _), _ = lax.scan(
-        scan_fn, init,
-        (pos_sp.reshape(nb, block, 3), m_sp.reshape(nb, block),
-         h_sp.reshape(nb, block), idx_sp.reshape(nb, block)),
-    )
-    return total
-
-
-def _tile_potential_blocked(kind, kahan, block, eps2,
-                            pos_t, h_t, idx_t, pos_s, m_s, h_s, idx_s):
-    ns = pos_s.shape[0]
-    nb = -(-ns // block)
-    npad = nb * block
-    pos_sp = jnp.pad(pos_s, ((0, npad - ns), (0, 0)))
-    m_sp = jnp.pad(m_s, (0, npad - ns))
-    h_sp = jnp.pad(h_s, (0, npad - ns))
-    idx_sp = jnp.pad(idx_s, (0, npad - ns), constant_values=-1)
-
-    def scan_fn(carry, sb):
-        total, comp = carry
-        ps, ms, hs, js = sb
-        part = pairwise.potential_tile(kind, pos_t, h_t, idx_t, ps, ms, hs,
-                                       js, eps2=eps2)
+        part = tile_fn(kind, pos_t, h_t, idx_t, ps, ms, hs, js, eps2=eps2)
         if kahan:
             total, comp = pairwise.kahan_add(total, comp, part)
         else:
@@ -104,9 +75,9 @@ def _tile_potential_blocked(kind, kahan, block, eps2,
         return (total, comp), None
 
     # zeros_like keeps the shard_map varying-axis annotation of pos_t
-    init = (jnp.zeros_like(pos_t[:, 0]), jnp.zeros_like(pos_t[:, 0]))
+    zero = jnp.zeros_like(pos_t if mode == "acc" else pos_t[:, 0])
     (total, _), _ = lax.scan(
-        scan_fn, init,
+        scan_fn, (zero, zero),
         (pos_sp.reshape(nb, block, 3), m_sp.reshape(nb, block),
          h_sp.reshape(nb, block), idx_sp.reshape(nb, block)),
     )
@@ -227,10 +198,8 @@ class ShardedDirect:
             # jnp path: exact self-handling via global indices
             src_dev = (me - r) % d
             idx_s = src_dev.astype(jnp.int32) * nl + local_idx
-            fn = (_tile_forces_blocked if mode == "acc"
-                  else _tile_potential_blocked)
-            return fn(kind, kahan, min(1024, nl), eps2,
-                      pos_l, h_l, idx_t, ps, ms, hs, idx_s)
+            return _tile_blocked(mode, kind, kahan, min(1024, nl), eps2,
+                                 pos_l, h_l, idx_t, ps, ms, hs, idx_s)
 
         def body(carry, r):
             total, comp, src = carry

@@ -214,10 +214,10 @@ def fit_cylspline_from_particles(pos, mass, R_grid=None, z_grid=None,
             "plummer" if softening > 0 else "newtonian", True,
         ), float)
     else:
-        from ..parallel.sharded import _tile_potential_blocked
+        from ..parallel.sharded import _tile_blocked
 
-        phi_vals = np.asarray(_tile_potential_blocked(
-            "plummer" if softening > 0 else "newtonian", True, 2048,
+        phi_vals = np.asarray(_tile_blocked(
+            "pot", "plummer" if softening > 0 else "newtonian", True, 2048,
             1e-15,
             jnp.asarray(grid_pts), jnp.zeros(len(grid_pts)),
             jnp.full(len(grid_pts), -1, jnp.int32),

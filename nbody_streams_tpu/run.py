@@ -324,6 +324,9 @@ def run_nbody(
             start_step=start_step, dt=dt, dtype=state_dtype, force_extra=fx,
             sort_fn=solver.sort_key if presort else None,
         )
+        # multi-chip: place the state block-sharded so scanned KDK steps
+        # run fully sharded instead of resharding pos every force call
+        state = solver.shard_state(state)
 
         e_ref = None
         energy_fn = None
@@ -419,8 +422,13 @@ def run_nbody(
                         allow = 600.0 if s not in compiled_lengths else 30.0
                         with _ChunkWatchdog(step_timeout_s * s + allow,
                                             emergency_restart):
+                            # re-sort only on the first sub-chunk of each
+                            # boundary chunk — the order staying slightly
+                            # stale within a boundary is exact by
+                            # construction (band-validity fallback), and
+                            # per-sub-chunk argsort costs ~96 ms/step at 2M
                             state = run_chunk(step_fn, state, s,
-                                              presort=presort)
+                                              presort=presort and done == 0)
                             jax.block_until_ready(state.pos)
                         compiled_lengths.add(s)
                         done += s
