@@ -37,7 +37,9 @@ from .multipole import MultipolePotential
 
 __all__ = ["make_potential", "load_potential_ini"]
 
-# camelCase canonical names for the GalPot-style builder kwargs
+# camelCase canonical names for builder kwargs (shared by the
+# GalPot-style and analytic branches — ONE table so a new kwarg cannot
+# silently canonicalise on one path and fall through on the other)
 _GALPOT_CANONICAL = {
     "densitynorm": "densityNorm", "mass": "mass",
     "scaleradius": "scaleRadius", "scaleheight": "scaleHeight",
@@ -50,6 +52,9 @@ _GALPOT_CANONICAL = {
     "w0": "W0", "trunc": "trunc", "lmax": "lmax",
     "gridsizer": "gridSizeR", "rmin": "rmin", "rmax": "rmax",
     "ntheta": "n_theta", "g": "G",
+    # analytic-only kwargs
+    "velocity": "velocity", "v0": "velocity", "coreradius": "coreRadius",
+    "ax": "ax", "ay": "ay", "az": "az",
 }
 
 
@@ -179,22 +184,8 @@ def _build_single(spec, base_dir: Path | None = None) -> Potential:
         return _apply_modifiers(UniformAcceleration(table=src),
                                 center, scale, ampl)
     if kind in ANALYTIC_TYPE_MAP:
-        # normalise Agama kwarg capitalisation
-        canonical = {
-            "mass": "mass", "scaleradius": "scaleRadius",
-            "scaleheight": "scaleHeight", "gamma": "gamma",
-            "velocity": "velocity", "v0": "velocity",
-            "coreradius": "coreRadius", "axisratioy": "axisRatioY",
-            "axisratioz": "axisRatioZ",
-            "surfacedensity": "surfaceDensity",
-            "innercutoffradius": "innerCutoffRadius",
-            "sersicindex": "sersicIndex",
-            "ax": "ax", "ay": "ay", "az": "az", "g": "G",
-        }
-        kw = {}
-        for k, v in params.items():
-            kw[canonical.get(k, k)] = v
-        pot = ANALYTIC_TYPE_MAP[kind](**kw)
+        # normalise Agama kwarg capitalisation (shared canonical table)
+        pot = ANALYTIC_TYPE_MAP[kind](**_galpot_kwargs(params))
         return _apply_modifiers(pot, center, scale, ampl)
     raise ValueError(f"Unknown potential type {kind!r}")
 
@@ -281,7 +272,7 @@ def load_potential_ini(path) -> Potential:
             times, pots = [], []
             for ln in section[data_start + 1:]:
                 s = ln.strip()
-                if not s or s.startswith("#"):
+                if not s or s.startswith("#") or s.startswith(";"):
                     continue
                 # split on the FIRST whitespace only: the payload is a
                 # file path that may itself contain spaces

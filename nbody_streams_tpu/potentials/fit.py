@@ -177,10 +177,19 @@ def fit_cylspline_from_particles(pos, mass, R_grid=None, z_grid=None,
     rc = np.hypot(pos[:, 0], pos[:, 1])
     if R_grid is None:
         R_max = np.percentile(rc, 99.5)
+        if R_max <= 0:
+            raise ValueError(
+                "cannot auto-build R_grid: the 99.5th percentile of the "
+                "particles' cylindrical radius is 0 (all particles on the "
+                "z-axis); pass R_grid= explicitly")
         R_grid = np.concatenate([[0.0], np.geomspace(R_max * 2e-3, R_max,
                                                      24)])
     if z_grid is None:
         z_max = np.percentile(np.abs(pos[:, 2]), 99.5)
+        if z_max <= 0:
+            # razor-thin disc: span a thin but finite slab scaled to the
+            # radial extent so the bicubic has a valid vertical axis
+            z_max = 1e-3 * max(np.percentile(rc, 99.5), 1.0)
         zp = np.geomspace(z_max * 2e-3, z_max, 12)
         z_grid = np.concatenate([-zp[::-1], [0.0], zp])
     R_grid = np.asarray(R_grid, float)

@@ -474,6 +474,11 @@ def build_spheroid(densityNorm: float | None = None, mass: float | None = None,
         raise NotImplementedError(
             "axisRatioY != 1 with axisRatioZ == 1 (prolate about y) is "
             "not supported; set axisRatioZ instead")
+    if densityNorm is not None and mass is not None:
+        # Agama rejects the conflicting pair; silently dropping mass=
+        # would mis-normalise the potential without any signal
+        raise ValueError(
+            "Spheroid: pass densityNorm= OR mass=, not both")
     dens = SpheroidDensity(
         densityNorm=1.0 if densityNorm is None else densityNorm,
         scaleRadius=scaleRadius, alpha=alpha, beta=beta, gamma=gamma,
@@ -530,6 +535,9 @@ def build_disk(surfaceDensity: float | None = None,
     """
     from .analytic import DiskAnsatzPotential
 
+    if surfaceDensity is not None and mass is not None:
+        raise ValueError(
+            "Disk: pass surfaceDensity= OR mass=, not both")
     if surfaceDensity is None:
         if mass is None:
             raise ValueError("Disk needs surfaceDensity= or mass=")

@@ -81,10 +81,13 @@ def write_snapshot_coefs_to_h5(h5_path, coef_strings, times=None,
     for i, s in enumerate(coef_strings):
         write_coef_to_h5(h5_path, s, group_fmt.format(snap=i),
                          dataset_name, overwrite=overwrite)
-    if times is not None:
-        with h5py.File(h5_path, "a") as f:
-            if "times" in f:
-                del f["times"]
+    with h5py.File(h5_path, "a") as f:
+        # always drop a stale 'times' dataset: re-packing with times=None
+        # must not leave old epochs paired with the new coefficients
+        # (load_evolving_potential's length check cannot catch that)
+        if "times" in f:
+            del f["times"]
+        if times is not None:
             f.create_dataset("times", data=np.asarray(times, float))
 
 

@@ -365,8 +365,13 @@ def find_center(pos, vel=None, mass=None, method: str = "density_peak",
         return center
     vel = np.asarray(vel, float)
     d = np.linalg.norm(pos - center, axis=1)
-    ap = vel_aperture or np.percentile(d, 10)
+    ap = np.percentile(d, 10) if vel_aperture is None else vel_aperture
     sel = d <= ap
+    if not sel.any():
+        raise ValueError(
+            f"vel_aperture={ap:g} selects no particles around the centre "
+            f"(nearest particle at distance {d.min():g}); enlarge it or "
+            "pass vel_aperture=None for the 10th-percentile default")
     v_center = (vel[sel] * mass_arr[sel, None]).sum(0) / mass_arr[sel].sum()
     return center, v_center
 

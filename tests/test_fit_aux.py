@@ -311,3 +311,24 @@ class TestLoadFirePot:
                           save_modified=True, save_dir=str(out),
                           verbose=False)
         assert not out.exists()  # nothing filtered -> nothing written
+
+
+def test_fit_cylspline_razor_thin_disk():
+    """All-z=0 particle sets must auto-build a finite vertical grid
+    instead of crashing in geomspace(0, 0) (r3 review)."""
+    from nbody_streams_tpu.potentials.fit import fit_cylspline_from_particles
+
+    rng = np.random.default_rng(5)
+    R = rng.exponential(3.0, 4000)
+    th = rng.uniform(0, 2 * np.pi, 4000)
+    pos = np.column_stack([R * np.cos(th), R * np.sin(th),
+                           np.zeros_like(R)])
+    coefs = fit_cylspline_from_particles(pos, np.full(4000, 2.5e6),
+                                         mmax=0, softening=0.05)
+    assert np.isfinite(np.asarray(coefs.phi)).all()
+    assert np.asarray(coefs.z_grid).max() > 0
+    # axis-only particles cannot produce an R grid: explicit error
+    posz = np.column_stack([np.zeros(100), np.zeros(100),
+                            np.linspace(-1, 1, 100)])
+    with pytest.raises(ValueError, match="R_grid"):
+        fit_cylspline_from_particles(posz, np.ones(100), mmax=0)

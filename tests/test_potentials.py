@@ -755,3 +755,61 @@ def test_evolving_cylspline_stack_preserves_lmax_outer():
                 + a * np.asarray(pots[i + 1].potential(pts)))
     np.testing.assert_allclose(np.asarray(ev.potential(pts, t=tq)),
                                expected, rtol=2e-4)
+
+
+def test_repack_archive_without_times_drops_stale_times(tmp_path, pts):
+    """Re-packing an archive with times=None must delete the previous
+    'times' dataset — a same-length stale one would silently pair old
+    epochs with new coefficients (r3 review)."""
+    a = PlummerPotential(mass=1e11, scaleRadius=5.0)
+    b = PlummerPotential(mass=2e11, scaleRadius=5.0)
+    grid = np.geomspace(0.1, 300, 30)
+    strings = [make_spherical_coefs(p, grid).to_coef_string()
+               for p in (a, b)]
+    path = tmp_path / "evolv.h5"
+    write_snapshot_coefs_to_h5(path, strings, times=[0.0, 1.0])
+    write_snapshot_coefs_to_h5(path, strings, times=None)
+    import h5py
+
+    with h5py.File(path, "r") as f:
+        assert "times" not in f
+
+
+def test_timestamps_block_accepts_semicolon_comments(tmp_path):
+    """Agama-style ';' comments inside a Timestamps block must be
+    skipped, same as the key/value parser (r3 review: float(';')
+    ValueError)."""
+    from nbody_streams_tpu.potentials import create_evolving_ini
+    from nbody_streams_tpu.potentials.factory import load_potential_ini
+
+    grid = np.geomspace(0.1, 300, 30)
+    for i, mass in enumerate([1e11, 2e11]):
+        p = PlummerPotential(mass=mass, scaleRadius=5.0)
+        (tmp_path / f"s{i}.coef_mult").write_text(
+            make_spherical_coefs(p, grid).to_coef_string())
+    ini = create_evolving_ini(tmp_path / "ev.ini",
+                              ["s0.coef_mult", "s1.coef_mult"], [0.0, 1.0])
+    text = Path(ini).read_text().splitlines()
+    k = next(i for i, ln in enumerate(text)
+             if ln.strip().lower() == "timestamps")
+    text.insert(k + 1, "; epochs in Gyr")
+    Path(ini).write_text("\n".join(text) + "\n")
+    pot = load_potential_ini(ini)
+    q = np.array([3.0, 0.0, 0.0])
+    mid = float(pot.potential(q, t=0.5))
+    exp = 0.5 * (float(PlummerPotential(mass=1e11, scaleRadius=5.0)
+                       .potential(q))
+                 + float(PlummerPotential(mass=2e11, scaleRadius=5.0)
+                         .potential(q)))
+    assert abs(mid - exp) / abs(exp) < 1e-3
+
+
+def test_galpot_conflicting_normalisation_raises():
+    """mass= together with densityNorm=/surfaceDensity= must raise, not
+    silently drop mass= (r3 review; Agama rejects the pair too)."""
+    with pytest.raises(ValueError, match="not both"):
+        make_potential(type="Spheroid", densityNorm=1.0, mass=1e12,
+                       scaleRadius=5.0, outerCutoffRadius=50.0)
+    with pytest.raises(ValueError, match="not both"):
+        make_potential(type="Disk", surfaceDensity=1.0, mass=1e10,
+                       scaleRadius=3.0, scaleHeight=0.3)

@@ -384,3 +384,12 @@ def test_to_stream_coords_single_row():
     P1, P2, R = to_stream_coords(xv, rot)
     assert np.ndim(p1) == 0
     np.testing.assert_allclose([p1, p2, r], [P1[0], P2[0], R[0]])
+
+
+def test_find_center_empty_velocity_aperture_raises(plummer):
+    """An explicit vel_aperture selecting zero particles must raise, not
+    return NaN (r3 review; also: 0 is no longer treated as 'unset')."""
+    xv, m = plummer
+    with pytest.raises(ValueError, match="selects no particles"):
+        find_center(xv[:, :3] + 5.0, vel=xv[:, 3:], mass=m,
+                    method="shrinking_sphere", vel_aperture=1e-12)
