@@ -94,6 +94,20 @@ def eddington_df(density, potential, r_grid=None, t: float = 0.0):
         raise ValueError("too few usable radii: psi = -Phi is flat on the "
                          "supplied r_grid")
     r, pts, rho, psi = r[keep], pts[keep], rho[keep], psi[keep]
+    # E = psi must be positive: a potential that does not vanish at
+    # infinity (e.g. the logarithmic halo, Phi -> +inf) makes every
+    # sqrt(E) below NaN and the sampler's rejection loop then dies with
+    # an unrelated numpy error.  Drop any non-positive tail (round-off
+    # at the far extension radius) and fail with the physics if nothing
+    # bound remains
+    pos = psi > 0
+    if pos.sum() < 16:
+        raise ValueError(
+            "eddington_df needs psi = -Phi > 0, i.e. a potential that "
+            f"vanishes at infinity (max psi on the grid: {psi.max():.3e});"
+            " potentials like the logarithmic halo have no isotropic DF "
+            "in this form")
+    r, pts, rho, psi = r[pos], pts[pos], rho[pos], psi[pos]
 
     rho_of_psi = CubicSpline(psi[::-1], rho[::-1])
     d2rho = rho_of_psi.derivative(2)

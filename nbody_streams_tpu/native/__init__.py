@@ -42,7 +42,9 @@ def _load():
             return None
         _lib = lib
         return lib
-    except OSError:
+    except (OSError, AttributeError):
+        # AttributeError: a stale/partial .so missing a symbol (ctypes
+        # dlsym) must fall back, same as a missing/unloadable library
         return None
 
 

@@ -21,6 +21,16 @@ from .multipole import MultipolePotential
 __all__ = ["load_potential", "load_evolving_potential"]
 
 
+def _wrap_center(pot, center):
+    """Recenter: (3,) fixed offset, (T,4)/(T,7) trajectory table, or a
+    whitespace table file path."""
+    if center is None:
+        return pot
+    if isinstance(center, (str, Path)):
+        center = np.loadtxt(center)
+    return ShiftedPotential(pot, np.asarray(center, float))
+
+
 def _build(coefs, keep_lm_mult=None, keep_m_cylspl=None):
     if isinstance(coefs, MultipoleCoefs):
         if keep_lm_mult is not None:
@@ -55,12 +65,7 @@ def load_potential(source, group_name: str = "snap_000",
                     f"coefficient archive not found: {source}")
             source = read_coef_string(source, group_name)
         coefs = read_coefs(source)
-    pot = _build(coefs, keep_lm_mult, keep_m_cylspl)
-    if center is not None:
-        if isinstance(center, (str, Path)):
-            center = np.loadtxt(center)
-        pot = ShiftedPotential(pot, np.asarray(center, float))
-    return pot
+    return _wrap_center(_build(coefs, keep_lm_mult, keep_m_cylspl), center)
 
 
 def load_evolving_potential(source, times=None, keep_lm_mult=None,
@@ -77,12 +82,7 @@ def load_evolving_potential(source, times=None, keep_lm_mult=None,
                 "times/keep_lm_mult/keep_m_cylspl are not supported for "
                 ".ini sources (the INI defines its own snapshots); load "
                 "the HDF5 archive directly to filter harmonics")
-        pot = load_potential_ini(source)
-        if center is not None:
-            if isinstance(center, (str, Path)):
-                center = np.loadtxt(center)
-            pot = ShiftedPotential(pot, np.asarray(center, float))
-        return pot
+        return _wrap_center(load_potential_ini(source), center)
 
     groups, t_embedded = list_coef_groups(source)
     if not groups:
@@ -97,15 +97,20 @@ def load_evolving_potential(source, times=None, keep_lm_mult=None,
         raise ValueError(
             f"{len(groups)} snapshot groups but {len(times)} times"
         )
+    # one h5py open for the whole archive (read_coef_string per group
+    # would reopen the file N times — slow on network filesystems)
+    import h5py
+
+    with h5py.File(source, "r") as f:
+        strings = []
+        for g in groups:
+            raw = f[g]["coefs"][()]
+            strings.append(raw.decode() if isinstance(raw, bytes)
+                           else str(raw))
     pots = [
-        load_potential(read_coef_string(source, g),
-                       keep_lm_mult=keep_lm_mult,
+        load_potential(s, keep_lm_mult=keep_lm_mult,
                        keep_m_cylspl=keep_m_cylspl)
-        for g in groups
+        for s in strings
     ]
-    pot = EvolvingPotential(pots, times, interpolate=interpolate)
-    if center is not None:
-        if isinstance(center, (str, Path)):
-            center = np.loadtxt(center)
-        pot = ShiftedPotential(pot, np.asarray(center, float))
-    return pot
+    return _wrap_center(EvolvingPotential(pots, times,
+                                          interpolate=interpolate), center)

@@ -226,3 +226,29 @@ def test_sample_disk_rejects_zero_scale_height():
     mw = make_potential(type='NFW', mass=1e12, scaleRadius=16.0)
     with pytest.raises(ValueError, match="scaleHeight"):
         nst.sample_disk(100, mw, mass=5e9, scaleHeight=0.0)
+
+
+def test_eddington_rejects_nonvanishing_potential():
+    """Potentials with psi = -Phi <= 0 (e.g. a logarithmic halo) must
+    raise the physics error, not return an all-NaN DF that kills the
+    sampler's rejection loop later (r3 review)."""
+    log = make_potential(type="Logarithmic", v0=220.0, coreRadius=1.0)
+    with pytest.raises(ValueError, match="vanishes at infinity"):
+        nst.eddington_df(_plummer_density(1e9, 1.0), log)
+
+
+def test_native_stale_library_falls_back(monkeypatch):
+    """A stale .so missing a symbol (ctypes AttributeError) must report
+    native_available() == False, not crash (r3 review)."""
+    from pathlib import Path
+
+    from nbody_streams_tpu import native
+
+    class _Empty:  # dlsym on any attribute fails
+        def __getattr__(self, name):
+            raise AttributeError(name)
+
+    monkeypatch.setattr(native, "_lib", None)
+    monkeypatch.setattr(native, "_LIB_PATH", Path(native.__file__))
+    monkeypatch.setattr(native.ctypes, "CDLL", lambda p: _Empty())
+    assert native.native_available() is False
