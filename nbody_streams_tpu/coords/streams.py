@@ -61,9 +61,17 @@ def generate_stream_coords(xv, xv_prog=None, return_rotation: bool = False,
     n_streams = xv.shape[0]
 
     if xv_prog is None or np.size(xv_prog) == 0:
-        med = np.median(xv[:, :, :3], axis=1)
-        idx = np.argmin(
-            np.linalg.norm(xv[:, :, :3] - med[:, None, :], axis=2), axis=1)
+        # NaN rows (spray particles not yet released at this snapshot)
+        # must not poison the auto progenitor: nanmedian + NaN -> inf
+        # distances keeps the selection on the released particles
+        with np.errstate(invalid="ignore"):
+            med = np.nanmedian(xv[:, :, :3], axis=1)
+            d = np.linalg.norm(xv[:, :, :3] - med[:, None, :], axis=2)
+        if np.isnan(med).any():
+            raise ValueError(
+                "cannot auto-select a progenitor: a stream has no "
+                "finite particle rows; pass xv_prog=")
+        idx = np.argmin(np.where(np.isnan(d), np.inf, d), axis=1)
         progs = xv[np.arange(n_streams), idx]
     else:
         progs = np.atleast_2d(np.asarray(xv_prog, float))

@@ -112,14 +112,28 @@ def make_perturber_potential(perturber: dict, pot_host, t0: float,
 
     sub = NFWPotential(mass=mass, scaleRadius=rs, G=G)
 
-    # trace the subhalo orbit through the host over the full window
-    times_b, traj_b = integrate_orbit(pot_host, w_imp, t_imp, t0,
+    # trace the subhalo orbit through the host over the full window.
+    # t_imp may fall OUTSIDE [t0, t1] (an impact before the run, with
+    # the mass window already closed): the two-leg split only applies
+    # when it is interior — otherwise one leg covers everything and the
+    # naive concatenation would build a non-monotonic time table
+    if t_imp <= t0:
+        times, traj = integrate_orbit(pot_host, w_imp, t_imp, t1,
                                       n_steps=n_steps)
-    times_f, traj_f = integrate_orbit(pot_host, w_imp, t_imp, t1,
-                                      n_steps=n_steps)
-    times = np.concatenate([times_b[::-1][:-1], times_f])
-    traj = np.concatenate([np.asarray(traj_b)[::-1][:-1],
-                           np.asarray(traj_f)])
+        traj = np.asarray(traj)
+    elif t_imp >= t1:
+        times_b, traj_b = integrate_orbit(pot_host, w_imp, t_imp, t0,
+                                          n_steps=n_steps)
+        times = times_b[::-1]
+        traj = np.asarray(traj_b)[::-1]
+    else:
+        times_b, traj_b = integrate_orbit(pot_host, w_imp, t_imp, t0,
+                                          n_steps=n_steps)
+        times_f, traj_f = integrate_orbit(pot_host, w_imp, t_imp, t1,
+                                          n_steps=n_steps)
+        times = np.concatenate([times_b[::-1][:-1], times_f])
+        traj = np.concatenate([np.asarray(traj_b)[::-1][:-1],
+                               np.asarray(traj_f)])
     moving = moving_potential(sub, times, traj)
 
     window = perturber.get("time_window")
@@ -128,7 +142,12 @@ def make_perturber_potential(perturber: dict, pot_host, t0: float,
     half = 0.5 * float(window)
     ramp = max(1e-3 * window, 1e-6)
     on0, on1 = t_imp - half, t_imp + half
-    ts, amps = [t0 - 1.0], [0.0 if on0 > t0 else 1.0]
+    # the leading row carries the window STATE at the table start: a
+    # window that already closed before the run must start (and stay)
+    # at 0 even though its turn-off points fall before t0 - 1 and are
+    # dropped by the monotonicity guard below (r3 review)
+    ts = [t0 - 1.0]
+    amps = [1.0 if on0 <= t0 - 1.0 <= on1 else 0.0]
     pts = [(on0 - ramp, 0.0), (on0, 1.0)]
     if on1 < t1:           # turns off inside the run
         pts += [(on1, 1.0), (on1 + ramp, 0.0)]

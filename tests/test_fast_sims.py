@@ -489,3 +489,27 @@ def test_spray_odd_num_particles_warns(host):
     assert res["part_xv"].shape[0] == 10
     with pytest.raises(ValueError, match=">= 2"):
         create_particle_spray_stream(host, num_particles=1, **common)
+
+
+def test_perturber_window_closed_before_run_is_off():
+    """A mass window that closed before the run starts must give
+    amplitude 0 for the whole run, not full mass (r3 review: the
+    turn-off points fell before the table start and were dropped,
+    leaving the initial 1.0 forever)."""
+    from nbody_streams_tpu.fast_sims._common import (
+        make_perturber_potential,
+    )
+    from nbody_streams_tpu.potentials.analytic import NFWPotential
+
+    host = NFWPotential(mass=1e12, scaleRadius=16.0)
+    spec = {"mass": 5e10, "scaleRadius": 5.0, "time_window": 2.0,
+            "time_impact": -5.0,
+            "w_subhalo_impact": np.array([30.0, 0, 0, 0, 150.0, 0])}
+    pert = make_perturber_potential(spec, host, 0.0, 3.0)
+    bare = make_perturber_potential(
+        {k: v for k, v in spec.items() if k != "time_window"},
+        host, 0.0, 3.0)
+    x = np.array([[10.0, 0.0, 0.0]])
+    for t in [0.0, 1.5, 3.0]:
+        assert abs(float(np.asarray(pert.potential(x, t=t))[0])) < \
+            abs(float(np.asarray(bare.potential(x, t=t))[0])) * 1e-6, t

@@ -393,3 +393,20 @@ def test_find_center_empty_velocity_aperture_raises(plummer):
     with pytest.raises(ValueError, match="selects no particles"):
         find_center(xv[:, :3] + 5.0, vel=xv[:, 3:], mass=m,
                     method="shrinking_sphere", vel_aperture=1e-12)
+
+
+def test_generate_stream_coords_auto_prog_ignores_nan_rows():
+    """Unreleased spray particles are NaN rows; the auto progenitor must
+    be the median-nearest RELEASED particle, not index 0 via NaN
+    poisoning (r3 review)."""
+    rng = np.random.default_rng(8)
+    xv = rng.normal(size=(60, 6)) + np.array([40.0, 0, 0, 0, 0, 0])
+    xv[0] = [500.0, 0, 0, 0, 0, 0]          # far outlier at index 0
+    xv_nan = xv.copy()
+    xv_nan[30:] = np.nan                     # half not yet released
+    p1a, p2a = generate_stream_coords(xv[:30])
+    p1b, p2b = generate_stream_coords(xv_nan)
+    np.testing.assert_allclose(p1b[:30], p1a, atol=1e-12)
+    assert np.isnan(p1b[30:]).all()
+    with pytest.raises(ValueError, match="no finite particle rows"):
+        generate_stream_coords(np.full((5, 6), np.nan))
