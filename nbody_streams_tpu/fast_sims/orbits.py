@@ -105,19 +105,38 @@ def integrate_orbits_released(pot, xv_release, t_release, t0: float,
         stepped = _rk4_step(acc, xv, t, dt)
         live = (sgn * t_release <= sgn * t + 0.5 * jnp.abs(dt))[:, None]
         xv = jnp.where(live, stepped, xv_release)
-        out = xv if save_every else None
-        return (xv, t_next), out
+        return (xv, t_next), None
 
-    idx = jnp.arange(n_steps, dtype=dtype)
-    (xv, _), traj = lax.scan(
-        body, (xv_release, jnp.asarray(t0, dtype)), idx)
     times = t0 + dt * np.arange(n_steps + 1)
     if save_every:
-        traj = jnp.concatenate([xv_release[None], traj], axis=0)
-        sel = np.arange(0, n_steps + 1, save_every)
-        if sel[-1] != n_steps:
+        # decimate INSIDE the scan: stacking all n_steps states before
+        # subsampling would materialise (n_steps, N, 6) on device —
+        # ~20 GB for a 4096-step, 200k-particle spray (r3 review)
+        k = int(save_every)
+        n_full = n_steps // k
+        rem = n_steps - n_full * k
+
+        def block(carry, b):
+            carry, _ = lax.scan(
+                body, carry, b * k + jnp.arange(k, dtype=dtype))
+            return carry, carry[0]
+
+        carry = (xv_release, jnp.asarray(t0, dtype))
+        carry, traj = lax.scan(block, carry,
+                               jnp.arange(n_full, dtype=dtype))
+        sel = np.arange(0, n_full * k + 1, k)
+        if rem:
+            carry, _ = lax.scan(
+                body, carry,
+                n_full * k + jnp.arange(rem, dtype=dtype))
+            traj = jnp.concatenate([traj, carry[0][None]], axis=0)
             sel = np.append(sel, n_steps)
-        return times[sel], traj[sel]
+        traj = jnp.concatenate([xv_release[None], traj], axis=0)
+        return times[sel], traj
+
+    (xv, _), _ = lax.scan(
+        body, (xv_release, jnp.asarray(t0, dtype)),
+        jnp.arange(n_steps, dtype=dtype))
     return times, xv
 
 
@@ -145,20 +164,25 @@ _DP_B4 = np.array([5179 / 57600, 0.0, 7571 / 16695, 393 / 640,
                    -92097 / 339200, 187 / 2100, 1 / 40])
 
 
-def _dp45_step(deriv, xv, t, h):
-    """One embedded DP5(4) step: returns (xv5, err_estimate)."""
-    ks = []
-    for i in range(7):
+def _dp45_step(deriv, xv, t, h, k1=None):
+    """One embedded DP5(4) step: returns (xv5, err_estimate, k7).
+
+    ``k1`` optionally supplies deriv(xv, t) (FSAL: row A[6] equals the
+    5th-order weights, so the previous accepted step's k7 IS this
+    step's k1 — reusing it saves one of the 7 derivative evaluations).
+    """
+    ks = [deriv(xv, t) if k1 is None else k1]
+    for i in range(1, 7):
         acc = xv
         for j in range(i):
             acc = acc + (h * _DP_A[i, j]) * ks[j]
-        ks.append(deriv(acc if i else xv, t + _DP_C[i] * h))
+        ks.append(deriv(acc, t + _DP_C[i] * h))
     xv5 = xv
     err = jnp.zeros_like(xv)
     for i in range(7):
         xv5 = xv5 + (h * _DP_B5[i]) * ks[i]
         err = err + (h * (_DP_B5[i] - _DP_B4[i])) * ks[i]
-    return xv5, err
+    return xv5, err, ks[6]
 
 
 def integrate_orbit_adaptive(pot, xv0, t0: float, t1: float,
@@ -206,15 +230,15 @@ def integrate_orbit_adaptive(pot, xv0, t0: float, t1: float,
         t_end = t0 + (i + 1) * h_out
 
         def cond(c):
-            _xv, t, _h, n = c
+            _xv, t, _h, n, _k1 = c
             return ((t - t_end) * sign < 0) & (n < max_substeps)
 
         def body(c):
-            xv_c, t, h_c, n = c
+            xv_c, t, h_c, n, k1 = c
             # clip the trial step to the interval end
             clip = (t + h_c - t_end) * sign > 0
             h_try = jnp.where(clip, t_end - t, h_c)
-            xv_new, err = _dp45_step(deriv, xv_c, t, h_try)
+            xv_new, err, k7 = _dp45_step(deriv, xv_c, t, h_try, k1=k1)
             e = err_norm(err, xv_c, xv_new)
             # a NaN error estimate (singular force eval) must count as
             # "infinitely wrong": reject and shrink, never grow
@@ -229,14 +253,18 @@ def integrate_orbit_adaptive(pot, xv0, t0: float, t1: float,
             h_next = jnp.where(clip & accept, h_c, h_next)
             xv_c = jnp.where(accept, xv_new, xv_c)
             t = jnp.where(accept, t + h_try, t)
-            return xv_c, t, h_next, n + 1
+            # FSAL: on accept, k7 = deriv(xv_new, t+h) is the next k1;
+            # on reject (xv, t) are unchanged so k1 stays valid
+            k1 = jnp.where(accept, k7, k1)
+            return xv_c, t, h_next, n + 1, k1
 
         # an already-NaN carry (a previous interval failed) would burn
         # max_substeps rejected evaluations per remaining interval —
         # start with the budget spent so the loop never runs
         n0 = jnp.where(jnp.isfinite(xv).all(), 0, max_substeps)
-        xv, t_fin, h, n_fin = lax.while_loop(
-            cond, body, (xv, jnp.asarray(t_start, dtype), h, n0))
+        k1_0 = deriv(xv, jnp.asarray(t_start, dtype))
+        xv, t_fin, h, n_fin, _ = lax.while_loop(
+            cond, body, (xv, jnp.asarray(t_start, dtype), h, n0, k1_0))
         # if the substep budget ran out before t_end, poison the output
         # instead of returning a silently-truncated trajectory.  (The
         # budget check is primary: re-deriving the loop's own time

@@ -87,6 +87,18 @@ class Potential:
         h = jax.hessian(lambda p: self.phi_point(p, t))
         return jax.vmap(lambda p: _hess6(h(p)))(arr)
 
+    def _phi_force_v(self, arr, t):
+        """(phi, force) sharing ONE forward pass via value_and_grad —
+        halves the cost of combined queries (eval/evalDeriv) for plain
+        potentials.  Subclasses with bespoke _phi_v/_force_v fast paths
+        fall back to their own implementations."""
+        if (type(self)._phi_v is Potential._phi_v
+                and type(self)._force_v is Potential._force_v):
+            vg = jax.value_and_grad(lambda p: self.phi_point(p, t))
+            phi, g = jax.vmap(vg)(arr)
+            return phi, -g
+        return self._phi_v(arr, t), self._force_v(arr, t)
+
     # -- public (Agama-compatible) -----------------------------------------
     def potential(self, xyz, t=0.0):
         arr, single = _prep(xyz)
@@ -110,8 +122,7 @@ class Potential:
 
     def evalDeriv(self, xyz, t=0.0):
         arr, single = _prep(xyz)
-        phi = self._phi_v(arr, t)
-        f = self._force_v(arr, t)
+        phi, f = self._phi_force_v(arr, t)
         d = -self._hess_v(arr, t)
         return _out(phi, single), _out(f, single), _out(d, single)
 
@@ -121,9 +132,12 @@ class Potential:
             raise ValueError("eval(): request at least one of pot/acc/der")
         arr, single = _prep(xyz)
         results = []
-        if pot:
+        if pot and acc:
+            phi, f = self._phi_force_v(arr, t)
+            results += [_out(phi, single), _out(f, single)]
+        elif pot:
             results.append(_out(self._phi_v(arr, t), single))
-        if acc:
+        elif acc:
             results.append(_out(self._force_v(arr, t), single))
         if der:
             results.append(_out(-self._hess_v(arr, t), single))
@@ -167,6 +181,10 @@ class CompositePotential(Potential):
 
     def _hess_v(self, arr, t):
         return sum(c._hess_v(arr, t) for c in self.components)
+
+    def _phi_force_v(self, arr, t):
+        parts = [c._phi_force_v(arr, t) for c in self.components]
+        return (sum(p for p, _ in parts), sum(f for _, f in parts))
 
     def __len__(self):
         return len(self.components)

@@ -66,6 +66,9 @@ class ShiftedPotential(Potential):
     def _hess_v(self, arr, t):
         return self.inner._hess_v(arr - self.center(t)[None, :], t)
 
+    def _phi_force_v(self, arr, t):
+        return self.inner._phi_force_v(arr - self.center(t)[None, :], t)
+
 
 class ScaledPotential(Potential):
     """Agama 'scale' modifier: Phi'(x, t) = a(t) s(t) Phi(x s(t)) with
@@ -134,6 +137,11 @@ class ScaledPotential(Potential):
         a, s = self._factors(t)
         return a * s * s * s * self.inner._hess_v(arr * s, t)
 
+    def _phi_force_v(self, arr, t):
+        a, s = self._factors(t)
+        phi, f = self.inner._phi_force_v(arr * s, t)
+        return a * s * phi, a * s * s * f
+
 
 class EvolvingPotential(Potential):
     """Linear (or nearest) interpolation between snapshot potentials.
@@ -172,8 +180,16 @@ class EvolvingPotential(Potential):
         if len(potentials) < 1:
             raise ValueError("need at least one snapshot potential")
         order = np.argsort(np.asarray(times, float))
+        t_sorted = np.asarray(times, float)[order]
+        if len(t_sorted) > 1 and (np.diff(t_sorted) <= 0).any():
+            # duplicate epochs make the lerp weight 0/0 = NaN and every
+            # force silently NaN (easy with FIRE snapshot lists holding
+            # a repeated output) — reject up front
+            dup = t_sorted[:-1][np.diff(t_sorted) <= 0]
+            raise ValueError(
+                f"snapshot times must be distinct; duplicated: {dup[:5]}")
         self.pots = [potentials[i] for i in order]
-        self.times = jnp.asarray(np.asarray(times, float)[order])
+        self.times = jnp.asarray(t_sorted)
         self.interpolate = bool(interpolate)
         self._stacked = None
         if self.interpolate and len(self.pots) >= 3:

@@ -103,9 +103,13 @@ def hermite_coeffs(times, values, derivs,
     """Cubic Hermite spline matching values and first derivatives."""
     from scipy.interpolate import CubicHermiteSpline
 
+    times = np.asarray(times, float)
+    if times.size < 2:
+        # constant fallback, same contract as spline_coeffs (a one-row
+        # trajectory table is a fixed offset)
+        return spline_coeffs(times, values, extrapolate)
     return JaxPPoly.from_scipy(
-        CubicHermiteSpline(np.asarray(times, float),
-                           np.asarray(values, float),
+        CubicHermiteSpline(times, np.asarray(values, float),
                            np.asarray(derivs, float)),
         extrapolate,
     )

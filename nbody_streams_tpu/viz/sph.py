@@ -141,10 +141,18 @@ def render_surface_density(pos, mass, extent=None, npix: int = 256,
     y = pos[:, j]
     if extent is None:
         lim = np.percentile(np.abs(np.concatenate([x, y])), 99.0) * 1.2
+        if not np.isfinite(lim) or lim <= 0:
+            raise ValueError(
+                "cannot auto-size the map: the 99th percentile of the "
+                f"projected coordinates is {lim!r} (degenerate or "
+                "non-finite positions); pass extent= explicitly")
         extent = (-lim, lim, -lim, lim)
     x0, x1, y0, y1 = extent
     dx_pix = (x1 - x0) / npix
     dy_pix = (y1 - y0) / npix
+    if dx_pix <= 0 or dy_pix <= 0:
+        raise ValueError(f"empty extent {extent}: x1 > x0 and y1 > y0 "
+                         "required")
     if smoothing is None:
         smoothing = get_smoothing_lengths(pos[:, [i, j]],
                                           n_neighbors=n_neighbors)

@@ -513,3 +513,28 @@ def test_perturber_window_closed_before_run_is_off():
     for t in [0.0, 1.5, 3.0]:
         assert abs(float(np.asarray(pert.potential(x, t=t))[0])) < \
             abs(float(np.asarray(bare.potential(x, t=t))[0])) * 1e-6, t
+
+
+def test_released_save_every_matches_full_trajectory():
+    """In-scan decimation (r3 review: the old path stacked the FULL
+    (n_steps, N, 6) trajectory on device before subsampling) must
+    reproduce the same snapshots, including a non-divisible tail."""
+    host = NFWPotential(mass=1e12, scaleRadius=16.0)
+    rng = np.random.default_rng(2)
+    ics = rng.normal(size=(16, 6)) * np.array([20, 20, 20, 80, 80, 80.])
+    t_rel = rng.uniform(0.0, 0.5, 16)
+    n_steps = 50
+    t_dense, full = [], None
+    # dense reference: save_every=1 (every step)
+    td, full = integrate_orbits_released(host, ics, t_rel, 0.0, 1.0,
+                                         n_steps, save_every=1)
+    for k in (7, 10, 50, 64):
+        ts, traj = integrate_orbits_released(host, ics, t_rel, 0.0, 1.0,
+                                             n_steps, save_every=k)
+        sel = np.arange(0, n_steps + 1, k)
+        if sel[-1] != n_steps:
+            sel = np.append(sel, n_steps)
+        np.testing.assert_allclose(ts, td[sel])
+        np.testing.assert_allclose(np.asarray(traj),
+                                   np.asarray(full)[sel], rtol=1e-6,
+                                   atol=1e-6)

@@ -813,3 +813,42 @@ def test_galpot_conflicting_normalisation_raises():
     with pytest.raises(ValueError, match="not both"):
         make_potential(type="Disk", surfaceDensity=1.0, mass=1e10,
                        scaleRadius=3.0, scaleHeight=0.3)
+
+
+def test_evolving_duplicate_times_raises():
+    """Duplicate snapshot epochs would lerp with 0/0 = NaN weights; the
+    constructor must reject them (r3 review)."""
+    ps = [PlummerPotential(mass=m, scaleRadius=5.0)
+          for m in (1e11, 2e11, 3e11)]
+    with pytest.raises(ValueError, match="distinct"):
+        EvolvingPotential(ps, [0.0, 1.0, 1.0])
+
+
+def test_shifted_single_row_trajectory_table():
+    """A one-row (1,7) center table is a fixed offset, same as the
+    (1,4) path (r3 review: SciPy ValueError from CubicHermiteSpline)."""
+    inner = PlummerPotential(mass=1e11, scaleRadius=5.0)
+    sp = ShiftedPotential(inner, np.array([[0.0, 1.0, 2.0, 3.0,
+                                            0.1, 0.2, 0.3]]))
+    q = np.array([10.0, 0.0, 0.0])
+    exp = float(inner.potential(q - np.array([1.0, 2.0, 3.0])))
+    assert float(sp.potential(q, t=4.0)) == pytest.approx(exp, rel=1e-12)
+
+
+def test_eval_combined_matches_separate():
+    """eval/evalDeriv share the forward pass (value_and_grad); results
+    must equal the separate potential()/force() calls, including
+    through modifiers and composites."""
+    base = (PlummerPotential(mass=1e11, scaleRadius=5.0)
+            + NFWPotential(mass=8e11, scaleRadius=16.0))
+    pot = ScaledPotential(ShiftedPotential(base, [1.0, -2.0, 0.5]),
+                          scale=1.2, ampl=0.9)
+    pts = np.random.default_rng(0).normal(size=(7, 3)) * 30
+    phi, f, d = pot.evalDeriv(pts)
+    np.testing.assert_allclose(np.asarray(phi),
+                               np.asarray(pot.potential(pts)), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(f),
+                               np.asarray(pot.force(pts)), rtol=1e-12)
+    p2, f2 = pot.eval(pts, pot=True, acc=True)
+    np.testing.assert_allclose(np.asarray(p2), np.asarray(phi))
+    np.testing.assert_allclose(np.asarray(f2), np.asarray(f))

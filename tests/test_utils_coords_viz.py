@@ -410,3 +410,16 @@ def test_generate_stream_coords_auto_prog_ignores_nan_rows():
     assert np.isnan(p1b[30:]).all()
     with pytest.raises(ValueError, match="no finite particle rows"):
         generate_stream_coords(np.full((5, 6), np.nan))
+
+
+def test_render_surface_density_degenerate_positions_raises():
+    """Point-source or NaN positions must raise a clear error instead
+    of returning an all-NaN image (r3 review)."""
+    from nbody_streams_tpu.viz.sph import render_surface_density
+
+    pos = np.zeros((100, 3))
+    with pytest.raises(ValueError, match="degenerate or non-finite"):
+        render_surface_density(pos, np.ones(100))
+    with pytest.raises(ValueError, match="empty extent"):
+        render_surface_density(np.random.default_rng(0).normal(size=(50, 3)),
+                               np.ones(50), extent=(1.0, 1.0, -1.0, 1.0))
