@@ -8,12 +8,16 @@ float64.  Run the suite on real TPU hardware by setting
 import os
 
 if not os.environ.get("NBODY_TEST_TPU"):
+    import re
+
     os.environ["JAX_PLATFORMS"] = "cpu"
-    flags = os.environ.get("XLA_FLAGS", "")
-    if "xla_force_host_platform_device_count" not in flags:
-        os.environ["XLA_FLAGS"] = (
-            flags + " --xla_force_host_platform_device_count=8"
-        ).strip()
+    # REWRITE any inherited device-count flag: the sharded tier is
+    # written for exactly 8 devices, and a leftover =4 from another
+    # project's shell profile would silently change the mesh
+    flags = re.sub(r"--xla_force_host_platform_device_count=\d+", "",
+                   os.environ.get("XLA_FLAGS", ""))
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
 

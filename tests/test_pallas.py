@@ -126,7 +126,6 @@ def test_sorted_path_stale_order_is_exact():
     kw = dict(interpret=INTERPRET, tm=64, tn=128, max_sub=4)
     ref = np.asarray(_pallas_self_sorted(pos, gm, soft, "spline", True,
                                          "acc", 1e-15, **kw), np.float64)
-    scale = np.abs(ref).max()
 
     # stale: the order of slightly-perturbed past positions
     past = pos + jnp.asarray(rng.normal(0, 0.02, pos.shape), jnp.float32)
