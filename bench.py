@@ -28,7 +28,28 @@ STEPS = 50   # per window: ~58 ms tunnel latency per dispatch must be
 BASELINE_GINT = 124.0  # reference RTX 3080 direct f32 path
 
 
+def _require_device(timeout_s: float = 180.0):
+    """Fail fast (exit 1, clear stderr) if device init hangs.
+
+    The axon tunnel can be down for hours; jax.devices() then blocks
+    forever and the bench slot is silently lost.  Probe in a daemon
+    thread and abort with a diagnosable message instead."""
+    import threading
+
+    got: list = []
+    th = threading.Thread(target=lambda: got.append(jax.devices()),
+                          daemon=True)
+    th.start()
+    th.join(timeout_s)
+    if not got:
+        print(f"bench.py: no JAX device after {timeout_s:.0f}s "
+              "(TPU tunnel down?) — aborting", file=sys.stderr)
+        os._exit(1)
+    print(f"# devices: {got[0]}", file=sys.stderr)
+
+
 def main():
+    _require_device()
     from nbody_streams_tpu import make_plummer_sphere
     from nbody_streams_tpu.integrate import (
         init_state,

@@ -44,7 +44,10 @@ wall = time.perf_counter() - t0
 xv1 = result["dark"]
 r1, rho1, _ = empirical_density_profile(xv1[:, :3], masses, bins=20,
                                         r_min=0.1, r_max=10.0)
-drift = np.nanmax(np.abs(rho1 / rho0 - 1.0))
+# only bins populated in the reference profile (small-N runs leave
+# empty outer bins -> 0/0)
+ok = rho0 > 0
+drift = np.nanmax(np.abs(rho1[ok] / rho0[ok] - 1.0))
 print(f"\n{STEPS} steps at N={N:,}: {wall:.1f} s "
       f"({1e3 * wall / STEPS:.1f} ms/step)")
 print(f"max density-profile drift: {100 * drift:.1f}%")
