@@ -159,7 +159,7 @@ MAX_SUB = 16    # sub-tiles per source superblock
 def _tile_sum(kind, mode, mask_self, eps2, tm, tn, n_sub,
               xt, yt, zt, ht, iglob,
               xs_ref, ys_ref, zs_ref, ms_ref, hs_ref, k, jb,
-              mxu=False):
+              mxu=False, mxu_r2=None):
     """One (TM targets) x (TN sources) tile reduction: (tm, width).
 
     With ``mxu=True`` (acc mode) the tile returns the un-finalised
@@ -167,16 +167,49 @@ def _tile_sum(kind, mode, mask_self, eps2, tm, tn, n_sub,
     of VPU lane reductions of ``s * dx`` — the caller must finalise
     ``acc = P[:, :3] - pos_t * P[:, 3:]`` once per target after all
     tiles are accumulated (sum_j s_ij (x_j - x_i) is linear, so the
-    rewrite is exact up to fp32 rounding of the two moment sums)."""
+    rewrite is exact up to fp32 rounding of the two moment sums).
+
+    ``mxu_r2`` (the ``float32_fast`` tier, requires ``mxu``) moves the
+    r^2 construction onto the MXU too, via the expanded form
+    ``r^2 = |x_t|^2 + |x_s|^2 - 2 x_t . x_s`` — the cross term is a
+    (tm, 3) @ (3, tn) contraction on the systolic array, cutting the
+    VPU work per pair roughly in half (9 ops of dx/dy/dz/r2 chain
+    become 3).  The expansion cancels catastrophically when
+    r << |x|, so it is a reduced-accuracy tier: with centred
+    coordinates the r^2 error is ~eps_f32 * |x|^2, i.e. relative
+    error ~eps_f32 * (|x| / r)^2 per pair (the sorted two-pass path
+    bounds r >= max h for every pair this form sees, giving ~1e-4
+    worst-case at h = 0.05, extent ~ 5).  The self pair can round to
+    r^2 <= 0; the eps2 clamp keeps the kernel finite (the banded
+    window that contains it is zeroed afterwards, so the huge-but-
+    finite self factor never leaks into results)."""
     xs = xs_ref[k:k + 1, :]     # (1, TN)
     ys = ys_ref[k:k + 1, :]
     zs = zs_ref[k:k + 1, :]
     gms = ms_ref[k:k + 1, :]
-    dx = xs - xt
-    dy = ys - yt
-    dz = zs - zt
-    # fma-chained with eps2 folded into the innermost term
-    r2 = dx * dx + (dy * dy + (dz * dz + eps2))
+    if mxu_r2 is not None:
+        t3, a_t = mxu_r2        # (tm, 3) coords, (tm, 1) |x_t|^2 + eps2
+        s3 = jnp.concatenate([xs, ys, zs], axis=0)          # (3, TN)
+        cross = jax.lax.dot_general(
+            t3, s3, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)              # (tm, TN)
+        b_s = xs * xs + (ys * ys + zs * zs)                  # (1, TN)
+        # clamp by the exact bound r^2 >= dx_x^2 (+eps2): the expansion's
+        # absolute error ~eps_f32 * |x|^2 can round a genuinely small
+        # r^2 to <= 0 for pairs involving far outliers (|x| ~ 100s);
+        # the x-separation bound is cancellation-free and, on the
+        # sorted path, > h_max^2 for every out-of-band pair — so the
+        # clamp can never produce a divergent factor
+        dxx = xs - xt
+        r2 = jnp.maximum(a_t + (b_s - 2.0 * cross),
+                         dxx * dxx + eps2)
+        dx = dy = dz = None      # acc requires mxu: moments never need dx
+    else:
+        dx = xs - xt
+        dy = ys - yt
+        dz = zs - zt
+        # fma-chained with eps2 folded into the innermost term
+        r2 = dx * dx + (dy * dy + (dz * dz + eps2))
     if kind == "newtonian":
         pre = r2                 # unused
     elif kind == "spline":
@@ -186,12 +219,17 @@ def _tile_sum(kind, mode, mask_self, eps2, tm, tn, n_sub,
         # h2_eff = max (h^2 inputs) for plummer/dehnen
         pre = jnp.maximum(ht, hs_ref[k:k + 1, :])
     if mode == "acc":
-        s = gms * _force_pre(kind, r2, pre)
         if mxu:
+            # fold the mass into the moment matrix: s = f only (saves
+            # one VPU multiply per pair) and b = gm * [xs ys zs 1] —
+            # the 4 per-source-lane multiplies amortise over the tm
+            # targets of the tile (4/tm ops per pair).  Exact same sum,
+            # one rounding moved from the pair factor into the matrix.
+            s = _force_pre(kind, r2, pre)
             if mask_self:
                 # the VPU path needs no self mask (s_ii * dx_ii == 0),
                 # but the moment form accumulates s_ii * x_i — with
-                # s_ii ~ gm / eps2^1.5 that wrecks P in fp32 long
+                # s_ii ~ 1 / eps2^1.5 that wrecks P in fp32 long
                 # before the finalisation cancels it.  For 2-set
                 # callers whose target block IS the source block
                 # (row orderings aligned).
@@ -199,14 +237,33 @@ def _tile_sum(kind, mode, mask_self, eps2, tm, tn, n_sub,
                          + jax.lax.broadcasted_iota(jnp.int32, (1, tn), 1))
                 s = jnp.where(iglob == jglob, 0.0, s)
             b = jnp.concatenate(
-                [xs, ys, zs, jnp.ones_like(xs)], axis=0)    # (4, TN)
+                [gms * xs, gms * ys, gms * zs, gms], axis=0)    # (4, TN)
             return jax.lax.dot_general(
                 s, b, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)          # (tm, 4)
+        s = gms * _force_pre(kind, r2, pre)
         ax = jnp.sum(s * dx, axis=1, keepdims=True)
         ay = jnp.sum(s * dy, axis=1, keepdims=True)
         az = jnp.sum(s * dz, axis=1, keepdims=True)
         return jnp.concatenate([ax, ay, az], axis=1)
+    if mxu:
+        # phi_i = sum_j s_ij is a plain row sum: run it on the
+        # (otherwise idle) MXU instead of VPU cross-lane reductions —
+        # same trick as the acc moments, but with a single moment and
+        # no finalisation (and no centring for the non-fast tier: no
+        # coordinate products, so no cancellation to bound).  The mass
+        # folds into the contraction vector (S @ gm), saving the VPU
+        # multiply per pair exactly as in acc mode.
+        s = _pot_pre(kind, r2, pre)
+        if mask_self:
+            from jax import lax as _lax
+
+            jglob = (jb * (n_sub * tn) + k * tn
+                     + _lax.broadcasted_iota(jnp.int32, (1, tn), 1))
+            s = jnp.where(iglob == jglob, 0.0, s)
+        return jax.lax.dot_general(
+            s, gms, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)               # (tm, 1)
     s = gms * _pot_pre(kind, r2, pre)
     if mask_self:
         from jax import lax as _lax
@@ -214,20 +271,11 @@ def _tile_sum(kind, mode, mask_self, eps2, tm, tn, n_sub,
         jglob = (jb * (n_sub * tn) + k * tn
                  + _lax.broadcasted_iota(jnp.int32, (1, tn), 1))
         s = jnp.where(iglob == jglob, 0.0, s)
-    if mxu:
-        # phi_i = sum_j s_ij is a plain row sum = S @ 1: run it on the
-        # (otherwise idle) MXU instead of VPU cross-lane reductions —
-        # same trick as the acc moments, but with a single moment and
-        # no finalisation (and no centring: no coordinate products, so
-        # no cancellation to bound)
-        return jax.lax.dot_general(
-            s, jnp.ones_like(xs), (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)               # (tm, 1)
     return jnp.sum(s, axis=1, keepdims=True)
 
 
 def _direct_kernel(*refs, kind, kahan, eps2, tm, tn, n_sub, mode,
-                   mask_self, skip_band=0, mxu=False):
+                   mask_self, skip_band=0, mxu=False, mxu_r2=False):
     """All-pairs tile kernel.  With ``skip_band > 0`` the first ref is a
     scalar-prefetched (n_i,) row-start array and the contribution of
     source rows [start[i], start[i] + skip_band) is zeroed (those pairs
@@ -261,13 +309,22 @@ def _direct_kernel(*refs, kind, kahan, eps2, tm, tn, n_sub, mode,
 
         iglob = i * tm + _lax.broadcasted_iota(jnp.int32, (tm, 1), 0)
 
+    r2_pre = None
+    if mxu_r2:
+        # hoisted once per grid step: target coords as a (tm, 3) block
+        # for the MXU cross term, and |x_t|^2 + eps2
+        t3 = jnp.concatenate([xt, yt, zt], axis=1)
+        a_t = xt * xt + (yt * yt + (zt * zt + eps2))
+        r2_pre = (t3, a_t)
+
     width = (4 if mxu else 3) if mode == "acc" else 1
     partial = jnp.zeros((tm, width), jnp.float32)
     for k in range(n_sub):
         tile = _tile_sum(
             kind, mode, mask_self, eps2, tm, tn, n_sub,
             xt, yt, zt, ht, iglob,
-            xs_ref, ys_ref, zs_ref, ms_ref, hs_ref, k, jb, mxu=mxu)
+            xs_ref, ys_ref, zs_ref, ms_ref, hs_ref, k, jb, mxu=mxu,
+            mxu_r2=r2_pre)
         if skip_band:
             row = jb * n_sub + k
             outside = jnp.logical_or(row < start_ref[i],
@@ -299,13 +356,17 @@ def _soft_pre(kind, h):
 @functools.partial(
     jax.jit,
     static_argnames=("kind", "kahan", "mode", "eps2", "tm", "tn", "max_sub",
-                     "interpret", "mask_self", "skip_band", "mxu"),
+                     "interpret", "mask_self", "skip_band", "mxu", "mxu_r2"),
 )
 def _pallas_direct(pos_t, soft_t, pos_s, gmass_s, soft_s,
                    kind, kahan, mode, eps2,
                    tm=TM, tn=TN, max_sub=MAX_SUB, interpret=False,
                    mask_self=False, skip_band=0, band_start=None,
-                   mxu=False):
+                   mxu=False, mxu_r2=False):
+    if mxu_r2 and mode == "acc" and not mxu:
+        raise ValueError("mxu_r2 acceleration requires the MXU moment "
+                         "path (mxu=True): the expanded-r2 tile never "
+                         "materialises dx/dy/dz")
     soft_t = _soft_pre(kind, soft_t)
     soft_s = _soft_pre(kind, soft_s)
     nt = pos_t.shape[0]
@@ -342,7 +403,7 @@ def _pallas_direct(pos_t, soft_t, pos_s, gmass_s, soft_s,
             kernel = functools.partial(
                 _direct_kernel, kind=kind, kahan=kahan, eps2=eps2,
                 tm=tm, tn=tn, n_sub=n_sub, mode=mode, mask_self=mask_self,
-                skip_band=skip_band, mxu=mxu,
+                skip_band=skip_band, mxu=mxu, mxu_r2=mxu_r2,
             )
             ts2 = pl.BlockSpec((tm, 1), lambda i, jb, s_ref: (i, 0),
                                memory_space=pltpu.VMEM)
@@ -370,7 +431,7 @@ def _pallas_direct(pos_t, soft_t, pos_s, gmass_s, soft_s,
             kernel = functools.partial(
                 _direct_kernel, kind=kind, kahan=kahan, eps2=eps2, tm=tm,
                 tn=tn, n_sub=n_sub, mode=mode, mask_self=mask_self,
-                mxu=mxu,
+                mxu=mxu, mxu_r2=mxu_r2,
             )
             out = _call_kernel(kernel, n_i, n_jb, t_spec, s_spec, tm,
                                width, nt_pad, ns_pad, n_sub, tn, interpret,
@@ -547,7 +608,7 @@ MXU_BASE = True
 
 def _pallas_self_sorted(pos, gmass, soft, kind, kahan, mode, eps2,
                         interpret=False, tm=None, tn=None, max_sub=None,
-                        mxu=None, order=None):
+                        mxu=None, order=None, fast=False):
     """Self-gravity via slab sort + the compact-support two-pass split.
 
     Pass 1 runs the cheap (~16-op) Newtonian kernel over all pairs,
@@ -584,14 +645,20 @@ def _pallas_self_sorted(pos, gmass, soft, kind, kahan, mode, eps2,
     hinv = _soft_pre("spline", hsoft)
     mask_self = mode == "pot"
     if mxu is None:
-        mxu = MXU_BASE and not interpret
-    if mxu and mode == "acc":
+        # the fast (expanded-r2) tier requires the MXU moment form even
+        # in interpret mode (dot_general interprets fine; only the
+        # Mosaic lowering motivated the interpret exclusion)
+        mxu = (MXU_BASE and not interpret) or fast
+    if (mxu and mode == "acc") or fast:
         # centre the coordinates: the MXU moment rewrite subtracts two
         # large sums (S@xs vs x_t*(S@1)), with cancellation error
         # ~ eps * |x| * sum(s).  Acceleration is translation invariant,
         # so shifting to the centroid bounds |x| by the system extent
         # (measured: off-centre at ~140 length units, 5e-5 max rel
         # error uncentred vs 7e-7 centred == the jnp-path floor).
+        # The fast tier needs it in BOTH modes: its expanded
+        # r^2 = |x_t|^2 + |x_s|^2 - 2 x_t.x_s cancellation scales with
+        # |x|^2 regardless of what the factor feeds.
         ps = ps - jnp.mean(ps, axis=0, keepdims=True)
 
     nt = ps.shape[0]
@@ -632,13 +699,13 @@ def _pallas_self_sorted(pos, gmass, soft, kind, kahan, mode, eps2,
     def fast_with(nb):
         start = jnp.clip(j_lo, 0, rows - nb)
 
-        def fast(p):
+        def fast_path(p):
             base = _pallas_direct(p, hsoft, p, gs, hsoft, "newtonian",
                                   kahan, mode, eps2, tm=tm, tn=tn,
                                   max_sub=max_sub, interpret=interpret,
                                   mask_self=mask_self,
                                   skip_band=nb, band_start=start,
-                                  mxu=mxu)
+                                  mxu=mxu, mxu_r2=fast)
             band = _pallas_band_correction(p, gs, hinv, start, mode,
                                            eps2, tm, tn, nb,
                                            interpret=interpret,
@@ -646,7 +713,7 @@ def _pallas_self_sorted(pos, gmass, soft, kind, kahan, mode, eps2,
                                            kahan=kahan, mxu=mxu)
             return base + band
 
-        return fast
+        return fast_path
 
     def slow(p):
         return _pallas_direct(p, hsoft, p, gs, hsoft, "spline", kahan,
@@ -725,7 +792,8 @@ def slab_sort_key(pos):
 
 
 def pallas_accel(pos, mass, soft, G, kind, kahan, eps2=PAIRWISE_EPS2,
-                 interpret=False, spatial_sort=None, order=None):
+                 interpret=False, spatial_sort=None, order=None,
+                 fast=False):
     """(N, 3) float32 self-gravity accelerations (single chip).
 
     ``spatial_sort`` (default: auto for the spline kernel at N >= 16384)
@@ -735,25 +803,35 @@ def pallas_accel(pos, mass, soft, G, kind, kahan, eps2=PAIRWISE_EPS2,
     results agree to fp32 round-off (not bitwise).  ~40% fewer VPU ops
     on typical data.  ``order`` optionally supplies a precomputed slab
     order (see _pallas_self_sorted — exact even when stale).
+
+    ``fast`` (the ``float32_fast`` precision tier) additionally builds
+    r^2 on the MXU via the expanded |x_t|^2 + |x_s|^2 - 2 x_t.x_s form
+    in the two-pass base kernel — roughly half the VPU work per pair at
+    a documented accuracy cost (~1e-4 worst-case vs the ~1e-6 fp32
+    floor; the near-pair band pass stays exact).  Only meaningful on
+    the sorted path; ignored otherwise.
     """
     gmass = (mass * G).astype(jnp.float32)
     soft = soft.astype(jnp.float32)
     pos = pos.astype(jnp.float32)
     if uses_spatial_sort(kind, pos.shape[0], spatial_sort):
         return _pallas_self_sorted(pos, gmass, soft, kind, kahan, "acc",
-                                   float(eps2), interpret, order=order)
+                                   float(eps2), interpret, order=order,
+                                   fast=fast)
     return pallas_accel_2set(pos, soft, pos, gmass, soft, kind, kahan,
                              eps2, interpret)
 
 
 def pallas_potential(pos, mass, soft, G, kind, kahan, eps2=PAIRWISE_EPS2,
-                     interpret=False, spatial_sort=None, order=None):
+                     interpret=False, spatial_sort=None, order=None,
+                     fast=False):
     """(N,) float32 self-gravity potential (self pair masked in-kernel)."""
     gmass = (mass * G).astype(jnp.float32)
     soft = soft.astype(jnp.float32)
     pos = pos.astype(jnp.float32)
     if uses_spatial_sort(kind, pos.shape[0], spatial_sort):
         return _pallas_self_sorted(pos, gmass, soft, kind, kahan, "pot",
-                                   float(eps2), interpret, order=order)
+                                   float(eps2), interpret, order=order,
+                                   fast=fast)
     return pallas_potential_2set(pos, soft, pos, gmass, soft, kind, kahan,
                                  eps2, interpret, mask_self=True)

@@ -312,3 +312,47 @@ def test_mxu_2set_matches_vpu():
                                       mxu=True, mask_self=True),
                     np.float64)
     np.testing.assert_allclose(mx, ref, atol=3e-6 * np.abs(ref).max())
+
+
+def test_fast_tier_bounded_and_finite():
+    """float32_fast (expanded-r2-on-MXU base pass): a documented
+    REDUCED-ACCURACY tier — the r^2 = |x_t|^2 + |x_s|^2 - 2 x_t.x_s
+    expansion cancels at eps_f32 * (|x|/r)^2 per pair, giving ~1e-3
+    median force error on clustered data (vs ~1e-6 for the exact
+    tiers).  This test pins the two guarantees the tier does make:
+
+    1. bounded error on realistic clustered data (median ~1e-3,
+       nothing catastrophic), and
+    2. NO blowups from far outliers: without the in-kernel
+       r^2 >= dx_x^2 clamp, pairs involving |x| ~ 100s particles can
+       round r^2 to <= eps2 and inject ~1e21 factors (regression:
+       42/16384 particles exploded before the clamp)."""
+    from nbody_streams_tpu.ops.pallas_direct import _pallas_self_sorted
+
+    rng = np.random.default_rng(31)
+    n = 12000
+    # clustered core + heavy-tailed outliers out to ~300 length units
+    r = 1.0 / np.sqrt(rng.uniform(1e-5, 1.0, n))   # pareto-ish radii
+    u = rng.normal(size=(n, 3))
+    pos = jnp.asarray(u / np.linalg.norm(u, axis=1, keepdims=True)
+                      * np.minimum(r, 300.0)[:, None], jnp.float32)
+    gm = jnp.asarray(rng.uniform(0.5, 1.5, n) * 4.3e-6, jnp.float32)
+    soft = jnp.full((n,), 0.05, jnp.float32)
+    kw = dict(interpret=INTERPRET, tm=64, tn=128, max_sub=4)
+
+    for mode, med_tol in (("acc", 5e-3), ("pot", 1e-3)):
+        ref = np.asarray(_pallas_self_sorted(pos, gm, soft, "spline", True,
+                                             mode, 1e-15, **kw), np.float64)
+        fast = np.asarray(_pallas_self_sorted(pos, gm, soft, "spline", True,
+                                              mode, 1e-15, fast=True, **kw),
+                          np.float64)
+        assert np.isfinite(fast).all(), mode
+        if mode == "acc":
+            den = np.linalg.norm(ref, axis=1)
+            err = (np.linalg.norm(fast - ref, axis=1)
+                   / np.maximum(den, den.mean() * 1e-3))
+        else:
+            err = np.abs(fast - ref) / np.abs(ref).mean()
+        # no blowups (the dx_x^2 clamp regression) and bounded typical error
+        assert err.max() < 0.5, (mode, err.max())
+        assert np.median(err) < med_tol, (mode, np.median(err))
