@@ -62,12 +62,29 @@ def run_argsort(n=2_097_152):
 
 
 def run_gate2m(n=2_097_152, steps=100):
+    import jax.numpy as jnp
+
     from nbody_streams_tpu import Species, make_plummer_sphere, run_simulation
+    from nbody_streams_tpu.ops.dispatch import DirectGravity
 
     out_dir = Path("./output_northstar_2m")
     xv, masses = make_plummer_sphere(n, M_total=1e9, a=1.0, seed=1)
     species = [Species.dark(N=n, mass=float(masses[0]), softening=0.05)]
     dt = 2e-5
+
+    # independent fp64 host-side energy bracket (same pattern as gate1m),
+    # so the recorded |dE/E| does not rely on the driver's own debug path
+    solver = DirectGravity(masses, np.full(n, 0.05), impl="pallas")
+
+    def energy(arr):
+        pos = jnp.asarray(arr[:, :3], jnp.float32)
+        vel = np.asarray(arr[:, 3:], np.float64)
+        phi = np.asarray(solver.potential(pos), np.float64)
+        ke = 0.5 * (masses * (vel**2).sum(1)).sum()
+        pe = 0.5 * (masses * phi).sum()
+        return ke, pe
+
+    ke0, pe0 = energy(xv)
     # warm-up run with the same *chunk lengths* as the timed run: with
     # snapshots=3 + restart_interval=50 over 100 steps every boundary
     # chunk is 50 steps, so a 50-step run (snapshots=2 -> schedule
@@ -82,18 +99,22 @@ def run_gate2m(n=2_097_152, steps=100):
         output_dir=str(out_dir) + "_warmup",
     )
     t0 = time.perf_counter()
-    run_simulation(
+    res = run_simulation(
         xv, species, 0.0, steps * dt, dt,
         architecture="tpu", method="direct",
         snapshots=3, restart_interval=50, debug_energy=True,
         verbose=True, overwrite=True, output_dir=str(out_dir),
     )
     wall = time.perf_counter() - t0
+    ke1, pe1 = energy(res["dark"])
+    e0, e1 = ke0 + pe0, ke1 + pe1
     peak = _hbm_peak()
     print(json.dumps({
         "metric": "gate2m_ms_per_step", "value": 1e3 * wall / steps,
         "unit": "ms/step", "steps": steps, "n": n,
         "gint_per_s": n * n * steps / wall / 1e9,
+        "abs_dE_over_E": abs((e1 - e0) / e0),
+        "Q0": ke0 / abs(pe0), "Q1": ke1 / abs(pe1),
         "peak_hbm_gb": None if peak is None else peak / 2**30,
         "wall_s": wall,
         "snapshots": sorted(p.name for p in out_dir.glob("snapshot*")),

@@ -409,17 +409,46 @@ def run_nbody(
             wd_sub = 50
             compiled_lengths: set = set()
 
+            # Single-dispatch execution-time cap (axon TPU tunnel): a
+            # dispatch that *executes* longer than ~60-100 s crashes the
+            # remote worker ("TPU worker process crashed or restarted" —
+            # measured at both N=1M and N=2M: ~40 s dispatches survive,
+            # ~100 s ones die), so large-N scanned chunks are split into
+            # sub-dispatches whose predicted wall time stays under the
+            # budget.  Start from a conservative throughput model of the
+            # direct kernel and refine with measured sub-chunk rates;
+            # lengths are quantised to a short ladder so each distinct
+            # scan length compiles exactly once.
+            _ladder = (50, 25, 10, 5, 2, 1)
+            _budget_s = 40.0
+            on_tunnel = (device.platform if device is not None
+                         else jax.default_backend()) in ("tpu", "axon")
+            est_rate = 100e9 if solver.impl in ("pallas", "sharded") else 5e9
+            est_step_s = (n * n / est_rate) if on_tunnel else 0.0
+
+            def _disp_cap(limit):
+                if est_step_s <= 0:
+                    return limit
+                k = _budget_s / est_step_s
+                for v in _ladder:
+                    if v <= max(k, 1.0):
+                        return min(v, limit)
+                return 1
+
             t_wall0 = pytime.perf_counter()
             current = start_step
             for boundary in boundaries:
                 n_steps = boundary - current
                 if n_steps <= 0:
                     continue
-                if step_timeout_s:
-                    done = 0
-                    while done < n_steps:
-                        s = min(wd_sub, n_steps - done)
-                        allow = 600.0 if s not in compiled_lengths else 30.0
+                done = 0
+                while done < n_steps:
+                    limit = wd_sub if step_timeout_s else n_steps
+                    s = min(_disp_cap(limit), n_steps - done)
+                    pre_compiled = s in compiled_lengths
+                    t_disp = pytime.perf_counter()
+                    if step_timeout_s:
+                        allow = 600.0 if not pre_compiled else 30.0
                         with _ChunkWatchdog(step_timeout_s * s + allow,
                                             emergency_restart):
                             # re-sort only on the first sub-chunk of each
@@ -430,14 +459,23 @@ def run_nbody(
                             state = run_chunk(step_fn, state, s,
                                               presort=presort and done == 0)
                             jax.block_until_ready(state.pos)
-                        compiled_lengths.add(s)
-                        done += s
+                            jax.device_get(state.step)  # axon: see fetch_xv
+                    else:
+                        state = run_chunk(step_fn, state, s,
+                                          presort=presort and done == 0)
+                        if est_step_s > 0:
+                            # cheap real sync (axon block_until_ready is
+                            # a no-op): one int32 scalar
+                            jax.device_get(state.step)
+                    if est_step_s > 0 and pre_compiled:
+                        measured = (pytime.perf_counter() - t_disp) / s
+                        est_step_s = 0.5 * est_step_s + 0.5 * measured
+                    compiled_lengths.add(s)
+                    done += s
+                    if step_timeout_s:
                         last_xv = fetch_xv(state)
                         wd_step = current + done
                         wd_t = time_start + wd_step * dt
-                else:
-                    state = run_chunk(step_fn, state, n_steps,
-                                      presort=presort)
                 current = boundary
                 t_now = time_start + current * dt
 
