@@ -43,19 +43,21 @@ def run_argsort(n=2_097_152):
     rng = np.random.default_rng(0)
     pos = jnp.asarray(rng.normal(0, 1, (n, 3)), jnp.float32)
 
+    # scan length 5, not 20: a 20-sort dispatch at 2M executes ~96 s,
+    # beyond the axon tunnel's single-dispatch limit (docs/performance.md)
     @jax.jit
-    def sort20(p):
+    def sort5(p):
         def body(c, _):
             o = jnp.argsort(p[:, 0] + c)
             return c + p[o[0], 0] * 1e-20, None
 
-        c, _ = jax.lax.scan(body, jnp.float32(0), None, length=20)
+        c, _ = jax.lax.scan(body, jnp.float32(0), None, length=5)
         return c
 
-    sort20(pos)  # compile
+    sort5(pos)  # compile
     t0 = time.perf_counter()
-    jax.device_get(sort20(pos))
-    per_sort = (time.perf_counter() - t0) / 20
+    jax.device_get(sort5(pos))
+    per_sort = (time.perf_counter() - t0) / 5
     print(json.dumps({"metric": "argsort_2m_ms", "value": per_sort * 1e3,
                       "unit": "ms"}))
     return per_sort

@@ -180,7 +180,8 @@ def run_nbody(
 
     * ``precision``: 'float32' | 'float32_kahan' (compensated force
       accumulation *and* compensated state updates) | 'float64' (requires
-      x64; validation use).
+      x64; validation use) | 'float32_fast' (opt-in approximate tier,
+      ~1e-3 force error — see docs/forces.md).
     * ``impl``: force backend — 'auto' | 'jnp' | 'pallas' | 'sharded'.
     * ``devices``: device list for the sharded backend (defaults to all).
     * snapshots/restart files are schema-compatible with the reference
