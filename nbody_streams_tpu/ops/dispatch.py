@@ -72,8 +72,11 @@ class DirectGravity:
         self.precision = precision
         self.kahan = precision == "float32_kahan"
         # 'float32_fast': expanded-r2-on-MXU tier of the sorted Pallas
-        # path (~half the VPU work per pair, ~1e-4 worst-case accuracy
-        # vs the ~1e-6 fp32 floor); plain float32 everywhere else
+        # path (~half the VPU work per pair; ~1e-4 typical error on
+        # smooth profiles, up to ~1e-3 median / ~1e-2 p99 on strongly
+        # clustered data — see docs/forces.md); plain float32 everywhere
+        # else.  A boundary warning below flags configurations where the
+        # tier silently degrades to plain float32.
         self.fast = precision == "float32_fast"
         self.dtype = jnp.float64 if precision == "float64" else jnp.float32
         self.G = float(G)
@@ -103,6 +106,26 @@ class DirectGravity:
         self.mass = mass
         self.softening = softening
         self.block_size = block_size or pairwise._choose_block(n)
+
+        if self.fast:
+            # the fast tier only exists on the slab-sorted Pallas spline
+            # path; everywhere else it silently IS plain float32 — warn so
+            # the user does not believe they bought a speedup (or an
+            # accuracy contract) they are not getting
+            from .pallas_direct import uses_spatial_sort
+
+            if self.impl != "pallas" or not uses_spatial_sort(kernel, n):
+                import warnings
+
+                from ..species import PerformanceWarning
+
+                why = (f"impl={self.impl!r}" if self.impl != "pallas"
+                       else f"kernel={kernel!r}, N={n:,}")
+                warnings.warn(
+                    "precision='float32_fast' only accelerates the "
+                    "slab-sorted Pallas spline path (impl='pallas', "
+                    f"kernel='spline', N >= 16384); with {why} it runs "
+                    "as plain 'float32'", PerformanceWarning, stacklevel=2)
 
         if self.impl == "sharded":
             from ..parallel.sharded import ShardedDirect

@@ -431,6 +431,12 @@ def run_nbody(
                 if est_step_s <= 0:
                     return limit
                 k = _budget_s / est_step_s
+                if k >= limit:
+                    # the whole remaining chunk fits in the budget — do not
+                    # quantise it down to the ladder (that would split a
+                    # cheap small-N boundary into 50-step dispatches, each
+                    # paying a tunnel round-trip)
+                    return limit
                 for v in _ladder:
                     if v <= max(k, 1.0):
                         return min(v, limit)
@@ -443,10 +449,17 @@ def run_nbody(
                 if n_steps <= 0:
                     continue
                 done = 0
+                fetched_at = 0   # steps into this chunk at last payload fetch
                 while done < n_steps:
                     limit = wd_sub if step_timeout_s else n_steps
                     s = min(_disp_cap(limit), n_steps - done)
-                    pre_compiled = s in compiled_lengths
+                    do_presort = presort and done == 0
+                    # run_chunk executables are specialised on BOTH the scan
+                    # length and the static presort flag — key the compile
+                    # allowance and the rate measurement on the pair, or a
+                    # fresh presort variant is mistaken for pre-compiled
+                    # (watchdog fires mid-compile, EWMA absorbs compile time)
+                    pre_compiled = (s, do_presort) in compiled_lengths
                     t_disp = pytime.perf_counter()
                     if step_timeout_s:
                         allow = 600.0 if not pre_compiled else 30.0
@@ -458,12 +471,12 @@ def run_nbody(
                             # construction (band-validity fallback), and
                             # per-sub-chunk argsort costs ~96 ms/step at 2M
                             state = run_chunk(step_fn, state, s,
-                                              presort=presort and done == 0)
+                                              presort=do_presort)
                             jax.block_until_ready(state.pos)
                             jax.device_get(state.step)  # axon: see fetch_xv
                     else:
                         state = run_chunk(step_fn, state, s,
-                                          presort=presort and done == 0)
+                                          presort=do_presort)
                         if est_step_s > 0:
                             # cheap real sync (axon block_until_ready is
                             # a no-op): one int32 scalar
@@ -471,10 +484,18 @@ def run_nbody(
                     if est_step_s > 0 and pre_compiled:
                         measured = (pytime.perf_counter() - t_disp) / s
                         est_step_s = 0.5 * est_step_s + 0.5 * measured
-                    compiled_lengths.add(s)
+                    compiled_lengths.add((s, do_presort))
                     done += s
-                    if step_timeout_s:
+                    # refresh the emergency payload every wd_sub completed
+                    # steps and at the chunk end (the boundary code below
+                    # reuses that final fetch) — NOT per sub-dispatch: when
+                    # the dispatch cap shrinks sub-chunks to 1-2 steps at
+                    # large N, a per-dispatch fetch_xv is a 96 MB D2H every
+                    # step.  A hang still loses <= wd_sub steps.
+                    if step_timeout_s and (done - fetched_at >= wd_sub
+                                           or done >= n_steps):
                         last_xv = fetch_xv(state)
+                        fetched_at = done
                         wd_step = current + done
                         wd_t = time_start + wd_step * dt
                 current = boundary
