@@ -46,6 +46,37 @@ from .species import Species
 
 __all__ = ["run_nbody", "run_nbody_tpu", "run_nbody_cpu"]
 
+# Single-dispatch execution-time cap (axon TPU tunnel): a dispatch that
+# *executes* longer than ~60-100 s crashes the remote worker ("TPU worker
+# process crashed or restarted" — measured at both N=1M and N=2M: ~40 s
+# dispatches survive, ~100 s ones die), so large-N scanned chunks are
+# split into sub-dispatches whose predicted wall time stays under this
+# budget.  Lengths are quantised to a short ladder so each distinct scan
+# length compiles exactly once.
+_DISPATCH_LADDER = (50, 25, 10, 5, 2, 1)
+_DISPATCH_BUDGET_S = 40.0
+
+
+def _dispatch_cap(limit, est_step_s, budget_s=_DISPATCH_BUDGET_S,
+                  ladder=_DISPATCH_LADDER):
+    """Steps allowed in one dispatch given an estimated per-step time.
+
+    Returns ``limit`` unchanged when no estimate is available (CPU /
+    non-tunnel backends pass 0) or when the whole remaining chunk fits in
+    the budget — quantising a cheap small-N boundary down to the ladder
+    would split it into 50-step dispatches, each paying a tunnel
+    round-trip.  Otherwise picks the largest ladder entry whose predicted
+    wall time stays under the budget (always at least 1)."""
+    if est_step_s <= 0:
+        return limit
+    k = budget_s / est_step_s
+    if k >= limit:
+        return limit
+    for v in ladder:
+        if v <= max(k, 1.0):
+            return min(v, limit)
+    return 1
+
 
 class CallbackForceExtra(ForceExtra):
     """Adapter for reference-style plain callables.
@@ -410,37 +441,13 @@ def run_nbody(
             wd_sub = 50
             compiled_lengths: set = set()
 
-            # Single-dispatch execution-time cap (axon TPU tunnel): a
-            # dispatch that *executes* longer than ~60-100 s crashes the
-            # remote worker ("TPU worker process crashed or restarted" —
-            # measured at both N=1M and N=2M: ~40 s dispatches survive,
-            # ~100 s ones die), so large-N scanned chunks are split into
-            # sub-dispatches whose predicted wall time stays under the
-            # budget.  Start from a conservative throughput model of the
-            # direct kernel and refine with measured sub-chunk rates;
-            # lengths are quantised to a short ladder so each distinct
-            # scan length compiles exactly once.
-            _ladder = (50, 25, 10, 5, 2, 1)
-            _budget_s = 40.0
+            # Dispatch-length cap (see _dispatch_cap): start from a
+            # conservative throughput model of the direct kernel and
+            # refine with measured sub-chunk rates.
             on_tunnel = (device.platform if device is not None
                          else jax.default_backend()) in ("tpu", "axon")
             est_rate = 100e9 if solver.impl in ("pallas", "sharded") else 5e9
             est_step_s = (n * n / est_rate) if on_tunnel else 0.0
-
-            def _disp_cap(limit):
-                if est_step_s <= 0:
-                    return limit
-                k = _budget_s / est_step_s
-                if k >= limit:
-                    # the whole remaining chunk fits in the budget — do not
-                    # quantise it down to the ladder (that would split a
-                    # cheap small-N boundary into 50-step dispatches, each
-                    # paying a tunnel round-trip)
-                    return limit
-                for v in _ladder:
-                    if v <= max(k, 1.0):
-                        return min(v, limit)
-                return 1
 
             t_wall0 = pytime.perf_counter()
             current = start_step
@@ -452,7 +459,7 @@ def run_nbody(
                 fetched_at = 0   # steps into this chunk at last payload fetch
                 while done < n_steps:
                     limit = wd_sub if step_timeout_s else n_steps
-                    s = min(_disp_cap(limit), n_steps - done)
+                    s = min(_dispatch_cap(limit, est_step_s), n_steps - done)
                     do_presort = presort and done == 0
                     # run_chunk executables are specialised on BOTH the scan
                     # length and the static presort flag — key the compile

@@ -466,3 +466,32 @@ def test_extract_orbits_ram_warning(tmp_path, monkeypatch):
     monkeypatch.setattr(nbody_io, "_RAM_WARN_GB", 1e-9)
     with pytest.warns(UserWarning, match="GB of RAM"):
         reader.extract_orbits("dark", max_workers=1)
+
+
+def test_dispatch_cap_model():
+    """The axon single-dispatch execution cap (run._dispatch_cap):
+    predicted dispatch wall time must stay under the ~40 s budget that
+    the remote TPU worker tolerates, without splitting cheap chunks."""
+    from nbody_streams_tpu.run import _dispatch_cap
+
+    # no estimate (CPU / non-tunnel): never split
+    assert _dispatch_cap(50, 0.0) == 50
+    assert _dispatch_cap(1000, 0.0) == 1000
+    # cheap steps (64k: ~40 ms/step): whole chunk fits, unquantised
+    assert _dispatch_cap(50, 0.043) == 50
+    assert _dispatch_cap(930, 0.043) == 930      # 930*0.043 = 40.0 = budget
+    assert _dispatch_cap(937, 0.043) == 50       # just over: ladder applies
+    # 1M (~11 s/step estimate): 2-step dispatches (~22 s)
+    assert _dispatch_cap(50, 11.0) == 2
+    # 2M (~44 s/step estimate): single-step dispatches
+    assert _dispatch_cap(50, 44.0) == 1
+    # mid-N quantisation onto the ladder
+    assert _dispatch_cap(50, 1.0) == 25          # k=40 -> ladder 25
+    assert _dispatch_cap(50, 3.0) == 10          # k=13.3 -> ladder 10
+    # cap never exceeds the remaining limit
+    assert _dispatch_cap(3, 1.0) == 3
+    # predicted wall time of every returned length stays under budget
+    # (or is the unsplittable minimum of 1)
+    for est in (0.01, 0.1, 0.5, 1, 2, 5, 10, 20, 40, 80, 200):
+        s = _dispatch_cap(50, est)
+        assert s == 50 and 50 * est <= 40.0 or s * est <= 40.0 or s == 1
