@@ -203,6 +203,7 @@ def run_nbody(
     nan_check: bool = True,
     step_timeout_s: float | None = None,
     profile_dir: str | None = None,
+    solver_factory=None,
 ) -> np.ndarray:
     """Run a KDK leapfrog N-body integration; returns final (N, 6) float64.
 
@@ -215,6 +216,11 @@ def run_nbody(
       ~1e-3 force error — see docs/forces.md).
     * ``impl``: force backend — 'auto' | 'jnp' | 'pallas' | 'sharded'.
     * ``devices``: device list for the sharded backend (defaults to all).
+    * ``solver_factory``: optional ``(mass_arr, soft_arr) -> solver``
+      called on the target device in place of the DirectGravity
+      construction (how ``run_simulation(method='scf')`` installs the
+      SCF expansion tier); ``impl``/``kernel``/``block_size`` are then
+      ignored.
     * snapshots/restart files are schema-compatible with the reference
       (see nbody_io).
     """
@@ -316,22 +322,26 @@ def run_nbody(
         snap_kwargs["mass_dark"] = np.asarray(masses, float)
         snap_kwargs["eps_dark"] = np.asarray(soft_arr, float)
 
-    if verbose:
-        backend = device.platform if device else jax.default_backend()
-        print("=" * 70)
-        print(f"TPU-native N-body integration  [{backend}/{impl}, "
-              f"{precision}, kernel={kernel}]")
-        print(f"Particles: {n:,}  steps: {total_steps:,} "
-              f"(start {start_step})  dt={dt:.3e}")
-        print("=" * 70)
-
     ctx = jax.default_device(device) if device is not None else _nullctx()
     with ctx:
-        solver = DirectGravity(
-            masses, soft_arr, G=G, kernel=kernel, precision=precision,
-            impl=impl, block_size=block_size, devices=devices,
-        )
+        if solver_factory is not None:
+            solver = solver_factory(masses, soft_arr)
+        else:
+            solver = DirectGravity(
+                masses, soft_arr, G=G, kernel=kernel, precision=precision,
+                impl=impl, block_size=block_size, devices=devices,
+            )
         mass_dev = solver.mass
+
+        if verbose:
+            backend = device.platform if device else jax.default_backend()
+            print("=" * 70)
+            print(f"TPU-native N-body integration  [{backend}/"
+                  f"{solver.impl}, {precision}, "
+                  f"kernel={getattr(solver, 'kernel', kernel)}]")
+            print(f"Particles: {n:,}  steps: {total_steps:,} "
+                  f"(start {start_step})  dt={dt:.3e}")
+            print("=" * 70)
 
         fx = force_extra
         if fx is not None and not isinstance(fx, ForceExtra):
@@ -446,8 +456,14 @@ def run_nbody(
             # refine with measured sub-chunk rates.
             on_tunnel = (device.platform if device is not None
                          else jax.default_backend()) in ("tpu", "axon")
-            est_rate = 100e9 if solver.impl in ("pallas", "sharded") else 5e9
-            est_step_s = (n * n / est_rate) if on_tunnel else 0.0
+            if solver.impl == "scf":
+                # O(N * terms) dense passes, ~ matmul-bound: conservative
+                # 200 ps per term-particle; the EWMA below refines it
+                est_step_s = (n * solver.terms * 2e-10) if on_tunnel else 0.0
+            else:
+                est_rate = (100e9 if solver.impl in ("pallas", "sharded")
+                            else 5e9)
+                est_step_s = (n * n / est_rate) if on_tunnel else 0.0
 
             t_wall0 = pytime.perf_counter()
             current = start_step

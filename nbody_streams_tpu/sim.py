@@ -13,6 +13,12 @@ Method mapping (reference hardcodes a solver per backend, sim.py:236-242):
   *mesh-sharded direct summation* (particles sharded over the device mesh,
   source blocks ring-permuted over ICI).  Same accuracy class or better
   (it is exact), comparable throughput scaling; accepts ``devices=``.
+* ``method='scf'``    — Hernquist-Ostriker self-consistent-field
+  expansion (ops/scf.py): O(N) per step, the TPU-shaped answer to the
+  reference's ">2M use tree/FMM" crossover guidance (reference:
+  README.md:799-807).  Accuracy dials ``scf_nmax``/``scf_lmax`` play the
+  role of the tree's ``theta``; for collisionless systems the truncation
+  error sits below the particle shot noise at modest orders.
 """
 from __future__ import annotations
 
@@ -39,6 +45,10 @@ _DF_KW = {
     "df_r_core", "df_update_interval", "df_sigma_method",
     "df_apply_radius_factor", "df_shrink_n_iter", "df_shrink_frac",
     "df_sigma_grid_r", "df_com_method", "df_bound_r_max",
+}
+_SCF_KW = {
+    "scf_nmax", "scf_lmax", "scf_mmax", "scf_a", "scf_symmetry",
+    "scf_center",
 }
 
 
@@ -88,8 +98,9 @@ def run_simulation(
             "architecture must be 'cpu', 'tpu', 'gpu' (alias), or "
             f"'auto', got {architecture!r}"
         )
-    if method not in ("direct", "tree"):
-        raise ValueError(f"method must be 'direct' or 'tree', got {method!r}")
+    if method not in ("direct", "tree", "scf"):
+        raise ValueError(
+            f"method must be 'direct', 'tree' or 'scf', got {method!r}")
 
     _validate_species(phase_space, species)
     mass_arr, soft_arr = _build_particle_arrays(species)
@@ -100,6 +111,10 @@ def run_simulation(
     kw = dict(kwargs)
     direct_kwargs = {k: kw.pop(k) for k in list(kw) if k in _DIRECT_KW}
     df_kwargs = {k: kw.pop(k) for k in list(kw) if k in _DF_KW}
+    scf_kwargs = {k: kw.pop(k) for k in list(kw) if k in _SCF_KW}
+    if scf_kwargs and method != "scf":
+        raise TypeError(
+            f"scf_* kwargs given but method={method!r}: {sorted(scf_kwargs)}")
     for legacy in ("theta", "nleaf", "ncrit", "level_split", "nthreads"):
         if legacy in kw:
             kw.pop(legacy)
@@ -134,6 +149,22 @@ def run_simulation(
 
     if method == "tree":
         direct_kwargs.setdefault("impl", "sharded")
+    elif method == "scf":
+        from .ops.scf import SCFGravity
+
+        precision = direct_kwargs.get("precision", "float32_kahan")
+        scf_prec = "float64" if precision == "float64" else "float32"
+        for bad in ("impl", "block_size"):
+            if bad in direct_kwargs:
+                raise TypeError(f"{bad!r} has no effect with method='scf'")
+        xv0 = phase_space
+        opts = {k.removeprefix("scf_"): v for k, v in scf_kwargs.items()}
+
+        def _scf_factory(mass_arr_np, soft_arr_np, _opts=opts):
+            return SCFGravity(mass_arr_np, soft_arr_np, G=G,
+                              precision=scf_prec, phase_space=xv0, **_opts)
+
+        direct_kwargs["solver_factory"] = _scf_factory
 
     xv_final = run_nbody(
         phase_space,

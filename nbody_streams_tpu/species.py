@@ -137,7 +137,7 @@ def _emit_performance_warnings(n_total: int, architecture: str,
 
         architecture = ("cpu" if jax.default_backend() == "cpu"
                         else "tpu")
-    if n_total > 2_000_000 and method != "tree":
+    if n_total > 2_000_000 and method not in ("tree", "scf"):
         warnings.warn(
             f"{n_total:,} particles: direct summation at this scale will be "
             "extremely slow. Consider a hierarchical method or more devices.",
