@@ -48,6 +48,72 @@ def _require_device(timeout_s: float = 180.0):
     print(f"# devices: {got[0]}", file=sys.stderr)
 
 
+def _capacity_probe():
+    """Two ~1 s VPU fma probes; returns (xla_tops, pallas_tops).
+
+    The tunnelled chip's delivered compute varies by multiples between
+    sessions, and not uniformly: on a degraded allocation the
+    XLA-compiled elementwise chain can still read near-best (~2.3 vs
+    2.8 Top/s) while Pallas-compiled kernels — including the bench
+    kernel itself — run at ~37-70% of their recorded rates
+    (docs/performance.md, device-allocation variance).  Both lines are
+    captured in the driver's bench tail so a slow BENCH_r*.json can be
+    told apart from a code regression."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    # ~540 GFLOP per dispatch: >=0.2 s on the best allocation seen, so
+    # the ~58 ms tunnel latency perturbs the reading by <~25%
+    K, ITERS = 256, 4000
+    x = jnp.full((512, 512), 1.25, jnp.float32)
+
+    @jax.jit
+    def xla_chain(v):
+        def body(c, _):
+            acc = c
+            for _ in range(K):
+                acc = acc * c + c
+            return acc * 1e-30 + v, None
+
+        c, _ = jax.lax.scan(body, v, None, length=ITERS)
+        return c
+
+    def fma_kernel(x_ref, o_ref):
+        v = x_ref[:]
+        acc = v
+        for _ in range(K):
+            acc = acc * v + v
+        o_ref[:] = acc
+
+    pallas_fma = pl.pallas_call(
+        fma_kernel, grid=(ITERS // 8,),
+        in_specs=[pl.BlockSpec((512, 512), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((512, 512), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((512, 512), jnp.float32),
+    )
+
+    @jax.jit
+    def pallas_chain(v):
+        def body(c, _):
+            return pallas_fma(c) * 1e-30 + v, None
+
+        c, _ = jax.lax.scan(body, v, None, length=8)
+        return c
+
+    flops = 512 * 512 * K * ITERS * 2
+    out = []
+    for fn in (xla_chain, pallas_chain):
+        jax.device_get(fn(x))  # compile
+        t0 = time.perf_counter()
+        jax.device_get(fn(x))
+        out.append(flops / (time.perf_counter() - t0) / 1e12)
+    return out
+
+
 def main():
     _require_device()
     from nbody_streams_tpu import make_plummer_sphere
@@ -94,6 +160,11 @@ def main():
     de = abs((float(ke1) + float(pe1) - e0) / e0)
     gint = N * N / dt_step / 1e9
 
+    xla_tops, pallas_tops = _capacity_probe()
+    print(f"# device capacity: VPU fma ~{xla_tops:.2f} Top/s (XLA) / "
+          f"~{pallas_tops:.2f} Top/s (Pallas) sustained; best allocation "
+          "seen on this container: ~2.8 (docs/performance.md "
+          "'Device-allocation variance')", file=sys.stderr)
     print(f"# N={N} {dt_step * 1e3:.2f} ms/step  |dE/E|={de:.2e} "
           f"(best of 5x{STEPS} steps)  backend={jax.default_backend()} "
           f"impl={solver.impl}", file=sys.stderr)
