@@ -48,7 +48,7 @@ def _require_device(timeout_s: float = 180.0):
     print(f"# devices: {got[0]}", file=sys.stderr)
 
 
-def _capacity_probe():
+def _capacity_probe(K=256, ITERS=4000, interpret=False):
     """Two ~1 s VPU fma probes; returns (xla_tops, pallas_tops).
 
     The tunnelled chip's delivered compute varies by multiples between
@@ -64,9 +64,10 @@ def _capacity_probe():
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    # ~540 GFLOP per dispatch: >=0.2 s on the best allocation seen, so
-    # the ~58 ms tunnel latency perturbs the reading by <~25%
-    K, ITERS = 256, 4000
+    # default ~540 GFLOP per dispatch: >=0.2 s on the best allocation
+    # seen, so the ~58 ms tunnel latency perturbs the reading by <~25%
+    # (K/ITERS/interpret are overridable so tests can run a tiny CPU
+    # configuration in Pallas interpret mode)
     x = jnp.full((512, 512), 1.25, jnp.float32)
 
     @jax.jit
@@ -88,7 +89,7 @@ def _capacity_probe():
         o_ref[:] = acc
 
     pallas_fma = pl.pallas_call(
-        fma_kernel, grid=(ITERS // 8,),
+        fma_kernel, grid=(max(ITERS // 8, 1),), interpret=interpret,
         in_specs=[pl.BlockSpec((512, 512), lambda i: (0, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((512, 512), lambda i: (0, 0),

@@ -1,0 +1,42 @@
+"""Import/shape smoke tests for the two driver contract files.
+
+``bench.py`` and ``__graft_entry__.py`` are executed by the build
+driver, not by the library — so an import-time break (a renamed helper,
+a moved module) would otherwise surface only in the driver's final
+benchmark run, where it silently costs the round's recorded number.
+These tests run the cheap CPU-sized versions of both entry points.
+
+(The suite is invoked from the repo root — ``python -m pytest tests/``
+— so the repo root is on ``sys.path`` and both top-level files import
+directly.)
+"""
+import jax
+import numpy as np
+
+
+def test_bench_imports_and_probe_runs_tiny():
+    import bench
+
+    # tiny configuration in Pallas interpret mode: exercises both the
+    # XLA and Pallas probe graphs end-to-end on CPU (the reported
+    # Top/s values are meaningless at this size — only finiteness and
+    # positivity are contractual)
+    xla_tops, pallas_tops = bench._capacity_probe(K=4, ITERS=8,
+                                                  interpret=True)
+    assert np.isfinite(xla_tops) and xla_tops > 0
+    assert np.isfinite(pallas_tops) and pallas_tops > 0
+    # the headline constants the driver relies on
+    assert bench.BASELINE_GINT == 124.0
+    assert callable(bench.main)
+
+
+def test_graft_entry_single_step_compiles_and_runs():
+    import __graft_entry__ as g
+
+    fn, args = g.entry()
+    out = jax.jit(fn)(*args)
+    pos = np.asarray(out.pos)
+    assert pos.shape == args[0].pos.shape
+    assert np.isfinite(pos).all()
+    # one KDK step at dt=2e-5 must actually move the system
+    assert not np.array_equal(pos, np.asarray(args[0].pos))
