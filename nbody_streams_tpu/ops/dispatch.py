@@ -65,6 +65,7 @@ class DirectGravity:
         devices=None,
         eps2: float = PAIRWISE_EPS2,
         sharded_opts: dict | None = None,
+        tile_config: dict | None = None,
     ):
         validate_kernel(kernel)
         validate_precision(precision)
@@ -106,6 +107,15 @@ class DirectGravity:
         self.mass = mass
         self.softening = softening
         self.block_size = block_size or pairwise._choose_block(n)
+        # tile_config: sorted-Pallas-path tile geometry / moment-pass
+        # override (keys: tm, tn, max_sub, mxu) — the per-allocation
+        # optimum differs on tunnelled chips, so bench.py auto-tries a
+        # small set.  Ignored by the jnp and sharded backends.
+        if tile_config is not None:
+            bad = set(tile_config) - {"tm", "tn", "max_sub", "mxu"}
+            if bad:
+                raise ValueError(f"unknown tile_config keys: {sorted(bad)}")
+        self.tile_config = tile_config
 
         if self.fast:
             # the fast tier only exists on the slab-sorted Pallas spline
@@ -151,8 +161,20 @@ class DirectGravity:
             return self._sharded.shard_state(tree)
         return tree
 
+    @property
+    def state_pad(self) -> int:
+        """Ghost rows the sharded backend appends to make N divisible by
+        the device count (0 for the single-device backends and for even
+        N).  Ghosts are zero-mass, so they are invisible to forces and
+        to every mass-weighted diagnostic; the run_nbody driver freezes
+        them and strips them from all host-visible output."""
+        if self.impl == "sharded":
+            return self._sharded.npad - self.n
+        return 0
+
     def _check_pos(self, pos):
-        if pos.ndim != 2 or pos.shape != (self.n, 3):
+        ok = {(self.n, 3), (self.n + self.state_pad, 3)}
+        if pos.ndim != 2 or tuple(pos.shape) not in ok:
             raise ValueError(
                 f"pos shape {pos.shape} does not match the solver's "
                 f"({self.n}, 3) particle population")
@@ -190,6 +212,7 @@ class DirectGravity:
             return pallas_direct.pallas_accel(
                 pos, self.mass, self.softening, self.G, self.kernel,
                 self.kahan, self.eps2, order=order, fast=self.fast,
+                tile=self.tile_config,
             )
         if self.impl == "sharded":
             return self._sharded.accel(pos)
@@ -208,6 +231,7 @@ class DirectGravity:
             return pallas_direct.pallas_potential(
                 pos, self.mass, self.softening, self.G, self.kernel,
                 self.kahan, self.eps2, order=order, fast=self.fast,
+                tile=self.tile_config,
             )
         if self.impl == "sharded":
             return self._sharded.potential(pos)

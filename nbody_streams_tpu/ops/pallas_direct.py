@@ -793,7 +793,7 @@ def slab_sort_key(pos):
 
 def pallas_accel(pos, mass, soft, G, kind, kahan, eps2=PAIRWISE_EPS2,
                  interpret=False, spatial_sort=None, order=None,
-                 fast=False):
+                 fast=False, tile=None):
     """(N, 3) float32 self-gravity accelerations (single chip).
 
     ``spatial_sort`` (default: auto for the spline kernel at N >= 16384)
@@ -810,6 +810,14 @@ def pallas_accel(pos, mass, soft, G, kind, kahan, eps2=PAIRWISE_EPS2,
     a documented accuracy cost (~1e-4 worst-case vs the ~1e-6 fp32
     floor; the near-pair band pass stays exact).  Only meaningful on
     the sorted path; ignored otherwise.
+
+    ``tile`` optionally overrides the sorted path's tile geometry /
+    moment-pass choice: a dict with any of ``tm``, ``tn``, ``max_sub``,
+    ``mxu`` (defaults: module constants TM/TN/MAX_SUB, MXU_BASE).  The
+    delivered compute of a tunnelled chip allocation penalises Mosaic
+    and MXU paths non-uniformly between sessions (docs/performance.md,
+    device-allocation variance), so the optimal config is
+    allocation-dependent — bench.py auto-tries a small set.
     """
     gmass = (mass * G).astype(jnp.float32)
     soft = soft.astype(jnp.float32)
@@ -817,21 +825,23 @@ def pallas_accel(pos, mass, soft, G, kind, kahan, eps2=PAIRWISE_EPS2,
     if uses_spatial_sort(kind, pos.shape[0], spatial_sort):
         return _pallas_self_sorted(pos, gmass, soft, kind, kahan, "acc",
                                    float(eps2), interpret, order=order,
-                                   fast=fast)
+                                   fast=fast, **(tile or {}))
     return pallas_accel_2set(pos, soft, pos, gmass, soft, kind, kahan,
                              eps2, interpret)
 
 
 def pallas_potential(pos, mass, soft, G, kind, kahan, eps2=PAIRWISE_EPS2,
                      interpret=False, spatial_sort=None, order=None,
-                     fast=False):
-    """(N,) float32 self-gravity potential (self pair masked in-kernel)."""
+                     fast=False, tile=None):
+    """(N,) float32 self-gravity potential (self pair masked in-kernel).
+
+    ``tile``: see :func:`pallas_accel`."""
     gmass = (mass * G).astype(jnp.float32)
     soft = soft.astype(jnp.float32)
     pos = pos.astype(jnp.float32)
     if uses_spatial_sort(kind, pos.shape[0], spatial_sort):
         return _pallas_self_sorted(pos, gmass, soft, kind, kahan, "pot",
                                    float(eps2), interpret, order=order,
-                                   fast=fast)
+                                   fast=fast, **(tile or {}))
     return pallas_potential_2set(pos, soft, pos, gmass, soft, kind, kahan,
                                  eps2, interpret, mask_self=True)

@@ -41,7 +41,10 @@ quadrature in xi (the integrand is a smooth rational polynomial on
 [-1, 1]), sidestepping the transcription-error-prone closed forms.
 
 Accuracy is controlled by (nmax, lmax) exactly like the tree's theta:
-tests pin a convergence ladder against direct summation.  The expansion
+tests pin a convergence ladder against direct summation.  Both SCF
+matmuls run at ``lax.Precision.HIGHEST`` so the dial holds on real TPUs
+too (the default single-pass-bf16 MXU matmul would floor the relative
+error near 1e-3 regardless of truncation order).  The expansion
 is global and smooth — no self-interaction, no softening (the
 ``softening`` argument is accepted and ignored for driver
 compatibility), forces are curl-free by construction.
@@ -155,13 +158,11 @@ def _basis_rows(pos, a, nmax, lmax, labels):
 
     r_cols = []
     one_p_s = 1.0 + s
-    sl = jnp.ones_like(s)                                      # s^l
     inv = 1.0 / one_p_s
     shell = inv                                                # s^l/(1+s)^(2l+1)
     inv2 = inv * inv
     for l in range(lmax + 1):
         if l > 0:
-            sl = sl * s
             shell = shell * s * inv2
         c = _gegenbauer(xi, 2.0 * l + 1.5, nmax)
         for n in range(nmax + 1):
@@ -188,15 +189,22 @@ def scf_coefficients(pos, mass, a, nmax, lmax, labels, K_flat, mask):
     """A (P, Q) expansion coefficients of the particle set (masked to
     matching l; already divided by the radial norms K_nl)."""
     R, B = _basis_rows(pos, a, nmax, lmax, labels)
+    # Precision.HIGHEST: on TPU the default fp32 matmul runs as a
+    # single-pass bf16 MXU op, which would put a ~1e-3-class relative
+    # floor under the coefficients that (nmax, lmax) could not reduce.
+    # Both SCF matmuls are tiny (P, Q ~ tens), so the 6-pass fp32
+    # emulation costs nothing against the O(N P) basis recurrences.
     M = jax.lax.dot_general((mass[:, None] * R), B,
                             (((0,), (0,)), ((), ())),
+                            precision=jax.lax.Precision.HIGHEST,
                             preferred_element_type=R.dtype)    # (P, Q)
     return -(M / K_flat[:, None]) * mask
 
 
 def _phi_of(pos, A, a, G, nmax, lmax, labels):
     R, B = _basis_rows(pos, a, nmax, lmax, labels)
-    return (G / a) * jnp.sum((R @ A) * B, axis=-1)
+    RA = jnp.matmul(R, A, precision=jax.lax.Precision.HIGHEST)
+    return (G / a) * jnp.sum(RA * B, axis=-1)
 
 
 def scf_potential(pos_eval, A, a, G, nmax, lmax, labels):

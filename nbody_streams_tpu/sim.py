@@ -154,9 +154,18 @@ def run_simulation(
 
         precision = direct_kwargs.get("precision", "float32_kahan")
         scf_prec = "float64" if precision == "float64" else "float32"
-        for bad in ("impl", "block_size"):
+        for bad in ("impl", "block_size", "kernel", "devices"):
             if bad in direct_kwargs:
                 raise TypeError(f"{bad!r} has no effect with method='scf'")
+        if precision == "float32_fast":
+            import warnings
+
+            from .species import PerformanceWarning
+
+            warnings.warn(
+                "precision='float32_fast' only accelerates the direct "
+                "pairwise kernels; with method='scf' it runs as plain "
+                "'float32'", PerformanceWarning, stacklevel=2)
         xv0 = phase_space
         opts = {k.removeprefix("scf_"): v for k, v in scf_kwargs.items()}
 

@@ -30,6 +30,27 @@ def test_bench_imports_and_probe_runs_tiny():
     assert callable(bench.main)
 
 
+def test_bench_config_selection():
+    """Healthy probe -> tuned default only; degraded -> the full
+    allocation-dependent trial set (docs/performance.md variance)."""
+    import bench
+
+    healthy = bench._pick_configs(2.8, 2.8)
+    assert healthy == bench.TILE_CONFIGS[:1]
+    # round-3 degraded allocation signature: XLA near-full, Pallas ~1.0
+    degraded = bench._pick_configs(2.3, 0.99)
+    assert degraded == bench.TILE_CONFIGS
+    # absolute floor: both probes low (whole-chip contention)
+    assert bench._pick_configs(1.0, 0.9) == bench.TILE_CONFIGS
+    # every trial config must be a valid DirectGravity tile_config
+    from nbody_streams_tpu.ops.dispatch import DirectGravity
+
+    for name, tile in bench.TILE_CONFIGS:
+        s = DirectGravity(np.ones(8), np.full(8, 0.05), impl="jnp",
+                          tile_config=tile)
+        assert s.tile_config == tile, name
+
+
 def test_graft_entry_single_step_compiles_and_runs():
     import __graft_entry__ as g
 

@@ -262,6 +262,20 @@ def test_run_simulation_scf_end_to_end(tmp_path):
         nst.run_simulation(xv, sp, 0.0, 0.001, 1e-4, method="scf",
                            impl="pallas", output_dir=str(tmp_path),
                            save_snapshots=False)
+    # kernel= and devices= are equally dead with method='scf'
+    with pytest.raises(TypeError, match="kernel"):
+        nst.run_simulation(xv, sp, 0.0, 0.001, 1e-4, method="scf",
+                           kernel="plummer", output_dir=str(tmp_path),
+                           save_snapshots=False)
+    # float32_fast only exists on the direct Pallas path: warn like
+    # DirectGravity does instead of silently degrading
+    from nbody_streams_tpu.species import PerformanceWarning
+
+    with pytest.warns(PerformanceWarning, match="float32_fast"):
+        nst.run_simulation(xv, sp, 0.0, 2e-4, 1e-4, method="scf",
+                           precision="float32_fast", scf_nmax=2,
+                           scf_lmax=0, output_dir=str(tmp_path),
+                           save_snapshots=False, overwrite=True)
 
 
 def test_scf_momentum_near_conservation():
