@@ -191,8 +191,15 @@ def run_chunk(step_fn, state: IntegratorState, n_steps: int,
 
 
 def system_energy(state: IntegratorState, solver, mass):
-    """(KE, PE) with PE = 0.5 sum m_i phi_i (self-gravity only)."""
+    """(KE, PE) with PE = 0.5 sum m_i phi_i (self-gravity only).
+
+    A ghost-padded state (sharded backend, N not divisible by the
+    device count) is handled by zero-padding ``mass`` to the state
+    length — ghosts are zero-mass by construction, so they contribute
+    exactly nothing either way."""
     phi = solver.potential(state.pos, order=_carry_order(state))
+    if mass.shape[0] != state.pos.shape[0]:
+        mass = jnp.pad(mass, (0, state.pos.shape[0] - mass.shape[0]))
     v2 = jnp.sum(state.vel * state.vel, axis=1)
     ke = 0.5 * jnp.sum(mass * v2)
     pe = 0.5 * jnp.sum(mass * phi)

@@ -225,13 +225,18 @@ class ShardedDirect:
     # -- public ------------------------------------------------------------
     def _sharded_eval(self, mode, pos):
         n = self.solver.n
+        # ghost-padded state (see shard_state): inputs arrive already at
+        # the even npad length and keep it on output, so scanned KDK
+        # steps never reshard
+        padded_in = pos.shape[0] == self.npad and self.npad != n
         if mode == "acc" and self.mxu:
             # centre the frame for the MXU moment rewrite: acceleration
             # is translation invariant, and the shift (same for targets
             # and every ring source block) bounds the moment
             # cancellation error by the system extent
             pos = pos - jnp.mean(pos, axis=0, keepdims=True)
-        posp = jnp.pad(pos, ((0, self.npad - n), (0, 0)))
+        posp = pos if padded_in else jnp.pad(
+            pos, ((0, self.npad - n), (0, 0)))
 
         fn = functools.partial(self._ring, mode)
         # check_vma=False: pallas_call outputs carry no varying-axis
@@ -243,7 +248,7 @@ class ShardedDirect:
             out_specs=P(AXIS),
             check_vma=False,
         )(posp, self.gmass, self.soft)
-        return out[:n]
+        return out if padded_in else out[:n]
 
     def accel(self, pos):
         return self._sharded_eval("acc", pos)
@@ -254,24 +259,24 @@ class ShardedDirect:
     def shard_state(self, tree):
         """Place (N, ...) state arrays block-sharded over the mesh.
 
-        When N is not divisible by the device count, arrays are left as-is
-        (device_put requires even shards); the ring body pads internally
-        and XLA inserts the reshard.
+        When N is not divisible by the device count, arrays are first
+        padded with ``npad - N`` zero rows — ghost particles.  Ghosts
+        are exact by construction: their G-premultiplied mass is zero
+        (padded at __init__), so they contribute nothing to any real
+        row, and every mass-weighted diagnostic (energy, momentum,
+        centre of mass) is ghost-blind.  The run_nbody driver freezes
+        ghost rows (zero-masked acceleration) and strips them from
+        every host-visible output; see docs/parallel.md.  Arrays
+        already at the padded length are sharded as-is.
         """
-        if self.solver.n % self.n_dev != 0:
-            import warnings
-
-            warnings.warn(
-                f"N = {self.solver.n} is not divisible by the "
-                f"{self.n_dev}-device mesh: state stays unsharded and "
-                "XLA pays a reshard every step. Pad the particle count "
-                "to a multiple of the device count for full speed.",
-                stacklevel=2)
-            return tree
+        n, npad = self.solver.n, self.npad
 
         def put(x):
             if hasattr(x, "ndim") and x.ndim >= 1 \
-                    and x.shape[0] == self.solver.n:
+                    and x.shape[0] in (n, npad):
+                if x.shape[0] == n and npad != n:
+                    x = jnp.concatenate(
+                        [x, jnp.zeros((npad - n,) + x.shape[1:], x.dtype)])
                 return jax.device_put(x, NamedSharding(
                     self.mesh, P(AXIS, *([None] * (x.ndim - 1)))))
             return x

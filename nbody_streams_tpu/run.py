@@ -88,23 +88,31 @@ class CallbackForceExtra(ForceExtra):
     ordered.
     """
 
-    def __init__(self, fn, mass_np, n, dtype):
+    def __init__(self, fn, mass_np, n, dtype, pad: int = 0):
         self.fn = fn
         self.mass_np = np.asarray(mass_np, np.float64)
         self.n = int(n)
         self.dtype = dtype
+        # ghost-padded state (sharded backend, uneven N): the user
+        # callable keeps its exact contract — it sees only the n real
+        # rows; ghost rows get zero extra force
+        self.pad = int(pad)
 
     def __call__(self, state, pos, vel, mass, t, phi=None, step=0):
         import jax.experimental
 
         def host(p, v, tt):
-            out = self.fn(np.asarray(p), np.asarray(v), self.mass_np,
-                          float(tt))
-            return np.asarray(out, dtype=self.dtype)
+            out = self.fn(np.asarray(p)[:self.n], np.asarray(v)[:self.n],
+                          self.mass_np, float(tt))
+            out = np.asarray(out, dtype=self.dtype)
+            if self.pad:
+                out = np.vstack(
+                    [out, np.zeros((self.pad, 3), self.dtype)])
+            return out
 
         acc = jax.experimental.io_callback(
             host,
-            jax.ShapeDtypeStruct((self.n, 3), self.dtype),
+            jax.ShapeDtypeStruct((self.n + self.pad, 3), self.dtype),
             pos, vel, t,
             ordered=True,
         )
@@ -331,7 +339,14 @@ def run_nbody(
                 masses, soft_arr, G=G, kernel=kernel, precision=precision,
                 impl=impl, block_size=block_size, devices=devices,
             )
-        mass_dev = solver.mass
+        # Ghost padding (sharded backend, N not divisible by the device
+        # count): integrate N + pad rows so the state block-shards
+        # evenly — no per-step reshard.  Ghosts are zero-mass (invisible
+        # to forces and mass-weighted diagnostics), frozen (zero-masked
+        # acceleration below, so they can never wander to non-finite
+        # coordinates), and stripped from every host-visible output.
+        pad = getattr(solver, "state_pad", 0)
+        mass_dev = jnp.pad(solver.mass, (0, pad)) if pad else solver.mass
 
         if verbose:
             backend = device.platform if device else jax.default_backend()
@@ -340,17 +355,32 @@ def run_nbody(
                   f"{solver.impl}, {precision}, "
                   f"kernel={getattr(solver, 'kernel', kernel)}]")
             print(f"Particles: {n:,}  steps: {total_steps:,} "
-                  f"(start {start_step})  dt={dt:.3e}")
+                  f"(start {start_step})  dt={dt:.3e}"
+                  + (f"  [+{pad} zero-mass ghost rows: even shards]"
+                     if pad else ""))
             print("=" * 70)
 
         fx = force_extra
         if fx is not None and not isinstance(fx, ForceExtra):
-            fx = CallbackForceExtra(fx, masses, n, state_dtype)
+            fx = CallbackForceExtra(fx, masses, n, state_dtype, pad=pad)
 
         accel_fn = make_accel_fn(
             solver, mass_dev, external_potential, external_update_interval,
             fx,
         )
+        if pad:
+            _base_accel = accel_fn
+            _live = jnp.concatenate(
+                [jnp.ones((n, 1), state_dtype),
+                 jnp.zeros((pad, 1), state_dtype)])
+
+            def accel_fn(pos, vel, t, step, ext_acc, extra_state,
+                         refresh_ext=False, order=None):
+                acc, ext_acc, extra_state = _base_accel(
+                    pos, vel, t, step, ext_acc, extra_state,
+                    refresh_ext=refresh_ext, order=order)
+                # freeze the ghosts: one fused multiply per step
+                return acc * _live, ext_acc, extra_state
         step_fn = make_kdk_step(accel_fn, dt, time_start,
                                 compensated=(precision == "float32_kahan"))
 
@@ -361,8 +391,18 @@ def run_nbody(
         # silently double every compiled executable (chunks, energy fn,
         # watchdog allowances) through the remote-compile path
         presort = solver.spatial_sort_active
+        xv_init = xv
+        if pad:
+            # ghost rows: last real particle's position (stays inside
+            # the slab extent, so the ring's compact-support windows do
+            # not widen), zero velocity — padded BEFORE init so every
+            # executable (init force eval, chunks, energy) compiles for
+            # the single padded length
+            ghost = np.repeat(xv[-1:], pad, axis=0)
+            ghost[:, 3:] = 0.0
+            xv_init = np.vstack([xv, ghost])
         state = init_state(
-            xv[:, :3], xv[:, 3:], accel_fn, mass_dev, time_start,
+            xv_init[:, :3], xv_init[:, 3:], accel_fn, mass_dev, time_start,
             start_step=start_step, dt=dt, dtype=state_dtype, force_extra=fx,
             sort_fn=solver.sort_key if presort else None,
         )
@@ -385,8 +425,9 @@ def run_nbody(
 
         def fetch_xv(st: IntegratorState) -> np.ndarray:
             pos, vel = jax.device_get((st.pos, st.vel))
+            # [:n] strips the ghost rows (no-op when pad == 0)
             return np.hstack([np.asarray(pos, np.float64),
-                              np.asarray(vel, np.float64)])
+                              np.asarray(vel, np.float64)])[:n]
 
         def write_snapshot(xv_host, counter, t):
             _save_snapshot(xv_host, counter, t, output_path, **snap_kwargs)

@@ -68,6 +68,63 @@ def test_method_tree_runs_sharded_end_to_end(tmp_path):
                                rtol=1e-10, atol=1e-12)
 
 
+def test_uneven_n_ghost_state_sharding():
+    """N=517 on the 8-device mesh: shard_state appends zero-mass ghost
+    rows (no reshard warning), the state actually shards, and the
+    ghost-padded accel path matches the unpadded call on the real rows."""
+    import warnings
+
+    from nbody_streams_tpu.integrate import init_state, make_accel_fn
+
+    rng = np.random.default_rng(5)
+    n = 517
+    pos = rng.normal(0, 1, (n, 3))
+    mass = rng.uniform(0.5, 2.0, n) * 1e5
+    soft = rng.uniform(0.05, 0.3, n)
+    shard = DirectGravity(mass, soft, G=4.3e-6, impl="sharded",
+                          precision="float32_kahan",
+                          devices=jax.devices())
+    assert shard.state_pad == (-n) % 8 == 3
+    accel_fn = make_accel_fn(shard, shard.mass)
+    vel = np.zeros_like(pos)
+    state = init_state(pos, vel, accel_fn, shard.mass, 0.0)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # the old path warned here
+        state = shard.shard_state(state)
+    assert state.pos.shape[0] == n + shard.state_pad
+    assert state.pos.shape[0] % 8 == 0
+    assert len(state.pos.sharding.device_set) == 8, "state not sharded"
+    # zero-mass ghosts are exact: the padded-length call agrees with the
+    # unpadded one bitwise (identical padded operand either way)
+    a_pad = np.asarray(shard.accel(state.pos))
+    a_ref = np.asarray(shard.accel(jnp.asarray(pos, jnp.float32)))
+    np.testing.assert_array_equal(a_pad[:n], a_ref)
+
+
+def test_driver_uneven_n_sharded_matches_direct(tmp_path):
+    """End-to-end run_simulation at N=517 (prime, not divisible by 8):
+    the ghost-padded sharded tier must reproduce the single-device
+    direct trajectory with no reshard warning and real-only output."""
+    import warnings
+
+    n = 517
+    xv, m = make_plummer_sphere(n, M_total=1e4, a=0.01, seed=3)
+    sp = [Species.dark(N=n, mass=float(m[0]), softening=0.003)]
+    kw = dict(time_start=0.0, time_end=2e-4, dt=2e-5, architecture="cpu",
+              save_snapshots=False, verbose=False, precision="float64")
+    res_direct = run_simulation(xv, sp, output_dir=str(tmp_path / "a"),
+                                method="direct", **kw)
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        res_tree = run_simulation(xv, sp, output_dir=str(tmp_path / "b"),
+                                  method="tree", devices=jax.devices(),
+                                  **kw)
+    assert not [w for w in rec if "divisible" in str(w.message)]
+    assert res_tree["dark"].shape == (n, 6)
+    np.testing.assert_allclose(res_tree["dark"], res_direct["dark"],
+                               rtol=1e-10, atol=1e-12)
+
+
 def _pallas_ring(single, use_pallas=True):
     """ShardedDirect forced onto the Pallas tile branch, interpret mode
     (executes the flagship multi-chip Pallas code path on the virtual
