@@ -78,6 +78,26 @@ def _dispatch_cap(limit, est_step_s, budget_s=_DISPATCH_BUDGET_S,
     return 1
 
 
+def _scale_for_allocation(est_step_s, impl, on_tunnel,
+                          threshold_s: float = 2.0, scale_fn=None):
+    """Rescale the dispatch-cap step estimate by the session's measured
+    Pallas allocation quality (ops.probe).
+
+    A degraded allocation runs Mosaic-compiled kernels ~3x slower than
+    the good-allocation rates the static model assumes, so a dispatch
+    sized for the 40 s budget could execute ~120 s and crash the remote
+    worker before the first EWMA refit.  Only fires when it matters:
+    on the tunnel, for the Pallas-compiled backends, and when the
+    modelled step already costs enough (> threshold_s) that the ~0.15 s
+    probe (+ one-time compile) is noise."""
+    if not on_tunnel or impl not in ("pallas", "sharded") \
+            or est_step_s <= threshold_s:
+        return est_step_s
+    if scale_fn is None:
+        from .ops.probe import rate_scale as scale_fn
+    return est_step_s / scale_fn()
+
+
 class CallbackForceExtra(ForceExtra):
     """Adapter for reference-style plain callables.
 
@@ -505,6 +525,8 @@ def run_nbody(
                 est_rate = (100e9 if solver.impl in ("pallas", "sharded")
                             else 5e9)
                 est_step_s = (n * n / est_rate) if on_tunnel else 0.0
+            est_step_s = _scale_for_allocation(est_step_s, solver.impl,
+                                               on_tunnel)
 
             t_wall0 = pytime.perf_counter()
             current = start_step

@@ -495,3 +495,57 @@ def test_dispatch_cap_model():
     for est in (0.01, 0.1, 0.5, 1, 2, 5, 10, 20, 40, 80, 200):
         s = _dispatch_cap(50, est)
         assert s == 50 and 50 * est <= 40.0 or s * est <= 40.0 or s == 1
+
+
+def test_dispatch_cap_allocation_rescale():
+    """_scale_for_allocation feeds the session's measured Pallas rate
+    into the dispatch-cap estimate: a 3x-degraded allocation must
+    triple the modelled step time (so the cap shrinks dispatches)
+    without touching cheap runs, non-tunnel runs or XLA-path solvers."""
+    from nbody_streams_tpu.run import _dispatch_cap, _scale_for_allocation
+
+    scale = lambda: 1.0 / 3.0  # noqa: E731 — 3x-degraded allocation
+
+    # 1M-class estimate (11 s/step at the good-allocation rate)
+    est = _scale_for_allocation(11.0, "pallas", True, scale_fn=scale)
+    assert est == pytest.approx(33.0)
+    # the rescaled estimate shrinks the dispatch: 2 steps -> 1
+    assert _dispatch_cap(50, 11.0) == 2
+    assert _dispatch_cap(50, est) == 1
+    # sharded backend rescales too
+    assert _scale_for_allocation(44.0, "sharded", True, scale_fn=scale) \
+        == pytest.approx(132.0)
+    # gates: off-tunnel, XLA-path impls, and cheap steps are untouched
+    assert _scale_for_allocation(11.0, "pallas", False,
+                                 scale_fn=scale) == 11.0
+    assert _scale_for_allocation(11.0, "jnp", True, scale_fn=scale) == 11.0
+    assert _scale_for_allocation(11.0, "scf", True, scale_fn=scale) == 11.0
+    assert _scale_for_allocation(0.04, "pallas", True,
+                                 scale_fn=scale) == 0.04
+
+
+def test_probe_rate_scale_clamps_and_caches(monkeypatch):
+    """ops.probe.rate_scale: clamped to [floor, 1], cached per process,
+    and a failing probe falls back to 1.0 (never blocks a run)."""
+    from nbody_streams_tpu.ops import probe
+
+    # the probe graph itself runs on CPU in interpret mode
+    tops = probe.delivered_pallas_tops(K=4, iters=8, interpret=True)
+    assert np.isfinite(tops) and tops > 0
+
+    monkeypatch.setattr(probe, "_cache", {})
+    monkeypatch.setattr(probe, "delivered_pallas_tops", lambda: 28.0)
+    assert probe.rate_scale() == 1.0                    # clamp above
+    monkeypatch.setattr(probe, "_cache", {})
+    monkeypatch.setattr(probe, "delivered_pallas_tops", lambda: 0.01)
+    assert probe.rate_scale() == probe._SCALE_FLOOR     # clamp below
+    monkeypatch.setattr(probe, "_cache", {})
+    monkeypatch.setattr(probe, "delivered_pallas_tops", lambda: 1.4)
+    assert probe.rate_scale() == pytest.approx(0.5)
+    # cached: a second call must not re-probe
+    monkeypatch.setattr(probe, "delivered_pallas_tops",
+                        lambda: (_ for _ in ()).throw(AssertionError))
+    assert probe.rate_scale() == pytest.approx(0.5)
+    monkeypatch.setattr(probe, "_cache", {})
+    # a raising probe yields the no-rescale fallback
+    assert probe.rate_scale() == 1.0

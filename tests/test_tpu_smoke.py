@@ -153,6 +153,38 @@ def test_sorted_presort_path_on_chip(tpu_device):
     np.testing.assert_allclose(phi, phi_o, atol=3e-6 * np.abs(phi_o).max())
 
 
+def test_scf_tier_on_chip(tpu_device, tmp_path):
+    """method='scf' (Hernquist-Ostriker expansion) on hardware: the
+    coefficient contraction, basis recurrences and autodiff gradient
+    executed on the chip, through the full driver; and the solver-level
+    result pinned against the CPU fp32 oracle far below the ~1e-3
+    single-pass-bf16 floor (validates the Precision.HIGHEST matmuls —
+    the accuracy dial (nmax, lmax) must keep working on real TPUs)."""
+    import jax
+    import jax.numpy as jnp
+
+    from nbody_streams_tpu import Species, make_plummer_sphere, run_simulation
+    from nbody_streams_tpu.ops.scf import SCFGravity
+
+    n = 8192
+    xv, m = make_plummer_sphere(n, M_total=1e9, a=1.0, seed=5)
+    pos32 = np.asarray(xv[:, :3], np.float32)
+    scf = SCFGravity(m, nmax=8, lmax=4, a=1.0)
+    a_tpu = np.asarray(scf.accel(jnp.asarray(pos32)))
+    with jax.default_device(jax.devices("cpu")[0]):
+        scf_cpu = SCFGravity(np.asarray(m), nmax=8, lmax=4, a=1.0)
+        a_cpu = np.asarray(scf_cpu.accel(jnp.asarray(pos32)))
+    assert np.all(np.isfinite(a_tpu))
+    assert np.max(np.abs(a_tpu - a_cpu)) < 3e-5 * np.abs(a_cpu).max()
+
+    sp = [Species.dark(N=n, mass=float(m[0]), softening=0.05)]
+    res = run_simulation(xv, sp, 0.0, 1e-3, 1e-4, architecture="tpu",
+                         method="scf", scf_nmax=6, scf_lmax=2,
+                         save_snapshots=False, output_dir=str(tmp_path),
+                         verbose=False, debug_energy=True)
+    assert np.all(np.isfinite(res["dark"]))
+
+
 def test_sharded_on_one_device_tpu_mesh(tpu_device, plummer_small):
     """impl='sharded' on a 1-device TPU mesh: the Pallas ring branch
     (use_pallas auto-True) under shard_map on the real chip, against the
