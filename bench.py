@@ -129,10 +129,15 @@ def _capacity_probe(K=256, ITERS=4000, interpret=False):
 # geometry shifts with it, so on a degraded probe the bench trials this
 # small set and reports the best.
 TILE_CONFIGS = [
-    ("mxu-512/512/16", {"mxu": True, "tm": 512, "tn": 512, "max_sub": 16}),
-    ("vpu-512/512/16", {"mxu": False, "tm": 512, "tn": 512, "max_sub": 16}),
-    ("mxu-128/512/32", {"mxu": True, "tm": 128, "tn": 512, "max_sub": 32}),
-    ("vpu-128/512/32", {"mxu": False, "tm": 128, "tn": 512, "max_sub": 32}),
+    ("mxu-512/512/16", "auto",
+     {"mxu": True, "tm": 512, "tn": 512, "max_sub": 16}),
+    ("xla-two-pass", "xla", None),
+    ("mxu-128/512/32", "auto",
+     {"mxu": True, "tm": 128, "tn": 512, "max_sub": 32}),
+    ("vpu-512/512/16", "auto",
+     {"mxu": False, "tm": 512, "tn": 512, "max_sub": 16}),
+    ("vpu-128/512/32", "auto",
+     {"mxu": False, "tm": 128, "tn": 512, "max_sub": 32}),
 ]
 PROBE_OK_RATIO = 0.7   # pallas >= ratio * xla capacity => healthy
 PROBE_OK_ABS = 2.0     # Top/s (best allocation seen sustains ~2.8)
@@ -172,9 +177,9 @@ def main():
     xv, m = make_plummer_sphere(N, M_total=1e9, a=1.0, seed=2)
     soft = np.full(N, 0.05)
 
-    def build(tile):
+    def build(impl, tile):
         solver = DirectGravity(m, soft, kernel="spline",
-                               precision="float32_kahan", impl="auto",
+                               precision="float32_kahan", impl=impl,
                                tile_config=tile)
         accel_fn = make_accel_fn(solver, solver.mass)
         step_fn = make_kdk_step(accel_fn, dt=DT, t0=0.0)
@@ -205,19 +210,20 @@ def main():
     candidates = _pick_configs(xla_tops, pallas_tops)
     if DirectGravity(m, soft, kernel="spline", precision="float32_kahan",
                      impl="auto").impl != "pallas":
-        candidates = [("default", None)]  # tile configs are Pallas-only
-    chosen_name, chosen_tile = candidates[0]
+        candidates = [("default", "auto", None)]  # configs are TPU-only
+    chosen_name, chosen_impl, chosen_tile = candidates[0]
     if len(candidates) > 1:
         timed = []
-        for name, tile in candidates:
-            _, step_fn, presort, state = build(tile)
+        for name, impl, tile in candidates:
+            _, step_fn, presort, state = build(impl, tile)
             dt_trial, _ = windows(step_fn, state, presort, TRIAL_WINDOWS)
-            timed.append((dt_trial, name, tile))
+            timed.append((dt_trial, name, impl, tile))
             print(f"# config trial {name}: {dt_trial * 1e3:.2f} ms/step "
                   f"({N * N / dt_trial / 1e9:.1f} Gint/s)", file=sys.stderr)
-        _, chosen_name, chosen_tile = min(timed, key=lambda t: t[0])
+        _, chosen_name, chosen_impl, chosen_tile = min(
+            timed, key=lambda t: t[0])
 
-    solver, step_fn, presort, state = build(chosen_tile)
+    solver, step_fn, presort, state = build(chosen_impl, chosen_tile)
     energy = jax.jit(lambda s: system_energy(s, solver, solver.mass))
     ke0, pe0 = energy(state)
     e0 = float(ke0) + float(pe0)

@@ -11,11 +11,19 @@ kernel), and synchronisation uses `jax.device_get` (axon's
 
 Usage:
     python -m nbody_streams_tpu.bench_suite [-N 65536] [--reps 6]
+
+The sharded-ring correctness-timed row (8 virtual CPU devices,
+interpret-mode Pallas) is a separate invocation because it needs the
+host-platform mesh before jax initialises:
+
+    XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
+        python -m nbody_streams_tpu.bench_suite --sharded -N 8192
 """
 from __future__ import annotations
 
 import argparse
 import os
+import sys
 import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
@@ -63,7 +71,12 @@ def main(argv=None):
     print("SECTION 1: force kernels (Gint/s = N^2 pair interactions/s)")
     results = {}
     for kernel in ("spline", "plummer", "dehnen_k1", "newtonian"):
-        for precision in ("float32_kahan", "float32"):
+        # float32_fast only exists on the slab-sorted spline path
+        # (everywhere else it degrades to plain float32 with a warning)
+        tiers = ("float32_kahan", "float32", "float32_fast") \
+            if kernel == "spline" and n >= 16384 \
+            else ("float32_kahan", "float32")
+        for precision in tiers:
             solver = DirectGravity(m, soft, kernel=kernel,
                                    precision=precision)
             p0 = jnp.asarray(pos64, solver.dtype)
@@ -137,20 +150,93 @@ def main(argv=None):
 
     # ---- section 5: N-scaling -----------------------------------------
     print("\nSECTION 5: N-scaling (spline + Kahan)")
-    for nn in (16384, 65536, 262144):
+    for nn in (16384, 65536, 262144, 1048576):
         if nn > n * 4:
             break
         xvn, mn = make_plummer_sphere(nn, M_total=1e9, a=1.0, seed=2)
         s = DirectGravity(mn, np.full(nn, 0.05), kernel="spline",
                           precision="float32_kahan")
         p = jnp.asarray(xvn[:, :3], s.dtype)
-        dt = _timeit_scan(lambda c, s=s: s.accel(c), p,
-                          max(2, reps // 2))
+        rr = max(2, reps // 2) if nn <= 262144 else 2
+        dt = _timeit_scan(lambda c, s=s: s.accel(c), p, rr)
         print(f"  N={nn:8d}: {dt*1e3:9.2f} ms  {nn*nn/dt/1e9:8.1f} "
               f"Gint/s")
+
+    # ---- section 6: KDK stepping drift by precision tier --------------
+    # The accuracy side of the float32_fast trade: |dE/E| accumulated
+    # over a real KDK window, per tier, at this N (reference ships the
+    # matching per-precision matrix, fields.py:1201-1796).
+    print("\nSECTION 6: KDK stepping (spline): Gint/s + |dE/E| over "
+          "300 steps")
+    from .integrate import (init_state, make_accel_fn, make_kdk_step,
+                            run_chunk, system_energy)
+    steps = 300
+    for precision in ("float32_kahan", "float32", "float32_fast"):
+        s = DirectGravity(m, soft, kernel="spline", precision=precision)
+        accel_fn = make_accel_fn(s, s.mass)
+        step_fn = make_kdk_step(accel_fn, dt=2e-5, t0=0.0)
+        state = init_state(xv[:, :3], xv[:, 3:], accel_fn, s.mass, 0.0)
+        e0 = float(jax.device_get(system_energy(state, s, s.mass)))
+        state = run_chunk(step_fn, state, 10)     # compile + warm
+        jax.device_get(state.pos)
+        t0 = time.perf_counter()
+        state = run_chunk(step_fn, state, steps)
+        jax.device_get(state.pos)
+        dt_step = (time.perf_counter() - t0) / steps
+        e1 = float(jax.device_get(system_energy(state, s, s.mass)))
+        print(f"  {precision:14s} {dt_step*1e3:9.2f} ms/step "
+              f"{n*n/dt_step/1e9:8.1f} Gint/s   |dE/E| = "
+              f"{abs((e1 - e0) / e0):.2e}")
 
     print("\ndone.")
 
 
+def main_sharded(argv=None):
+    """Correctness-timed sharded-ring row: the 8-virtual-device CPU
+    mesh stepping the interpret-mode Pallas ring.  Timing here measures
+    the *orchestration* (ring ppermute + interpret overhead), not TPU
+    kernel speed — its value is recording that the multi-chip path runs
+    and agrees with the single-device oracle."""
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sharded", action="store_true")
+    ap.add_argument("-N", type=int, default=8192)
+    ap.add_argument("--reps", type=int, default=3)
+    args = ap.parse_args(argv)
+    n = args.N
+
+    # the axon TPU plugin force-registers itself regardless of
+    # JAX_PLATFORMS; override via config before any backend initialises
+    jax.config.update("jax_platforms", "cpu")
+
+    from . import make_plummer_sphere
+    from .ops.dispatch import DirectGravity
+
+    ndev = len(jax.devices())
+    print(f"backend: {jax.default_backend()}  devices: {ndev}")
+    if jax.default_backend() != "cpu" or ndev < 2:
+        print("sharded row needs the virtual CPU mesh; run with\n"
+              "  XLA_FLAGS=--xla_force_host_platform_device_count=8 "
+              "JAX_PLATFORMS=cpu")
+        return
+
+    xv, m = make_plummer_sphere(n, M_total=1e9, a=1.0, seed=2)
+    soft = np.full(n, 0.05)
+    sharded = DirectGravity(m, soft, kernel="spline", impl="sharded",
+                            precision="float32_kahan")
+    single = DirectGravity(m, soft, kernel="spline", impl="jnp",
+                           precision="float32_kahan")
+    p = jnp.asarray(xv[:, :3], jnp.float32)
+    a_s = np.asarray(sharded.accel(p), float)
+    a_1 = np.asarray(single.accel(p), float)
+    rel = np.abs(a_s - a_1).max() / np.abs(a_1).max()
+    dt = _timeit_scan(lambda c: sharded.accel(c), p, args.reps)
+    print(f"  sharded ring {ndev}-dev (interpret): N={n}  "
+          f"{dt*1e3:9.2f} ms/eval   max rel vs single-device "
+          f"{rel:.2e}")
+
+
 if __name__ == "__main__":
-    main()
+    if "--sharded" in sys.argv:
+        main_sharded()
+    else:
+        main()

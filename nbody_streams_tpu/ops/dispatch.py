@@ -5,6 +5,9 @@ correct dtype) with a choice of implementation:
 
 * ``'jnp'``     — blocked pure-jnp oracle (any backend; CPU float64 oracle)
 * ``'pallas'``  — Pallas TPU tiled kernel (single chip fast path)
+* ``'xla'``     — pure-XLA two-pass split (ops/xla_direct.py): same
+  compact-support algorithm as the Pallas path but compiled by XLA, for
+  tunnel allocations that penalise Mosaic-compiled kernels
 * ``'sharded'`` — shard_map mesh-sharded direct summation (multi chip)
 * ``'auto'``    — pallas on TPU, jnp elsewhere; sharded when a mesh with
   more than one device is supplied.
@@ -85,10 +88,10 @@ class DirectGravity:
         self.devices = devices
         if impl == "auto":
             impl = _default_impl(devices)
-        if impl not in ("jnp", "pallas", "sharded"):
+        if impl not in ("jnp", "pallas", "xla", "sharded"):
             raise ValueError(f"Unknown gravity impl {impl!r}")
-        if impl == "pallas" and precision == "float64":
-            impl = "jnp"  # the Pallas kernel is fp32-only by design
+        if impl in ("pallas", "xla") and precision == "float64":
+            impl = "jnp"  # the fast paths are fp32-only by design
         self.impl = impl
 
         if precision == "float64" and not jax.config.jax_enable_x64:
@@ -107,6 +110,9 @@ class DirectGravity:
         self.mass = mass
         self.softening = softening
         self.block_size = block_size or pairwise._choose_block(n)
+        # the xla backend has its own (larger) default block size; only
+        # an explicit user block_size overrides it
+        self._user_block_size = block_size
         # tile_config: sorted-Pallas-path tile geometry / moment-pass
         # override (keys: tm, tn, max_sub, mxu) — the per-allocation
         # optimum differs on tunnelled chips, so bench.py auto-tries a
@@ -182,14 +188,19 @@ class DirectGravity:
     # -- spatial-sort order reuse --------------------------------------------
     @property
     def spatial_sort_active(self) -> bool:
-        """True when accel/potential take the slab-sorted Pallas path and
-        therefore accept a reusable ``order=`` (the integrator re-sorts
-        once per scanned chunk instead of per force call)."""
-        if self.impl != "pallas":
-            return False
-        from . import pallas_direct
+        """True when accel/potential take a slab-sorted two-pass path
+        (Pallas or XLA) and therefore accept a reusable ``order=`` (the
+        integrator re-sorts once per scanned chunk instead of per force
+        call)."""
+        if self.impl == "pallas":
+            from . import pallas_direct
 
-        return pallas_direct.uses_spatial_sort(self.kernel, self.n)
+            return pallas_direct.uses_spatial_sort(self.kernel, self.n)
+        if self.impl == "xla":
+            from . import xla_direct
+
+            return xla_direct.uses_spatial_sort(self.kernel, self.n)
+        return False
 
     def sort_key(self, pos):
         """The slab order accel/potential would compute internally."""
@@ -214,6 +225,14 @@ class DirectGravity:
                 self.kahan, self.eps2, order=order, fast=self.fast,
                 tile=self.tile_config,
             )
+        if self.impl == "xla":
+            from . import xla_direct
+
+            return xla_direct.xla_accel(
+                pos, self.mass, self.softening, self.G, self.kernel,
+                self.kahan, self.eps2, order=order,
+                block_size=self._user_block_size,
+            )
         if self.impl == "sharded":
             return self._sharded.accel(pos)
         return pairwise._pairwise_blocked(
@@ -232,6 +251,14 @@ class DirectGravity:
                 pos, self.mass, self.softening, self.G, self.kernel,
                 self.kahan, self.eps2, order=order, fast=self.fast,
                 tile=self.tile_config,
+            )
+        if self.impl == "xla":
+            from . import xla_direct
+
+            return xla_direct.xla_potential(
+                pos, self.mass, self.softening, self.G, self.kernel,
+                self.kahan, self.eps2, order=order,
+                block_size=self._user_block_size,
             )
         if self.impl == "sharded":
             return self._sharded.potential(pos)

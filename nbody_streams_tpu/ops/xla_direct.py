@@ -1,0 +1,282 @@
+"""Pure-XLA two-pass direct-summation backend (``impl='xla'``).
+
+The tunnelled-TPU environment delivers *non-uniform* per-session
+allocations: some sessions run Mosaic(Pallas)-compiled kernels and the
+MXU at a fraction of their best-seen rates while XLA-compiled VPU
+elementwise stays at full speed (docs/performance.md,
+'Device-allocation variance').  On such an allocation the Pallas fast
+path tops out below the reference baseline no matter which tile
+geometry it picks — but the same two-pass compact-support algorithm
+expressed as plain XLA ops (``lax.scan`` over blocked tiles, which XLA
+fuses into VPU loops) measured 160 Gint/s for the Newtonian base pass
+where Pallas managed 119 for the whole kernel.  ``bench.py`` trials
+this backend alongside the Pallas tile configs and reports the best,
+making the headline number allocation-robust.
+
+Algorithm (identical maths to ``_pallas_self_sorted``,
+ops/pallas_direct.py — reference analogue: the shared-memory tiled CUDA
+kernel, reference cuda_kernels.py:18-180):
+
+* slab-sort by x (order reusable across a scanned chunk via ``order=``),
+* pass 1: ~16-op Newtonian kernel over all pairs with each target
+  block's banded near-diagonal source window zeroed *by masking the
+  source masses* at band-row granularity (exact: zero mass = zero
+  contribution),
+* pass 2: the full softened kernel over exactly that window
+  (``dynamic_slice`` per target block), so every pair is computed once
+  with its exact factor — no cancellation between passes.
+
+The Monaghan spline is exactly Newtonian at ``r >= h_eff``, so the
+split is pure bookkeeping; a fallback to the single-pass blocked
+evaluation guards the case where ``max(h)`` is too large for the band
+(same ladder-and-fallback contract as the Pallas path).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..constants import PAIRWISE_EPS2
+from .kernels import force_factor, potential_factor
+from .pairwise import kahan_add
+
+__all__ = ["xla_accel", "xla_potential", "uses_spatial_sort"]
+
+# Default geometry.  BS: target-block size (bigger amortises XLA loop
+# overhead; 4096 measured best of {2048..8192} at N=64k).  RS: band
+# bookkeeping row size — the band window is resolved at RS-source
+# granularity, so the quadratic-cost band fraction is
+# ~(BS + slack·RS)/N instead of ~3·BS/N.
+BS = 4096
+RS = 512
+
+
+def _nb_rows(bs: int, rs: int, npad: int) -> int:
+    """Static band-window width in rows.
+
+    Must cover one target block's own span (``bs/rs`` rows) plus the
+    softening reach in row units.  The reach is data-dependent (rows
+    within ``h_max`` of a block boundary: ~2*h_max*local_density/rs), so
+    the default scales both terms: a fixed slack for the block span and
+    a ``rows/16`` floor that grows with N exactly like the Pallas
+    ladder (measured at N=64k Plummer h=0.05: needed 16, default 20; at
+    N=1M the dense core needs ~59, default 128).  Too-narrow windows
+    are *correct* (max_width check falls back to the single-pass
+    kernel) but slow."""
+    rows = npad // rs
+    return min(max(bs // rs + 12, rows // 16), rows)
+
+
+def uses_spatial_sort(kind: str, n: int) -> bool:
+    """Same predicate as the Pallas path: the two-pass split exists for
+    the compact-support spline at sizes where the sort pays for
+    itself."""
+    return kind == "spline" and n >= 16384
+
+
+def _newton_block(pos_t, pos_s, m_s, eps2):
+    """(BS,3) Newtonian acceleration moments of a target block against a
+    source block.  No self mask (the self pair has dx=0 exactly and its
+    band row is mass-zeroed anyway); no softening (every near pair is in
+    the zeroed band)."""
+    dx = pos_s[None, :, 0] - pos_t[:, None, 0]
+    dy = pos_s[None, :, 1] - pos_t[:, None, 1]
+    dz = pos_s[None, :, 2] - pos_t[:, None, 2]
+    r2 = dx * dx + dy * dy + dz * dz + eps2
+    inv = lax.rsqrt(r2)
+    s = m_s[None, :] * (inv * inv * inv)
+    return jnp.stack([jnp.sum(s * dx, axis=1),
+                      jnp.sum(s * dy, axis=1),
+                      jnp.sum(s * dz, axis=1)], axis=-1)
+
+
+def _newton_pot_block(pos_t, pos_s, m_s, eps2):
+    dx = pos_s[None, :, 0] - pos_t[:, None, 0]
+    dy = pos_s[None, :, 1] - pos_t[:, None, 1]
+    dz = pos_s[None, :, 2] - pos_t[:, None, 2]
+    r2 = dx * dx + dy * dy + dz * dz + eps2
+    return jnp.sum(m_s[None, :] * -lax.rsqrt(r2), axis=1)
+
+
+def _band_block(kind, pos_t, h_t, pos_s, m_s, h_s, mode, eps2):
+    """Full softened kernel over the banded window (few % of pairs)."""
+    dx = pos_s[None, :, 0] - pos_t[:, None, 0]
+    dy = pos_s[None, :, 1] - pos_t[:, None, 1]
+    dz = pos_s[None, :, 2] - pos_t[:, None, 2]
+    r2 = dx * dx + dy * dy + dz * dz + eps2
+    h_eff = jnp.maximum(h_t[:, None], h_s[None, :])
+    if mode == "acc":
+        w = force_factor(kind, r2, h_eff)
+        s = m_s[None, :] * w
+        return jnp.stack([jnp.sum(s * dx, axis=1),
+                          jnp.sum(s * dy, axis=1),
+                          jnp.sum(s * dz, axis=1)], axis=-1)
+    u = potential_factor(kind, r2, h_eff)
+    return jnp.sum(m_s[None, :] * u, axis=1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("kind", "kahan", "mode", "bs", "rs", "nb_rows"),
+)
+def _xla_self_sorted(pos, mass, soft, G, kind, kahan, mode, eps2,
+                     order, bs, rs, nb_rows):
+    n = pos.shape[0]
+    dtype = pos.dtype
+    eps2 = jnp.asarray(eps2, dtype)
+
+    ps = pos[order]
+    ms = mass[order]
+    hs = soft[order]
+
+    npad = -(-n // bs) * bs
+    # edge-pad positions (keeps x sorted so the band bookkeeping stays
+    # valid), zero-pad mass (invisible to forces), edge-pad softening
+    ps_p = jnp.pad(ps, ((0, npad - n), (0, 0)), mode="edge")
+    ms_p = jnp.pad(ms, (0, npad - n))
+    hs_p = jnp.pad(hs, (0, npad - n), mode="edge")
+
+    nblk = npad // bs
+    rows = npad // rs
+    k = bs // rs                       # band rows per source block
+
+    x = ps_p[:, 0]
+    x_t = x.reshape(nblk, bs)
+    x_r = x.reshape(rows, rs)
+    t_lo, t_hi = x_t.min(axis=1), x_t.max(axis=1)
+    s_lo, s_hi = x_r.min(axis=1), x_r.max(axis=1)
+    h_max = jnp.max(hs)
+    # order-independent window (see _pallas_self_sorted): [first, last]
+    # row not provably far; provably-far rows are exactly Newtonian
+    # under ANY permutation, so a stale order only widens max_width
+    # until the fallback takes over — performance degrades, correctness
+    # never.
+    far = jnp.logical_or(s_hi[None, :] < (t_lo - h_max)[:, None],
+                         s_lo[None, :] > (t_hi + h_max)[:, None])
+    ridx = jnp.arange(rows, dtype=jnp.int32)[None, :]
+    first = jnp.min(jnp.where(far, rows, ridx), axis=1)
+    last = jnp.max(jnp.where(far, -1, ridx), axis=1)
+    max_width = jnp.max(last - first + 1)
+    start = jnp.clip(first, 0, rows - nb_rows)         # (nblk,) int32
+
+    m_b = ms_p.reshape(nblk, bs)
+    h_b = hs_p.reshape(nblk, bs)
+    out_shape = (bs, 3) if mode == "acc" else (bs,)
+    newton = _newton_block if mode == "acc" else _newton_pot_block
+
+    def two_pass(ps_p):
+        pos_b = ps_p.reshape(nblk, bs, 3)
+
+        def per_target(tb):
+            pos_t, h_t, start_t = tb
+
+            # -- pass 1: Newtonian, band rows mass-zeroed -------------
+            def scan_src(carry, sb):
+                total, comp = carry
+                pos_s, m_s, j = sb
+                rj = j * k + jnp.arange(k, dtype=jnp.int32)
+                in_band = (rj >= start_t) & (rj < start_t + nb_rows)
+                gate = jnp.where(in_band, jnp.asarray(0, dtype),
+                                 jnp.asarray(1, dtype))
+                m_eff = (m_s.reshape(k, rs) * gate[:, None]).reshape(bs)
+                part = newton(pos_t, pos_s, m_eff, eps2)
+                if kahan:
+                    total, comp = kahan_add(total, comp, part)
+                else:
+                    total = total + part
+                return (total, comp), None
+
+            init = (jnp.zeros(out_shape, dtype),
+                    jnp.zeros(out_shape, dtype))
+            (total, comp), _ = lax.scan(
+                scan_src, init,
+                (pos_b, m_b, jnp.arange(nblk, dtype=jnp.int32)))
+
+            # -- pass 2: full kernel over the banded window -----------
+            lo = start_t * rs
+            pos_w = lax.dynamic_slice(ps_p, (lo, jnp.int32(0)),
+                                      (nb_rows * rs, 3))
+            m_w = lax.dynamic_slice(ms_p, (lo,), (nb_rows * rs,))
+            h_w = lax.dynamic_slice(hs_p, (lo,), (nb_rows * rs,))
+            band = _band_block(kind, pos_t, h_t, pos_w, m_w, h_w, mode,
+                               eps2)
+            if kahan:
+                total, _ = kahan_add(total, comp, band)
+            else:
+                total = total + band
+            return total
+
+        return lax.map(per_target, (pos_b, h_b, start))
+
+    def single_pass(ps_p):
+        pos_b = ps_p.reshape(nblk, bs, 3)
+
+        def per_target(tb):
+            pos_t, h_t = tb
+
+            def scan_src(carry, sb):
+                total, comp = carry
+                pos_s, m_s, h_s = sb
+                part = _band_block(kind, pos_t, h_t, pos_s, m_s, h_s,
+                                   mode, eps2)
+                if kahan:
+                    total, comp = kahan_add(total, comp, part)
+                else:
+                    total = total + part
+                return (total, comp), None
+
+            init = (jnp.zeros(out_shape, dtype),
+                    jnp.zeros(out_shape, dtype))
+            (total, _), _ = lax.scan(scan_src, init, (pos_b, m_b, h_b))
+            return total
+
+        return lax.map(per_target, (pos_b, h_b))
+
+    out = lax.cond(max_width <= nb_rows, two_pass, single_pass, ps_p)
+    out = out.reshape((npad,) + out_shape[1:])[:n]
+
+    if mode == "pot":
+        # the band pass (and the single-pass fallback) include the self
+        # pair; its contribution is analytic — subtract it exactly
+        out = out - ms * potential_factor(kind, eps2, hs)
+
+    out = jnp.asarray(G, dtype) * out
+    # scatter back to original particle order
+    full = jnp.zeros_like(out)
+    return full.at[order].set(out)
+
+
+def _dispatch(pos, mass, soft, G, kind, kahan, mode, eps2, order,
+              block_size):
+    n = pos.shape[0]
+    if not uses_spatial_sort(kind, n):
+        from .pairwise import _choose_block, _pairwise_blocked
+
+        return _pairwise_blocked(
+            pos, mass, soft, jnp.asarray(G, pos.dtype), kind, kahan,
+            block_size or _choose_block(n), mode, eps2)
+    bs = block_size or BS
+    rs = min(RS, bs)
+    npad = -(-n // bs) * bs
+    nb_rows = _nb_rows(bs, rs, npad)
+    if order is None:
+        order = jnp.argsort(pos[:, 0])
+    return _xla_self_sorted(pos, mass, soft, G, kind, kahan, mode,
+                            eps2, order, bs, rs, nb_rows)
+
+
+def xla_accel(pos, mass, soft, G, kind, kahan, eps2=PAIRWISE_EPS2,
+              order=None, block_size=None):
+    """Softened accelerations via the XLA two-pass path, (N, 3)."""
+    return _dispatch(pos, mass, soft, G, kind, kahan, "acc", eps2,
+                     order, block_size)
+
+
+def xla_potential(pos, mass, soft, G, kind, kahan, eps2=PAIRWISE_EPS2,
+                  order=None, block_size=None):
+    """Softened potential per particle via the XLA two-pass path, (N,)."""
+    return _dispatch(pos, mass, soft, G, kind, kahan, "pot", eps2,
+                     order, block_size)

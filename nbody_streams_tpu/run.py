@@ -242,7 +242,9 @@ def run_nbody(
       accumulation *and* compensated state updates) | 'float64' (requires
       x64; validation use) | 'float32_fast' (opt-in approximate tier,
       ~1e-3 force error — see docs/forces.md).
-    * ``impl``: force backend — 'auto' | 'jnp' | 'pallas' | 'sharded'.
+    * ``impl``: force backend — 'auto' | 'jnp' | 'pallas' | 'xla' |
+      'sharded' ('xla' is the pure-XLA two-pass split for tunnel
+      allocations that penalise Mosaic-compiled kernels).
     * ``devices``: device list for the sharded backend (defaults to all).
     * ``solver_factory``: optional ``(mass_arr, soft_arr) -> solver``
       called on the target device in place of the DirectGravity
@@ -522,8 +524,8 @@ def run_nbody(
                 # 200 ps per term-particle; the EWMA below refines it
                 est_step_s = (n * solver.terms * 2e-10) if on_tunnel else 0.0
             else:
-                est_rate = (100e9 if solver.impl in ("pallas", "sharded")
-                            else 5e9)
+                est_rate = (100e9 if solver.impl in
+                            ("pallas", "xla", "sharded") else 5e9)
                 est_step_s = (n * n / est_rate) if on_tunnel else 0.0
             est_step_s = _scale_for_allocation(est_step_s, solver.impl,
                                                on_tunnel)

@@ -1,0 +1,148 @@
+"""XLA two-pass direct-summation backend (``impl='xla'``) vs oracles.
+
+Mirrors the Pallas-path test contract (tests/test_pallas.py): elementwise
+agreement with the float64 jnp oracle at the fp32+Kahan floor, exactness
+under stale/shuffled sort orders, the single-pass fallback when the
+softening is too large for the band, potential-mode self-pair
+subtraction, and integrator order-reuse plumbing.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nbody_streams_tpu.ops.dispatch import DirectGravity
+
+N = 16384          # smallest size the sorted path engages
+BS = 2048          # small blocks: keeps the CPU run fast
+
+
+@pytest.fixture(scope="module")
+def cloud():
+    r = np.random.default_rng(7)
+    pos = r.normal(0, 1.0, (N, 3))
+    mass = r.uniform(0.5, 1.5, N) * 1e9 / N
+    soft = r.uniform(0.03, 0.08, N)
+    return pos, mass, soft
+
+
+@pytest.fixture(scope="module")
+def oracle_acc(cloud):
+    pos, mass, soft = cloud
+    o = DirectGravity(mass, soft, kernel="spline", precision="float64",
+                      impl="jnp")
+    return np.asarray(o.accel(jnp.asarray(pos, jnp.float64)), float)
+
+
+def _solver(mass, soft, **kw):
+    kw.setdefault("kernel", "spline")
+    kw.setdefault("precision", "float32_kahan")
+    kw.setdefault("block_size", BS)
+    return DirectGravity(mass, soft, impl="xla", **kw)
+
+
+def test_accel_matches_f64_oracle(cloud, oracle_acc):
+    pos, mass, soft = cloud
+    s = _solver(mass, soft)
+    a = np.asarray(s.accel(jnp.asarray(pos, jnp.float32)), float)
+    err = np.abs(a - oracle_acc).max() / np.abs(oracle_acc).max()
+    assert err < 3e-6
+
+
+def test_potential_matches_f64_oracle(cloud):
+    pos, mass, soft = cloud
+    o = DirectGravity(mass, soft, kernel="spline", precision="float64",
+                      impl="jnp")
+    p_ref = np.asarray(o.potential(jnp.asarray(pos, jnp.float64)), float)
+    s = _solver(mass, soft)
+    p = np.asarray(s.potential(jnp.asarray(pos, jnp.float32)), float)
+    err = np.abs(p - p_ref).max() / np.abs(p_ref).max()
+    assert err < 3e-6
+
+
+def test_stale_and_shuffled_order_exact(cloud, oracle_acc, rng):
+    """Any permutation is exact: band windows are recomputed from the
+    actual positions, so staleness can only force the fallback."""
+    pos, mass, soft = cloud
+    s = _solver(mass, soft)
+    p32 = jnp.asarray(pos, jnp.float32)
+    shuffled = jnp.asarray(rng.permutation(N), jnp.int32)
+    a = np.asarray(s.accel(p32, order=shuffled), float)
+    err = np.abs(a - oracle_acc).max() / np.abs(oracle_acc).max()
+    assert err < 3e-6
+
+
+def test_fallback_when_softening_exceeds_band(cloud):
+    """h_max comparable to the system size forces max_width > nb_rows;
+    the single-pass fallback must stay exact (incl. potential-mode self
+    subtraction)."""
+    pos, mass, _ = cloud
+    soft_big = np.full(N, 3.0)
+    o = DirectGravity(mass, soft_big, kernel="spline",
+                      precision="float64", impl="jnp")
+    p64 = jnp.asarray(pos, jnp.float64)
+    a_ref = np.asarray(o.accel(p64), float)
+    p_ref = np.asarray(o.potential(p64), float)
+    s = _solver(mass, soft_big)
+    p32 = jnp.asarray(pos, jnp.float32)
+    ea = np.abs(np.asarray(s.accel(p32), float) - a_ref).max() \
+        / np.abs(a_ref).max()
+    ep = np.abs(np.asarray(s.potential(p32), float) - p_ref).max() \
+        / np.abs(p_ref).max()
+    assert ea < 3e-6 and ep < 3e-6
+
+
+def test_uneven_n_padding(rng):
+    n = 16411   # prime-ish: exercises edge-padding of every array
+    pos = rng.normal(0, 1.0, (n, 3))
+    mass = np.full(n, 1e9 / n)
+    soft = np.full(n, 0.05)
+    o = DirectGravity(mass, soft, kernel="spline", precision="float64",
+                      impl="jnp")
+    a_ref = np.asarray(o.accel(jnp.asarray(pos, jnp.float64)), float)
+    s = _solver(mass, soft)
+    a = np.asarray(s.accel(jnp.asarray(pos, jnp.float32)), float)
+    assert np.abs(a - a_ref).max() / np.abs(a_ref).max() < 3e-6
+
+
+def test_small_n_uses_blocked_oracle(rng):
+    """Below the sort threshold the xla impl is the jnp blocked path
+    bit-for-bit."""
+    n = 1000
+    pos = jnp.asarray(rng.normal(0, 1.0, (n, 3)), jnp.float32)
+    mass = np.full(n, 1e6)
+    soft = np.full(n, 0.05)
+    x = DirectGravity(mass, soft, kernel="spline",
+                      precision="float32_kahan", impl="xla")
+    o = DirectGravity(mass, soft, kernel="spline",
+                      precision="float32_kahan", impl="jnp")
+    assert np.array_equal(np.asarray(x.accel(pos)),
+                          np.asarray(o.accel(pos)))
+
+
+def test_spatial_sort_active_and_integrator_reuse(cloud):
+    """The integrator's order-reuse contract extends to impl='xla':
+    spatial_sort_active is True, and a scanned chunk with presorted
+    carry agrees with per-call sorting."""
+    from nbody_streams_tpu.integrate import (
+        init_state, make_accel_fn, make_kdk_step, run_chunk)
+
+    pos, mass, soft = cloud
+    s = _solver(mass, soft)
+    assert s.spatial_sort_active
+    vel = np.zeros_like(pos)
+    accel_fn = make_accel_fn(s, s.mass)
+    step_fn = make_kdk_step(accel_fn, dt=1e-4, t0=0.0)
+    state = init_state(pos, vel, accel_fn, s.mass, 0.0,
+                       sort_fn=s.sort_key)
+    state = run_chunk(step_fn, state, 3, presort=True)
+
+    s2 = DirectGravity(mass, soft, kernel="spline",
+                       precision="float32_kahan", impl="jnp")
+    accel2 = make_accel_fn(s2, s2.mass)
+    step2 = make_kdk_step(accel2, dt=1e-4, t0=0.0)
+    ref = init_state(pos, vel, accel2, s2.mass, 0.0)
+    ref = run_chunk(step2, ref, 3)
+    err = np.abs(np.asarray(state.pos) - np.asarray(ref.pos)).max()
+    scale = np.abs(np.asarray(ref.pos)).max()
+    assert err / scale < 1e-5
