@@ -185,24 +185,28 @@ def main():
         step_fn = make_kdk_step(accel_fn, dt=DT, t0=0.0)
         # slab-order reuse, exactly as the run_simulation driver does
         # it: materialised at init (stable carry structure -> one
-        # executable per chunk length), refreshed once per chunk
+        # executable per chunk length), refreshed once per chunk (plus
+        # the solver's in-scan cadence, needed by the xla backend's
+        # exact-or-NaN guard)
         presort = solver.spatial_sort_active
         state = init_state(xv[:, :3], xv[:, 3:], accel_fn, solver.mass,
                            0.0, sort_fn=solver.sort_key if presort
                            else None)
         return solver, step_fn, presort, state
 
-    def windows(step_fn, state, presort, nwin):
+    def windows(step_fn, state, presort, nwin, presort_every=None):
         """Warm up (compiles on first call), then best-of-nwin windows.
 
         Best-of, not mean: the remote-device tunnel adds multi-ms
         jitter per dispatch and contention can slow whole windows."""
-        state = run_chunk(step_fn, state, STEPS, presort=presort)
+        state = run_chunk(step_fn, state, STEPS, presort=presort,
+                          presort_every=presort_every)
         jax.device_get(state.pos)  # axon: block_until_ready may not block
         dt_step = float("inf")
         for _ in range(nwin):
             t0 = time.perf_counter()
-            state = run_chunk(step_fn, state, STEPS, presort=presort)
+            state = run_chunk(step_fn, state, STEPS, presort=presort,
+                              presort_every=presort_every)
             jax.device_get(state.pos)
             dt_step = min(dt_step, (time.perf_counter() - t0) / STEPS)
         return dt_step, state
@@ -215,8 +219,9 @@ def main():
     if len(candidates) > 1:
         timed = []
         for name, impl, tile in candidates:
-            _, step_fn, presort, state = build(impl, tile)
-            dt_trial, _ = windows(step_fn, state, presort, TRIAL_WINDOWS)
+            trial_solver, step_fn, presort, state = build(impl, tile)
+            dt_trial, _ = windows(step_fn, state, presort, TRIAL_WINDOWS,
+                                  trial_solver.presort_interval)
             timed.append((dt_trial, name, impl, tile))
             print(f"# config trial {name}: {dt_trial * 1e3:.2f} ms/step "
                   f"({N * N / dt_trial / 1e9:.1f} Gint/s)", file=sys.stderr)
@@ -228,7 +233,8 @@ def main():
     ke0, pe0 = energy(state)
     e0 = float(ke0) + float(pe0)
 
-    dt_step, state = windows(step_fn, state, presort, WINDOWS)
+    dt_step, state = windows(step_fn, state, presort, WINDOWS,
+                             solver.presort_interval)
 
     ke1, pe1 = energy(state)
     de = abs((float(ke1) + float(pe1) - e0) / e0)

@@ -172,21 +172,46 @@ def make_kdk_step(accel_fn, dt: float, t0: float, compensated: bool = True):
     return step_fn
 
 
-@functools.partial(jax.jit, static_argnames=("step_fn", "n_steps", "presort"),
+@functools.partial(jax.jit, static_argnames=("step_fn", "n_steps", "presort",
+                                             "presort_every"),
                    donate_argnums=(1,))
 def run_chunk(step_fn, state: IntegratorState, n_steps: int,
-              presort: bool = False):
+              presort: bool = False, presort_every: int | None = None):
     """Scan ``n_steps`` KDK steps in one compiled program (donated state).
 
     ``presort=True`` refreshes the carry's slab order from the current
     positions before the scan — one argsort per chunk instead of one
     per force call (pass it when the solver's ``spatial_sort_active``).
+
+    ``presort_every=k`` additionally refreshes the order every ``k``
+    steps *inside* the compiled program (nested scan; the argsort is
+    in-graph).  The XLA two-pass backend needs this: its in-scan guard
+    is exact-or-NaN with a finite band slack, and the slack absorbs
+    only a few band-rows of position drift — the measured drift at
+    N=64k Plummer is ~2 rows per 50 steps, so a per-boundary-chunk sort
+    alone would trip the guard mid-chunk.
     """
-    if presort:
+    if presort or presort_every:
         from .ops.pallas_direct import slab_sort_key
 
+    if presort:
         state = state._replace(sort_order=slab_sort_key(state.pos))
-    state, _ = lax.scan(step_fn, state, None, length=n_steps)
+    if presort_every and presort_every < n_steps:
+        k = presort_every
+
+        def outer_body(st, _):
+            st = st._replace(sort_order=slab_sort_key(st.pos))
+            st, _ = lax.scan(step_fn, st, None, length=k)
+            return st, None
+
+        state, _ = lax.scan(outer_body, state, None,
+                            length=n_steps // k)
+        rem = n_steps % k
+        if rem:
+            state = state._replace(sort_order=slab_sort_key(state.pos))
+            state, _ = lax.scan(step_fn, state, None, length=rem)
+    else:
+        state, _ = lax.scan(step_fn, state, None, length=n_steps)
     return state
 
 

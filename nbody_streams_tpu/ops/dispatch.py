@@ -208,6 +208,20 @@ class DirectGravity:
 
         return pallas_direct.slab_sort_key(pos)
 
+    @property
+    def presort_interval(self):
+        """In-scan order refresh cadence for ``run_chunk``.
+
+        The XLA backend's in-scan guard is exact-or-NaN with a finite
+        band slack (ops/xla_direct.py); the slack absorbs only a few
+        band-rows of drift, so its order must be refreshed every ~10
+        steps (in-graph argsort, ~0.3 ms/step amortised at 64k).  The
+        Pallas path's stale-order behaviour is exact-with-fallback, so
+        it keeps the cheaper once-per-chunk sort."""
+        if self.impl == "xla" and self.spatial_sort_active:
+            return 10
+        return None
+
     # -- backend dispatch ---------------------------------------------------
     def accel(self, pos, order=None):
         """Softened gravitational acceleration, (N, 3) in solver dtype.

@@ -101,6 +101,39 @@ def _newton_pot_block(pos_t, pos_s, m_s, eps2):
     return jnp.sum(m_s[None, :] * -lax.rsqrt(r2), axis=1)
 
 
+def _band_spline_acc(pos_t, hinv_t, pos_s, m_s, hinv_s, eps2):
+    """Pre-transformed spline force over the banded window.
+
+    Per-particle softening enters as ``hinv = 1/h`` (rsqrt(0) = inf for
+    unsoftened particles), so the pair rule ``h_eff = max(h_i, h_j)``
+    becomes one ``min`` and the whole kernel is division-free; the
+    ``q -> 0`` guard of the generic path is unnecessary because
+    ``eps2 > 0`` keeps ``inv_r`` finite (the inner polynomial's q -> 0
+    limit is exact).  Mirrors the Pallas band kernel's formulation
+    (ops/pallas_direct.py _soft_pre)."""
+    dx = pos_s[None, :, 0] - pos_t[:, None, 0]
+    dy = pos_s[None, :, 1] - pos_t[:, None, 1]
+    dz = pos_s[None, :, 2] - pos_t[:, None, 2]
+    r2 = dx * dx + dy * dy + dz * dz + eps2
+    inv_r = lax.rsqrt(r2)
+    r = r2 * inv_r
+    newton = inv_r * inv_r * inv_r
+    hinv = jnp.minimum(hinv_t[:, None], hinv_s[None, :])
+    h3inv = hinv * hinv * hinv
+    q = r * hinv
+    q2 = q * q
+    inner = h3inv * (q2 * (32.0 * q - 38.4) + 10.666666666666666)
+    outer = h3inv * (
+        21.333333333333333
+        + q * (-48.0 + q * (38.4 - 10.666666666666667 * q))
+    ) - 0.0666666666666667 * newton
+    w = jnp.where(q >= 1.0, newton, jnp.where(q <= 0.5, inner, outer))
+    s = m_s[None, :] * w
+    return jnp.stack([jnp.sum(s * dx, axis=1),
+                      jnp.sum(s * dy, axis=1),
+                      jnp.sum(s * dz, axis=1)], axis=-1)
+
+
 def _band_block(kind, pos_t, h_t, pos_s, m_s, h_s, mode, eps2):
     """Full softened kernel over the banded window (few % of pairs)."""
     dx = pos_s[None, :, 0] - pos_t[:, None, 0]
@@ -120,10 +153,11 @@ def _band_block(kind, pos_t, h_t, pos_s, m_s, h_s, mode, eps2):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("kind", "kahan", "mode", "bs", "rs", "nb_rows"),
+    static_argnames=("kind", "kahan", "mode", "bs", "rs", "nb_rows",
+                     "guard"),
 )
 def _xla_self_sorted(pos, mass, soft, G, kind, kahan, mode, eps2,
-                     order, bs, rs, nb_rows):
+                     order, bs, rs, nb_rows, guard):
     n = pos.shape[0]
     dtype = pos.dtype
     eps2 = jnp.asarray(eps2, dtype)
@@ -164,6 +198,8 @@ def _xla_self_sorted(pos, mass, soft, G, kind, kahan, mode, eps2,
 
     m_b = ms_p.reshape(nblk, bs)
     h_b = hs_p.reshape(nblk, bs)
+    hinv_p = lax.rsqrt(hs_p * hs_p)        # inf for h == 0: exact (q
+    #                                        >= 1 selects Newtonian)
     out_shape = (bs, 3) if mode == "acc" else (bs,)
     newton = _newton_block if mode == "acc" else _newton_pot_block
 
@@ -200,9 +236,15 @@ def _xla_self_sorted(pos, mass, soft, G, kind, kahan, mode, eps2,
             pos_w = lax.dynamic_slice(ps_p, (lo, jnp.int32(0)),
                                       (nb_rows * rs, 3))
             m_w = lax.dynamic_slice(ms_p, (lo,), (nb_rows * rs,))
-            h_w = lax.dynamic_slice(hs_p, (lo,), (nb_rows * rs,))
-            band = _band_block(kind, pos_t, h_t, pos_w, m_w, h_w, mode,
-                               eps2)
+            if kind == "spline" and mode == "acc":
+                hi_t = lax.rsqrt(h_t * h_t)
+                hi_w = lax.dynamic_slice(hinv_p, (lo,), (nb_rows * rs,))
+                band = _band_spline_acc(pos_t, hi_t, pos_w, m_w, hi_w,
+                                        eps2)
+            else:
+                h_w = lax.dynamic_slice(hs_p, (lo,), (nb_rows * rs,))
+                band = _band_block(kind, pos_t, h_t, pos_w, m_w, h_w,
+                                   mode, eps2)
             if kahan:
                 total, _ = kahan_add(total, comp, band)
             else:
@@ -235,7 +277,23 @@ def _xla_self_sorted(pos, mass, soft, G, kind, kahan, mode, eps2,
 
         return lax.map(per_target, (pos_b, h_b))
 
-    out = lax.cond(max_width <= nb_rows, two_pass, single_pass, ps_p)
+    if guard == "cond":
+        out = lax.cond(max_width <= nb_rows, two_pass, single_pass, ps_p)
+    else:
+        # 'poison' guard, for use inside lax.scan: on this backend the
+        # UNTAKEN branch of an in-scan lax.cond is executed anyway
+        # (measured: a zeros-taken/single-pass-untaken cond still costs
+        # the single-pass time), so stepping would pay both passes every
+        # step.  Instead run the two-pass unconditionally and poison the
+        # output with NaN if the band did not cover — exact or NaN,
+        # never silently wrong.  The integrator's NaN gates surface the
+        # (geometrically near-impossible: the order is refreshed every
+        # chunk and the window carries >= 12 rows of slack) failure with
+        # the last good restart preserved.
+        out = two_pass(ps_p)
+        ok = max_width <= nb_rows
+        out = out * jnp.where(ok, jnp.asarray(1.0, dtype),
+                              jnp.asarray(jnp.nan, dtype))
     out = out.reshape((npad,) + out_shape[1:])[:n]
 
     if mode == "pot":
@@ -262,10 +320,16 @@ def _dispatch(pos, mass, soft, G, kind, kahan, mode, eps2, order,
     rs = min(RS, bs)
     npad = -(-n // bs) * bs
     nb_rows = _nb_rows(bs, rs, npad)
+    # guard semantics: a supplied order means "scan context" (the
+    # integrator refreshes it once per chunk) -> poison guard, which
+    # keeps the expensive fallback branch out of the per-step graph; a
+    # self-sorting call keeps the exact cond fallback (outside scans the
+    # untaken branch is genuinely skipped).
+    guard = "cond" if order is None else "poison"
     if order is None:
         order = jnp.argsort(pos[:, 0])
     return _xla_self_sorted(pos, mass, soft, G, kind, kahan, mode,
-                            eps2, order, bs, rs, nb_rows)
+                            eps2, order, bs, rs, nb_rows, guard)
 
 
 def xla_accel(pos, mass, soft, G, kind, kahan, eps2=PAIRWISE_EPS2,

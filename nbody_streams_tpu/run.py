@@ -413,6 +413,9 @@ def run_nbody(
         # silently double every compiled executable (chunks, energy fn,
         # watchdog allowances) through the remote-compile path
         presort = solver.spatial_sort_active
+        # in-scan order-refresh cadence (xla backend's exact-or-NaN
+        # guard needs it; None for the fallback-capable Pallas path)
+        presort_every = getattr(solver, "presort_interval", None)
         xv_init = xv
         if pad:
             # ghost rows: last real particle's position (stays inside
@@ -559,12 +562,14 @@ def run_nbody(
                             # construction (band-validity fallback), and
                             # per-sub-chunk argsort costs ~96 ms/step at 2M
                             state = run_chunk(step_fn, state, s,
-                                              presort=do_presort)
+                                              presort=do_presort,
+                                              presort_every=presort_every)
                             jax.block_until_ready(state.pos)
                             jax.device_get(state.step)  # axon: see fetch_xv
                     else:
                         state = run_chunk(step_fn, state, s,
-                                          presort=do_presort)
+                                          presort=do_presort,
+                                          presort_every=presort_every)
                         if est_step_s > 0:
                             # cheap real sync (axon block_until_ready is
                             # a no-op): one int32 scalar

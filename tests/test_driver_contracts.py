@@ -42,11 +42,12 @@ def test_bench_config_selection():
     assert degraded == bench.TILE_CONFIGS
     # absolute floor: both probes low (whole-chip contention)
     assert bench._pick_configs(1.0, 0.9) == bench.TILE_CONFIGS
-    # every trial config must be a valid DirectGravity tile_config
+    # every trial config must be a valid DirectGravity (impl, tile_config)
     from nbody_streams_tpu.ops.dispatch import DirectGravity
 
-    for name, tile in bench.TILE_CONFIGS:
-        s = DirectGravity(np.ones(8), np.full(8, 0.05), impl="jnp",
+    for name, impl, tile in bench.TILE_CONFIGS:
+        s = DirectGravity(np.ones(8), np.full(8, 0.05),
+                          impl="jnp" if impl == "auto" else impl,
                           tile_config=tile)
         assert s.tile_config == tile, name
 
