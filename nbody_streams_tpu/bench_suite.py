@@ -166,24 +166,45 @@ def main(argv=None):
     # The accuracy side of the float32_fast trade: |dE/E| accumulated
     # over a real KDK window, per tier, at this N (reference ships the
     # matching per-precision matrix, fields.py:1201-1796).
-    print("\nSECTION 6: KDK stepping (spline): Gint/s + |dE/E| over "
-          "300 steps")
+    steps = 300 if n <= 262144 else 60
+    print(f"\nSECTION 6: KDK stepping (spline): Gint/s + |dE/E| over "
+          f"{steps} steps")
     from .integrate import (init_state, make_accel_fn, make_kdk_step,
                             run_chunk, system_energy)
-    steps = 300
     for precision in ("float32_kahan", "float32", "float32_fast"):
         s = DirectGravity(m, soft, kernel="spline", precision=precision)
         accel_fn = make_accel_fn(s, s.mass)
         step_fn = make_kdk_step(accel_fn, dt=2e-5, t0=0.0)
-        state = init_state(xv[:, :3], xv[:, 3:], accel_fn, s.mass, 0.0)
-        e0 = float(jax.device_get(system_energy(state, s, s.mass)))
-        state = run_chunk(step_fn, state, 10)     # compile + warm
+        presort = s.spatial_sort_active
+        pint = s.presort_interval
+        state = init_state(xv[:, :3], xv[:, 3:], accel_fn, s.mass, 0.0,
+                           sort_fn=s.sort_key if presort else None)
+        e_fn = jax.jit(lambda st, s=s: system_energy(st, s, s.mass))
+        ke, pe = jax.device_get(e_fn(state))
+        e0 = float(ke) + float(pe)
+        # single dispatches that execute >60-100 s crash the remote
+        # worker (docs/performance.md): time a short probe chunk, then
+        # size sub-chunks to a ~30 s execution budget
+        state = run_chunk(step_fn, state, 5, presort=presort,
+                          presort_every=pint)
         jax.device_get(state.pos)
         t0 = time.perf_counter()
-        state = run_chunk(step_fn, state, steps)
+        state = run_chunk(step_fn, state, 5, presort=presort,
+                          presort_every=pint)
         jax.device_get(state.pos)
-        dt_step = (time.perf_counter() - t0) / steps
-        e1 = float(jax.device_get(system_energy(state, s, s.mass)))
+        per = (time.perf_counter() - t0) / 5
+        sub = max(5, min(steps, int(30.0 / max(per, 1e-9))))
+        done, t0 = 10, time.perf_counter()
+        while done < steps:
+            k = min(sub, steps - done)
+            state = run_chunk(step_fn, state, k, presort=presort,
+                              presort_every=pint)
+            jax.device_get(state.step)
+            done += k
+        jax.device_get(state.pos)
+        dt_step = (time.perf_counter() - t0) / max(done - 10, 1)
+        ke, pe = jax.device_get(e_fn(state))
+        e1 = float(ke) + float(pe)
         print(f"  {precision:14s} {dt_step*1e3:9.2f} ms/step "
               f"{n*n/dt_step/1e9:8.1f} Gint/s   |dE/E| = "
               f"{abs((e1 - e0) / e0):.2e}")
