@@ -193,21 +193,26 @@ def main(argv=None):
                           presort_every=pint)
         jax.device_get(state.pos)
         per = (time.perf_counter() - t0) / 5
-        sub = max(5, min(steps, int(30.0 / max(per, 1e-9))))
-        done, t0 = 10, time.perf_counter()
+        sub = max(5, min(steps - 10, int(30.0 / max(per, 1e-9))))
+        # warm the sub-length executable once OUTSIDE the timing (a
+        # fresh scan length compiles for ~20 s and would inflate the
+        # per-step figure ~3x)
+        state = run_chunk(step_fn, state, sub, presort=presort,
+                          presort_every=pint)
+        jax.device_get(state.step)
+        done, t0 = 0, time.perf_counter()
         while done < steps:
-            k = min(sub, steps - done)
-            state = run_chunk(step_fn, state, k, presort=presort,
+            state = run_chunk(step_fn, state, sub, presort=presort,
                               presort_every=pint)
             jax.device_get(state.step)
-            done += k
+            done += sub
         jax.device_get(state.pos)
-        dt_step = (time.perf_counter() - t0) / max(done - 10, 1)
+        dt_step = (time.perf_counter() - t0) / done
         ke, pe = jax.device_get(e_fn(state))
         e1 = float(ke) + float(pe)
         print(f"  {precision:14s} {dt_step*1e3:9.2f} ms/step "
               f"{n*n/dt_step/1e9:8.1f} Gint/s   |dE/E| = "
-              f"{abs((e1 - e0) / e0):.2e}")
+              f"{abs((e1 - e0) / e0):.2e} over {10 + sub + done} steps")
 
     print("\ndone.")
 
