@@ -129,14 +129,14 @@ def _capacity_probe(K=256, ITERS=4000, interpret=False):
 # geometry shifts with it, so on a degraded probe the bench trials this
 # small set and reports the best.
 TILE_CONFIGS = [
-    ("mxu-512/512/16", "auto",
+    ("mxu-512/512/16", "pallas",
      {"mxu": True, "tm": 512, "tn": 512, "max_sub": 16}),
     ("xla-two-pass", "xla", None),
-    ("mxu-128/512/32", "auto",
+    ("mxu-128/512/32", "pallas",
      {"mxu": True, "tm": 128, "tn": 512, "max_sub": 32}),
-    ("vpu-512/512/16", "auto",
+    ("vpu-512/512/16", "pallas",
      {"mxu": False, "tm": 512, "tn": 512, "max_sub": 16}),
-    ("vpu-128/512/32", "auto",
+    ("vpu-128/512/32", "pallas",
      {"mxu": False, "tm": 128, "tn": 512, "max_sub": 32}),
 ]
 PROBE_OK_RATIO = 0.7   # pallas >= ratio * xla capacity => healthy
@@ -213,7 +213,7 @@ def main():
 
     candidates = _pick_configs(xla_tops, pallas_tops)
     if DirectGravity(m, soft, kernel="spline", precision="float32_kahan",
-                     impl="auto").impl != "pallas":
+                     impl="auto").impl not in ("pallas", "xla"):
         candidates = [("default", "auto", None)]  # configs are TPU-only
     chosen_name, chosen_impl, chosen_tile = candidates[0]
     if len(candidates) > 1:

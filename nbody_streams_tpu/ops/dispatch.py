@@ -33,7 +33,7 @@ from . import pairwise
 __all__ = ["DirectGravity"]
 
 
-def _default_impl(devices) -> str:
+def _default_impl(devices, kernel: str = "spline", n: int = 0) -> str:
     if devices is not None and len(devices) > 1:
         return "sharded"
     # respect an active jax.default_device(...) override (run.py pins
@@ -46,10 +46,20 @@ def _default_impl(devices) -> str:
     if platform in ("tpu", "axon"):
         try:
             from . import pallas_direct  # noqa: F401
-
-            return "pallas"
         except ImportError:
             return "jnp"
+        # allocation-aware choice: tunnelled sessions can throttle
+        # Mosaic-compiled kernels ~3x while XLA stays at full speed
+        # (docs/performance.md) — there the XLA two-pass beats every
+        # Pallas config.  Probe only when it can matter (the sorted
+        # spline path at sizes where the ~0.15 s cached probe is noise
+        # against the run itself).
+        if pallas_direct.uses_spatial_sort(kernel, n):
+            from .probe import rate_scale
+
+            if rate_scale() < 0.5:
+                return "xla"
+        return "pallas"
     return "jnp"
 
 
@@ -86,13 +96,6 @@ class DirectGravity:
         self.G = float(G)
         self.eps2 = float(eps2)
         self.devices = devices
-        if impl == "auto":
-            impl = _default_impl(devices)
-        if impl not in ("jnp", "pallas", "xla", "sharded"):
-            raise ValueError(f"Unknown gravity impl {impl!r}")
-        if impl in ("pallas", "xla") and precision == "float64":
-            impl = "jnp"  # the fast paths are fp32-only by design
-        self.impl = impl
 
         if precision == "float64" and not jax.config.jax_enable_x64:
             raise ValueError(
@@ -104,6 +107,14 @@ class DirectGravity:
         if mass.ndim == 0:
             raise ValueError("mass must be a per-particle array")
         n = mass.shape[0]
+
+        if impl == "auto":
+            impl = _default_impl(devices, kernel, n)
+        if impl not in ("jnp", "pallas", "xla", "sharded"):
+            raise ValueError(f"Unknown gravity impl {impl!r}")
+        if impl in ("pallas", "xla") and precision == "float64":
+            impl = "jnp"  # the fast paths are fp32-only by design
+        self.impl = impl
         if softening.ndim == 0:
             softening = jnp.full((n,), softening, self.dtype)
         self.n = n
