@@ -95,7 +95,7 @@ def run_gate2m(n=2_097_152, steps=100):
     # replay
     run_simulation(
         xv, species, 0.0, (steps // 2) * dt, dt,
-        architecture="tpu", method="direct",
+        architecture="tpu", method="direct", impl="pallas",
         snapshots=2, restart_interval=50, debug_energy=True,
         verbose=True, overwrite=True,
         output_dir=str(out_dir) + "_warmup",
@@ -103,7 +103,7 @@ def run_gate2m(n=2_097_152, steps=100):
     t0 = time.perf_counter()
     res = run_simulation(
         xv, species, 0.0, steps * dt, dt,
-        architecture="tpu", method="direct",
+        architecture="tpu", method="direct", impl="pallas",
         snapshots=3, restart_interval=50, debug_energy=True,
         verbose=True, overwrite=True, output_dir=str(out_dir),
     )
@@ -151,14 +151,14 @@ def run_gate1m(n=1_048_576, steps=1000):
     # 1000-step timed run will reuse from the persistent cache
     run_simulation(
         xv, species, 0.0, 50 * dt, dt,
-        architecture="tpu", method="direct",
+        architecture="tpu", method="direct", impl="pallas",
         save_snapshots=False, verbose=True, overwrite=True,
         output_dir=str(out_dir) + "_warmup",
     )
     t0 = time.perf_counter()
     res = run_simulation(
         xv, species, 0.0, steps * dt, dt,
-        architecture="tpu", method="direct",
+        architecture="tpu", method="direct", impl="pallas",
         save_snapshots=False, verbose=True, overwrite=True,
         output_dir=str(out_dir),
     )
