@@ -62,3 +62,39 @@ def test_graft_entry_single_step_compiles_and_runs():
     assert np.isfinite(pos).all()
     # one KDK step at dt=2e-5 must actually move the system
     assert not np.array_equal(pos, np.asarray(args[0].pos))
+
+
+def test_allocation_aware_auto_impl(monkeypatch):
+    """impl='auto' on a TPU-ish platform consults the session probe:
+    degraded Mosaic capacity -> 'xla', healthy -> 'pallas'; CPU hosts
+    never probe (resolve to 'jnp')."""
+    from nbody_streams_tpu.ops import dispatch, probe
+
+    calls = []
+
+    def fake_scale(value):
+        def _scale():
+            calls.append(1)
+            return value
+        return _scale
+
+    # CPU host: never probes, picks jnp regardless of n
+    monkeypatch.setattr(probe, "rate_scale", fake_scale(0.3))
+    assert dispatch._default_impl(None, "spline", 65536) == "jnp"
+    assert not calls
+
+    # TPU-ish host, degraded probe -> xla; healthy -> pallas
+    # (jax_default_device is None under the test conftest, so the
+    # platform comes from default_backend)
+    assert jax.config.jax_default_device is None
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(probe, "rate_scale", fake_scale(0.35))
+    assert dispatch._default_impl(None, "spline", 65536) == "xla"
+    monkeypatch.setattr(probe, "rate_scale", fake_scale(0.95))
+    assert dispatch._default_impl(None, "spline", 65536) == "pallas"
+    # below the sorted-path threshold / non-spline: no probe, pallas
+    calls.clear()
+    monkeypatch.setattr(probe, "rate_scale", fake_scale(0.1))
+    assert dispatch._default_impl(None, "spline", 4096) == "pallas"
+    assert dispatch._default_impl(None, "plummer", 65536) == "pallas"
+    assert not calls
