@@ -159,13 +159,47 @@ try:
     import matplotlib
 
     matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
     from nbody_streams_tpu.viz import plot_density
 
-    ax, _ = plot_density(star_final[:, :3],
-                         np.concatenate([m_bulge, m_disk]),
-                         method="sph", extent=20.0, axes=(0, 1))
-    out_png = Path(OUT) / "mw_disk_faceon.png"
-    ax.figure.savefig(out_png, dpi=130)
+    m_star = np.concatenate([m_bulge, m_disk])
+    for axes, tag in (((0, 1), "faceon"), ((0, 2), "edgeon")):
+        ax, _ = plot_density(star_final[:, :3], m_star,
+                             method="sph", extent=20.0, axes=axes)
+        out_png = Path(OUT) / f"mw_disk_{tag}.png"
+        ax.figure.savefig(out_png, dpi=130)
+        plt.close(ax.figure)
+        print(f"wrote {out_png}")
+
+    # rotation curve: initial analytic vc vs final disk <v_phi>(R)
+    R_f = np.hypot(star_final[N_bulge:, 0], star_final[N_bulge:, 1])
+    vphi_f = (star_final[N_bulge:, 0] * star_final[N_bulge:, 4]
+              - star_final[N_bulge:, 1] * star_final[N_bulge:, 3]) / R_f
+    bins = np.linspace(1.0, 18.0, 35)
+    mid = 0.5 * (bins[:-1] + bins[1:])
+    prof0 = np.full(mid.size, np.nan)
+    prof1 = np.full(mid.size, np.nan)
+    for i in range(mid.size):
+        s0 = (R >= bins[i]) & (R < bins[i + 1])
+        s1 = (R_f >= bins[i]) & (R_f < bins[i + 1])
+        if s0.sum() > 20:
+            prof0[i] = vphi[s0].mean()
+        if s1.sum() > 20:
+            prof1[i] = vphi_f[s1].mean()
+    f = np.asarray(pot_mw.force(np.stack(
+        [mid, np.zeros_like(mid), np.zeros_like(mid)], axis=1)), float)
+    vc_mid = np.sqrt(np.maximum(-f[:, 0] * mid, 0.0))
+    fig, axp = plt.subplots(figsize=(6, 4))
+    axp.plot(mid, vc_mid, "k-", label="analytic $v_c$ (t=0 potential)")
+    axp.plot(mid, prof0, "C0--", label=r"disk $\langle v_\phi\rangle$, t=0")
+    axp.plot(mid, prof1, "C1-", label=(r"disk $\langle v_\phi\rangle$, "
+                                       f"t={STEPS * DT * 0.978:.2f} Gyr"))
+    axp.set_xlabel("R [kpc]"); axp.set_ylabel("v [km/s]")
+    axp.legend(frameon=False); fig.tight_layout()
+    out_png = Path(OUT) / "mw_rotation_curve.png"
+    fig.savefig(out_png, dpi=130)
+    plt.close(fig)
     print(f"wrote {out_png}")
 except Exception as exc:  # pragma: no cover - plotting is best-effort
     print(f"(plot skipped: {exc})")
