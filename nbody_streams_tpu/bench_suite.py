@@ -10,7 +10,15 @@ kernel), and synchronisation uses `jax.device_get` (axon's
 `block_until_ready` does not block).
 
 Usage:
-    python -m nbody_streams_tpu.bench_suite [-N 65536] [--reps 6]
+    python -m nbody_streams_tpu.bench_suite [-N 65536] [--reps 6] \
+        [--sections 1,2,3,4,5,6]
+
+All matrix rows pin ``impl='pallas'``: the matrix documents the flagship
+Pallas kernels at a fixed backend so numbers are comparable across
+sessions (``impl='auto'`` would silently switch to the XLA two-pass on a
+Mosaic-throttled allocation and confound kernel changes with backend
+choice — benchmarks/impl_compare.py measures that comparison
+explicitly).
 
 The sharded-ring correctness-timed row (8 virtual CPU devices,
 interpret-mode Pallas) is a separate invocation because it needs the
@@ -54,8 +62,11 @@ def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("-N", type=int, default=65536)
     ap.add_argument("--reps", type=int, default=6)
+    ap.add_argument("--sections", type=str, default="1,2,3,4,5,6",
+                    help="comma-separated section numbers to run")
     args = ap.parse_args(argv)
     n, reps = args.N, args.reps
+    sections = {int(s) for s in args.sections.split(",")}
 
     from . import make_plummer_sphere
     from .ops.dispatch import DirectGravity
@@ -67,152 +78,165 @@ def main(argv=None):
     pos64 = xv[:, :3]
     soft = np.full(n, 0.05)
 
-    # ---- section 1: force throughput by kernel x precision ------------
-    print("SECTION 1: force kernels (Gint/s = N^2 pair interactions/s)")
-    results = {}
-    for kernel in ("spline", "plummer", "dehnen_k1", "newtonian"):
-        # float32_fast only exists on the slab-sorted spline path
-        # (everywhere else it degrades to plain float32 with a warning)
-        tiers = ("float32_kahan", "float32", "float32_fast") \
-            if kernel == "spline" and n >= 16384 \
-            else ("float32_kahan", "float32")
-        for precision in tiers:
-            solver = DirectGravity(m, soft, kernel=kernel,
-                                   precision=precision)
-            p0 = jnp.asarray(pos64, solver.dtype)
-            dt = _timeit_scan(lambda c, s=solver: s.accel(c), p0, reps)
-            gint = n * n / dt / 1e9
-            results[(kernel, precision)] = gint
-            print(f"  {kernel:10s} {precision:14s} {dt*1e3:9.2f} ms "
-                  f"{gint:8.1f} Gint/s")
+    # pin the flagship Pallas backend on TPU (comparable across sessions,
+    # regardless of the allocation-aware auto choice); the jnp path is the
+    # only sensible backend elsewhere
+    impl = "pallas" if jax.default_backend() in ("tpu", "axon") else "jnp"
 
-    # float64 rows (jnp oracle path — the Pallas kernel is fp32-only by
-    # design, matching the reference's fp64 fallback matrix rows,
-    # fields.py:1201-1796).  Two kernels bound the cost: f64 on the v5e
-    # is emulated and ~50-100x slower than fp32, so skip above 256k
-    # (an N=1M f64 eval would run tens of minutes).
-    if n <= 262144:
-        with jax.enable_x64():
-            for kernel in ("spline", "newtonian"):
-                solver = DirectGravity(m.astype(np.float64), soft,
-                                       kernel=kernel, precision="float64")
-                p0 = jnp.asarray(pos64, jnp.float64)
-                dt = _timeit_scan(lambda c, s=solver: s.accel(c), p0,
-                                  max(1, reps // 3))
+    if 1 in sections:
+        # ---- section 1: force throughput by kernel x precision ------------
+        print("SECTION 1: force kernels (Gint/s = N^2 pair interactions/s)")
+        results = {}
+        for kernel in ("spline", "plummer", "dehnen_k1", "newtonian"):
+            # float32_fast only exists on the slab-sorted spline path
+            # (everywhere else it degrades to plain float32 with a warning)
+            tiers = ("float32_kahan", "float32", "float32_fast") \
+                if kernel == "spline" and n >= 16384 \
+                else ("float32_kahan", "float32")
+            for precision in tiers:
+                solver = DirectGravity(m, soft, kernel=kernel,
+                                       precision=precision, impl=impl)
+                p0 = jnp.asarray(pos64, solver.dtype)
+                dt = _timeit_scan(lambda c, s=solver: s.accel(c), p0, reps)
                 gint = n * n / dt / 1e9
-                results[(kernel, "float64")] = gint
-                print(f"  {kernel:10s} {'float64':14s} {dt*1e3:9.2f} ms "
+                results[(kernel, precision)] = gint
+                print(f"  {kernel:10s} {precision:14s} {dt*1e3:9.2f} ms "
                       f"{gint:8.1f} Gint/s")
-    else:
-        print("  (float64 rows skipped above N=262144: emulated f64 "
-              "would run tens of minutes per eval)")
 
-    # ---- section 2: potential kernel ----------------------------------
-    print("\nSECTION 2: potential (vs force) kernel")
-    solver = DirectGravity(m, soft, kernel="spline",
-                           precision="float32_kahan")
-    p0 = jnp.asarray(pos64, solver.dtype)
-    dtf = _timeit_scan(lambda c: solver.accel(c), p0, reps)
-    dtp = _timeit_scan(lambda c: solver.potential(c)[:, None], p0, reps)
-    print(f"  force {dtf*1e3:9.2f} ms   potential {dtp*1e3:9.2f} ms "
-          f"({dtf/dtp:.2f}x)")
+        # float64 rows (jnp oracle path — the Pallas kernel is fp32-only by
+        # design, matching the reference's fp64 fallback matrix rows,
+        # fields.py:1201-1796).  Two kernels bound the cost: f64 on the v5e
+        # is emulated and ~50-100x slower than fp32, so skip above 256k
+        # (an N=1M f64 eval would run tens of minutes).
+        if n <= 262144:
+            with jax.enable_x64():
+                for kernel in ("spline", "newtonian"):
+                    solver = DirectGravity(m.astype(np.float64), soft,
+                                           kernel=kernel, precision="float64",
+                                           impl="jnp")
+                    p0 = jnp.asarray(pos64, jnp.float64)
+                    dt = _timeit_scan(lambda c, s=solver: s.accel(c), p0,
+                                      max(1, reps // 3))
+                    gint = n * n / dt / 1e9
+                    results[(kernel, "float64")] = gint
+                    print(f"  {kernel:10s} {'float64':14s} {dt*1e3:9.2f} ms "
+                          f"{gint:8.1f} Gint/s")
+        else:
+            print("  (float64 rows skipped above N=262144: emulated f64 "
+                  "would run tens of minutes per eval)")
 
-    # ---- section 3: cross-backend validation --------------------------
-    print("\nSECTION 3: validation vs the float64 jnp oracle (n=4096 "
-          "subset)")
-    nv = min(n, 4096)
-    with jax.enable_x64():
-        oracle = DirectGravity(m[:nv], soft[:nv], kernel="spline",
-                               precision="float64", impl="jnp")
-        a_ref = np.asarray(oracle.accel(jnp.asarray(pos64[:nv],
-                                                    jnp.float64)), float)
-    scale = np.abs(a_ref).max()
-    for precision in ("float32_kahan", "float32"):
-        s = DirectGravity(m[:nv], soft[:nv], kernel="spline",
-                          precision=precision)
-        a = np.asarray(s.accel(jnp.asarray(pos64[:nv], s.dtype)), float)
-        err = np.abs(a - a_ref).max() / scale
-        net = np.abs((m[:nv, None] * a).sum(0)).max() \
-            / np.abs(m[:nv, None] * a).sum()
-        print(f"  {precision:14s} max rel err {err:.2e}   "
-              f"net-force/|F|sum {net:.2e}")
+    if 2 in sections:
+        # ---- section 2: potential kernel ----------------------------------
+        print("\nSECTION 2: potential (vs force) kernel")
+        solver = DirectGravity(m, soft, kernel="spline",
+                               precision="float32_kahan", impl=impl)
+        p0 = jnp.asarray(pos64, solver.dtype)
+        dtf = _timeit_scan(lambda c: solver.accel(c), p0, reps)
+        dtp = _timeit_scan(lambda c: solver.potential(c)[:, None], p0, reps)
+        print(f"  force {dtf*1e3:9.2f} ms   potential {dtp*1e3:9.2f} ms "
+              f"({dtf/dtp:.2f}x)")
 
-    # ---- section 4: host transfer overhead ----------------------------
-    print("\nSECTION 4: host <-> device transfer")
-    x = jnp.asarray(pos64, jnp.float32)
-    jax.device_get(x)
-    t0 = time.perf_counter()
-    for _ in range(10):
+    if 3 in sections:
+        # ---- section 3: cross-backend validation --------------------------
+        print("\nSECTION 3: validation vs the float64 jnp oracle (n=4096 "
+              "subset)")
+        nv = min(n, 4096)
+        with jax.enable_x64():
+            oracle = DirectGravity(m[:nv], soft[:nv], kernel="spline",
+                                   precision="float64", impl="jnp")
+            a_ref = np.asarray(oracle.accel(jnp.asarray(pos64[:nv],
+                                                        jnp.float64)), float)
+        scale = np.abs(a_ref).max()
+        for precision in ("float32_kahan", "float32"):
+            s = DirectGravity(m[:nv], soft[:nv], kernel="spline",
+                              precision=precision, impl=impl)
+            a = np.asarray(s.accel(jnp.asarray(pos64[:nv], s.dtype)), float)
+            err = np.abs(a - a_ref).max() / scale
+            net = np.abs((m[:nv, None] * a).sum(0)).max() \
+                / np.abs(m[:nv, None] * a).sum()
+            print(f"  {precision:14s} max rel err {err:.2e}   "
+                  f"net-force/|F|sum {net:.2e}")
+
+    if 4 in sections:
+        # ---- section 4: host transfer overhead ----------------------------
+        print("\nSECTION 4: host <-> device transfer")
+        x = jnp.asarray(pos64, jnp.float32)
         jax.device_get(x)
-    d2h = (time.perf_counter() - t0) / 10
-    print(f"  D->H (N,3) float32: {d2h*1e3:.2f} ms "
-          f"({pos64.nbytes / 2 / d2h / 1e9:.2f} GB/s)")
-
-    # ---- section 5: N-scaling -----------------------------------------
-    print("\nSECTION 5: N-scaling (spline + Kahan)")
-    for nn in (16384, 65536, 262144, 1048576):
-        if nn > n * 4:
-            break
-        xvn, mn = make_plummer_sphere(nn, M_total=1e9, a=1.0, seed=2)
-        s = DirectGravity(mn, np.full(nn, 0.05), kernel="spline",
-                          precision="float32_kahan")
-        p = jnp.asarray(xvn[:, :3], s.dtype)
-        rr = max(2, reps // 2) if nn <= 262144 else 2
-        dt = _timeit_scan(lambda c, s=s: s.accel(c), p, rr)
-        print(f"  N={nn:8d}: {dt*1e3:9.2f} ms  {nn*nn/dt/1e9:8.1f} "
-              f"Gint/s")
-
-    # ---- section 6: KDK stepping drift by precision tier --------------
-    # The accuracy side of the float32_fast trade: |dE/E| accumulated
-    # over a real KDK window, per tier, at this N (reference ships the
-    # matching per-precision matrix, fields.py:1201-1796).
-    steps = 300 if n <= 262144 else 60
-    print(f"\nSECTION 6: KDK stepping (spline): Gint/s + |dE/E| over "
-          f"{steps} steps")
-    from .integrate import (init_state, make_accel_fn, make_kdk_step,
-                            run_chunk, system_energy)
-    for precision in ("float32_kahan", "float32", "float32_fast"):
-        s = DirectGravity(m, soft, kernel="spline", precision=precision)
-        accel_fn = make_accel_fn(s, s.mass)
-        step_fn = make_kdk_step(accel_fn, dt=2e-5, t0=0.0)
-        presort = s.spatial_sort_active
-        pint = s.presort_interval
-        state = init_state(xv[:, :3], xv[:, 3:], accel_fn, s.mass, 0.0,
-                           sort_fn=s.sort_key if presort else None)
-        e_fn = jax.jit(lambda st, s=s: system_energy(st, s, s.mass))
-        ke, pe = jax.device_get(e_fn(state))
-        e0 = float(ke) + float(pe)
-        # single dispatches that execute >60-100 s crash the remote
-        # worker (docs/performance.md): time a short probe chunk, then
-        # size sub-chunks to a ~30 s execution budget
-        state = run_chunk(step_fn, state, 5, presort=presort,
-                          presort_every=pint)
-        jax.device_get(state.pos)
         t0 = time.perf_counter()
-        state = run_chunk(step_fn, state, 5, presort=presort,
-                          presort_every=pint)
-        jax.device_get(state.pos)
-        per = (time.perf_counter() - t0) / 5
-        sub = max(5, min(steps - 10, int(30.0 / max(per, 1e-9))))
-        # warm the sub-length executable once OUTSIDE the timing (a
-        # fresh scan length compiles for ~20 s and would inflate the
-        # per-step figure ~3x)
-        state = run_chunk(step_fn, state, sub, presort=presort,
-                          presort_every=pint)
-        jax.device_get(state.step)
-        done, t0 = 0, time.perf_counter()
-        while done < steps:
+        for _ in range(10):
+            jax.device_get(x)
+        d2h = (time.perf_counter() - t0) / 10
+        print(f"  D->H (N,3) float32: {d2h*1e3:.2f} ms "
+              f"({pos64.nbytes / 2 / d2h / 1e9:.2f} GB/s)")
+
+    if 5 in sections:
+        # ---- section 5: N-scaling -----------------------------------------
+        print("\nSECTION 5: N-scaling (spline + Kahan)")
+        for nn in (16384, 65536, 262144, 1048576):
+            if nn > n * 4:
+                break
+            xvn, mn = make_plummer_sphere(nn, M_total=1e9, a=1.0, seed=2)
+            s = DirectGravity(mn, np.full(nn, 0.05), kernel="spline",
+                              precision="float32_kahan", impl=impl)
+            p = jnp.asarray(xvn[:, :3], s.dtype)
+            rr = max(2, reps // 2) if nn <= 262144 else 2
+            dt = _timeit_scan(lambda c, s=s: s.accel(c), p, rr)
+            print(f"  N={nn:8d}: {dt*1e3:9.2f} ms  {nn*nn/dt/1e9:8.1f} "
+                  f"Gint/s")
+
+    if 6 in sections:
+        # ---- section 6: KDK stepping drift by precision tier --------------
+        # The accuracy side of the float32_fast trade: |dE/E| accumulated
+        # over a real KDK window, per tier, at this N (reference ships the
+        # matching per-precision matrix, fields.py:1201-1796).
+        steps = 300 if n <= 262144 else 60
+        print(f"\nSECTION 6: KDK stepping (spline): Gint/s + |dE/E| over "
+              f"{steps} steps")
+        from .integrate import (init_state, make_accel_fn, make_kdk_step,
+                                run_chunk, system_energy)
+        for precision in ("float32_kahan", "float32", "float32_fast"):
+            s = DirectGravity(m, soft, kernel="spline", precision=precision,
+                              impl=impl)
+            accel_fn = make_accel_fn(s, s.mass)
+            step_fn = make_kdk_step(accel_fn, dt=2e-5, t0=0.0)
+            presort = s.spatial_sort_active
+            pint = s.presort_interval
+            state = init_state(xv[:, :3], xv[:, 3:], accel_fn, s.mass, 0.0,
+                               sort_fn=s.sort_key if presort else None)
+            e_fn = jax.jit(lambda st, s=s: system_energy(st, s, s.mass))
+            ke, pe = jax.device_get(e_fn(state))
+            e0 = float(ke) + float(pe)
+            # single dispatches that execute >60-100 s crash the remote
+            # worker (docs/performance.md): time a short probe chunk, then
+            # size sub-chunks to a ~30 s execution budget
+            state = run_chunk(step_fn, state, 5, presort=presort,
+                              presort_every=pint)
+            jax.device_get(state.pos)
+            t0 = time.perf_counter()
+            state = run_chunk(step_fn, state, 5, presort=presort,
+                              presort_every=pint)
+            jax.device_get(state.pos)
+            per = (time.perf_counter() - t0) / 5
+            sub = max(5, min(steps - 10, int(30.0 / max(per, 1e-9))))
+            # warm the sub-length executable once OUTSIDE the timing (a
+            # fresh scan length compiles for ~20 s and would inflate the
+            # per-step figure ~3x)
             state = run_chunk(step_fn, state, sub, presort=presort,
                               presort_every=pint)
             jax.device_get(state.step)
-            done += sub
-        jax.device_get(state.pos)
-        dt_step = (time.perf_counter() - t0) / done
-        ke, pe = jax.device_get(e_fn(state))
-        e1 = float(ke) + float(pe)
-        print(f"  {precision:14s} {dt_step*1e3:9.2f} ms/step "
-              f"{n*n/dt_step/1e9:8.1f} Gint/s   |dE/E| = "
-              f"{abs((e1 - e0) / e0):.2e} over {10 + sub + done} steps")
+            done, t0 = 0, time.perf_counter()
+            while done < steps:
+                state = run_chunk(step_fn, state, sub, presort=presort,
+                                  presort_every=pint)
+                jax.device_get(state.step)
+                done += sub
+            jax.device_get(state.pos)
+            dt_step = (time.perf_counter() - t0) / done
+            ke, pe = jax.device_get(e_fn(state))
+            e1 = float(ke) + float(pe)
+            print(f"  {precision:14s} {dt_step*1e3:9.2f} ms/step "
+                  f"{n*n/dt_step/1e9:8.1f} Gint/s   |dE/E| = "
+                  f"{abs((e1 - e0) / e0):.2e} over {10 + sub + done} steps")
 
     print("\ndone.")
 

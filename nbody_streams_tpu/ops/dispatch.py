@@ -33,6 +33,16 @@ from . import pairwise
 __all__ = ["DirectGravity"]
 
 
+# Above this N the Pallas path wins even on a Mosaic-throttled
+# allocation: the per-session penalty hits small grids, not sustained
+# large kernels.  Measured KDK stepping on the 2026-08-19 degraded
+# allocation (Pallas fma probe 0.78 vs 2.8 best-seen Top/s),
+# benchmarks/impl_compare.py: 64k XLA 133 vs Pallas 113 Gint/s;
+# 256k XLA 161 vs Pallas 109; but 1M Pallas 184 vs XLA 157 — the
+# throttle fades with kernel size while the XLA band fraction grows.
+_XLA_AUTO_MAX_N = 400_000
+
+
 def _default_impl(devices, kernel: str = "spline", n: int = 0) -> str:
     if devices is not None and len(devices) > 1:
         return "sharded"
@@ -50,11 +60,13 @@ def _default_impl(devices, kernel: str = "spline", n: int = 0) -> str:
             return "jnp"
         # allocation-aware choice: tunnelled sessions can throttle
         # Mosaic-compiled kernels ~3x while XLA stays at full speed
-        # (docs/performance.md) — there the XLA two-pass beats every
-        # Pallas config.  Probe only when it can matter (the sorted
-        # spline path at sizes where the ~0.15 s cached probe is noise
-        # against the run itself).
-        if pallas_direct.uses_spatial_sort(kernel, n):
+        # (docs/performance.md) — there the XLA two-pass beats the
+        # Pallas configs at small N.  The throttle is N-dependent
+        # (large sustained kernels run at full speed even on a degraded
+        # allocation), so only small-N sorted-spline populations ever
+        # switch.  Probe only when it can matter (the ~0.15 s cached
+        # probe is noise against any run at these sizes).
+        if pallas_direct.uses_spatial_sort(kernel, n) and n < _XLA_AUTO_MAX_N:
             from .probe import rate_scale
 
             if rate_scale() < 0.5:

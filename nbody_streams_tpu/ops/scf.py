@@ -14,9 +14,14 @@ potential–density basis and differentiate the smooth truncated field.
 Per step this is two dense passes over the particles — an
 ``(N, P) x (N, Q)`` coefficient contraction and a basis evaluation —
 i.e. pure MXU matmuls plus elementwise recurrences, O(N (nmax+1)
-(lmax+1)^2) with NO pair interactions, no sorting, no tree.  At the
-reference's own tree-tier accuracy (1-5% force error, README.md:848-855)
-the SCF tier steps millions of particles in milliseconds.
+(lmax+1)^2) with NO pair interactions, no sorting, no tree.  Measured
+on the real v5e (benchmarks/scf_bench.py, 2026-08-19, (nmax, lmax) =
+(8, 4)): 16.5 ms per force eval / 30.1 ms per KDK step at N = 1M, and
+121.6 ms / 234.0 ms at N = 8M (~35 Mparticle-steps/s, linear in N) —
+at the reference tree's own accuracy class (1-5% force error,
+README.md:848-855; the SCF ladder measures 3-5% median vs direct at
+(nmax, lmax) >= (4, 2), saturating at the sampled system's shot-noise
+floor), versus the reference tree's ~1-2 s per 2M-particle call.
 
 Mathematical scheme (dimensionless s = r/a, xi = (s-1)/(s+1)):
 

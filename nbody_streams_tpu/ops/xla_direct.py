@@ -59,15 +59,20 @@ def _nb_rows(bs: int, rs: int, npad: int) -> int:
 
     Must cover one target block's own span (``bs/rs`` rows) plus the
     softening reach in row units.  The reach is data-dependent (rows
-    within ``h_max`` of a block boundary: ~2*h_max*local_density/rs), so
-    the default scales both terms: a fixed slack for the block span and
-    a ``rows/16`` floor that grows with N exactly like the Pallas
-    ladder (measured at N=64k Plummer h=0.05: needed 16, default 20; at
-    N=1M the dense core needs ~59, default 128).  Too-narrow windows
-    are *correct* (max_width check falls back to the single-pass
-    kernel) but slow."""
+    within ``h_max`` of a block boundary: ~2*h_max*local_density/rs)
+    and in row units it GROWS with N (same physical slab, finer rows):
+    measured initial widths for the Plummer/h=0.05 bench population are
+    16 / 22 / 34 / 111 rows at N = 64k / 128k / 256k / 1M.  The
+    original ``rows/16`` floor under-provisioned the 128k-256k range
+    (20 < 22, 32 < 34), which the in-scan poison guard turns into NaN
+    — so the floor is ``rows/12 + 16``: proportional term above every
+    measured width, constant term as drift cushion between in-scan
+    order refreshes (measured drift ~2 band-rows per 50 steps at 64k).
+    Too-narrow windows remain *correct* on the one-shot path (the
+    max_width cond falls back to the single-pass kernel) and poison —
+    never silently wrong — on the in-scan path."""
     rows = npad // rs
-    return min(max(bs // rs + 12, rows // 16), rows)
+    return min(max(bs // rs + 12, rows // 12 + 16), rows)
 
 
 def uses_spatial_sort(kind: str, n: int) -> bool:

@@ -92,9 +92,15 @@ def test_allocation_aware_auto_impl(monkeypatch):
     assert dispatch._default_impl(None, "spline", 65536) == "xla"
     monkeypatch.setattr(probe, "rate_scale", fake_scale(0.95))
     assert dispatch._default_impl(None, "spline", 65536) == "pallas"
-    # below the sorted-path threshold / non-spline: no probe, pallas
+    # the Mosaic throttle is N-dependent: above the crossover the Pallas
+    # path wins even on a degraded allocation, so auto never switches
+    # (and never probes) there
     calls.clear()
     monkeypatch.setattr(probe, "rate_scale", fake_scale(0.1))
+    assert dispatch._default_impl(
+        None, "spline", dispatch._XLA_AUTO_MAX_N) == "pallas"
+    assert dispatch._default_impl(None, "spline", 1_048_576) == "pallas"
+    # below the sorted-path threshold / non-spline: no probe, pallas
     assert dispatch._default_impl(None, "spline", 4096) == "pallas"
     assert dispatch._default_impl(None, "plummer", 65536) == "pallas"
     assert not calls

@@ -137,6 +137,39 @@ def test_small_n_uses_blocked_oracle(rng):
                           np.asarray(o.accel(pos)))
 
 
+@pytest.mark.parametrize("n", [65536, 131072, 262144, 1048576])
+def test_band_ladder_covers_bench_population(n):
+    """Regression for the 128k-256k poison (found live on hardware,
+    2026-08-19): the static band ladder must cover the *initial* band
+    width of the standard bench population (Plummer a=1, h=0.05, the
+    exact ICs benchmarks/impl_compare.py steps) with enough slack for
+    in-scan drift.  The width check here is the same bookkeeping
+    _xla_self_sorted computes (row extents + h_max reach), evaluated in
+    NumPy so 1M runs in milliseconds."""
+    from nbody_streams_tpu import make_plummer_sphere
+    from nbody_streams_tpu.ops.xla_direct import BS, RS, _nb_rows
+
+    xv, _ = make_plummer_sphere(n, M_total=1e9, a=1.0, seed=2)
+    x = np.sort(xv[:, 0]).astype(np.float32)
+    npad = -(-n // BS) * BS
+    x = np.pad(x, (0, npad - n), mode="edge")
+    rows = npad // RS
+    nblk = npad // BS
+    xt = x.reshape(nblk, BS)
+    xr = x.reshape(rows, RS)
+    h = 0.05
+    far = (xr.max(1)[None] < (xt.min(1) - h)[:, None]) \
+        | (xr.min(1)[None] > (xt.max(1) + h)[:, None])
+    ridx = np.arange(rows)[None]
+    first = np.where(far, rows, ridx).min(1)
+    last = np.where(far, -1, ridx).max(1)
+    max_width = int((last - first + 1).max())
+    nb = _nb_rows(BS, RS, npad)
+    # >= 4 rows of drift cushion (measured ~2 band-rows per 50 steps at
+    # 64k; the in-scan order refresh runs every 10 steps)
+    assert nb >= max_width + 4, (n, max_width, nb)
+
+
 def test_spatial_sort_active_and_integrator_reuse(cloud):
     """The integrator's order-reuse contract extends to impl='xla':
     spatial_sort_active is True, and a scanned chunk with presorted
