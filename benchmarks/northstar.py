@@ -97,7 +97,7 @@ def run_gate2m(n=2_097_152, steps=100):
         xv, species, 0.0, (steps // 2) * dt, dt,
         architecture="tpu", method="direct", impl="pallas",
         snapshots=2, restart_interval=50, debug_energy=True,
-        verbose=True, overwrite=True,
+        verbose=True, overwrite=True, step_timeout_s=120,
         output_dir=str(out_dir) + "_warmup",
     )
     t0 = time.perf_counter()
@@ -105,7 +105,8 @@ def run_gate2m(n=2_097_152, steps=100):
         xv, species, 0.0, steps * dt, dt,
         architecture="tpu", method="direct", impl="pallas",
         snapshots=3, restart_interval=50, debug_energy=True,
-        verbose=True, overwrite=True, output_dir=str(out_dir),
+        verbose=True, overwrite=True, step_timeout_s=120,
+        output_dir=str(out_dir),
     )
     wall = time.perf_counter() - t0
     ke1, pe1 = energy(res["dark"])
@@ -146,34 +147,49 @@ def run_gate1m(n=1_048_576, steps=1000):
         return ke, pe
 
     ke0, pe0 = energy(xv)
-    # 50-step warm-up: with no snapshot events the driver's sub-chunks
-    # are all length 50, so this compiles exactly the executables the
-    # 1000-step timed run will reuse from the persistent cache
-    run_simulation(
-        xv, species, 0.0, 50 * dt, dt,
-        architecture="tpu", method="direct", impl="pallas",
-        save_snapshots=False, verbose=True, overwrite=True,
-        output_dir=str(out_dir) + "_warmup",
-    )
+    # hang recovery: a tunnelled dispatch can wedge the client forever
+    # (observed once mid-run at step 500) — arm the driver watchdog so a
+    # hang saves an emergency restart and fails fast, and resume from
+    # any restart.npz a previous (killed/hung) attempt left behind
+    # instead of replaying from step 0.  e0 is recomputed from the
+    # deterministic ICs, so the drift bracket survives the resume.
+    start_step = 0
+    resume = (out_dir / "restart.npz").exists()
+    if resume:
+        start_step = int(np.load(out_dir / "restart.npz")["step"])
+        resume = 0 < start_step < steps
+    if not resume:
+        # 50-step warm-up: with no snapshot events the driver's
+        # sub-chunks are all length 50, so this compiles exactly the
+        # executables the 1000-step timed run reuses from the
+        # persistent cache
+        run_simulation(
+            xv, species, 0.0, 50 * dt, dt,
+            architecture="tpu", method="direct", impl="pallas",
+            save_snapshots=False, verbose=True, overwrite=True,
+            output_dir=str(out_dir) + "_warmup", step_timeout_s=60,
+        )
     t0 = time.perf_counter()
     res = run_simulation(
         xv, species, 0.0, steps * dt, dt,
         architecture="tpu", method="direct", impl="pallas",
-        save_snapshots=False, verbose=True, overwrite=True,
-        output_dir=str(out_dir),
+        save_snapshots=False, verbose=True, output_dir=str(out_dir),
+        step_timeout_s=60, restart_interval=100,
+        **({"continue_run": True} if resume else {"overwrite": True}),
     )
     wall = time.perf_counter() - t0
+    stepped = steps - start_step if resume else steps
     ke1, pe1 = energy(res["dark"])
     e0, e1 = ke0 + pe0, ke1 + pe1
     peak = _hbm_peak()
     print(json.dumps({
         "metric": "gate1m_abs_dE_over_E", "value": abs((e1 - e0) / e0),
         "unit": "dimensionless", "steps": steps, "n": n,
-        "ms_per_step": 1e3 * wall / steps,
-        "gint_per_s": n * n * steps / wall / 1e9,
+        "ms_per_step": 1e3 * wall / stepped,
+        "gint_per_s": n * n * stepped / wall / 1e9,
         "Q0": ke0 / abs(pe0), "Q1": ke1 / abs(pe1),
         "peak_hbm_gb": None if peak is None else peak / 2**30,
-        "wall_s": wall,
+        "wall_s": wall, "resumed_from_step": start_step if resume else 0,
     }))
 
 

@@ -126,12 +126,24 @@ for Rq in (4.0, 8.2, 15.0):
           f"(asym. drift {vc - vphi[sel].mean():5.1f})")
 
 # ── Integrate ────────────────────────────────────────────────────────────────
+# Hang recovery for long tunnelled runs: the driver watchdog turns a
+# wedged device dispatch into a saved emergency restart + fast failure,
+# and a rerun of this script resumes from it (the ICs above are
+# deterministic, so the analysis below is unaffected).
+_restart = Path(OUT) / "restart.npz"
+_resume = False
+if _restart.exists():
+    _step = int(np.load(_restart)["step"])
+    _resume = 0 < _step < STEPS
+    if _resume:
+        print(f"resuming from restart.npz at step {_step}/{STEPS}")
 t0 = time.perf_counter()
 result = run_simulation(
     xv0, species, 0.0, STEPS * DT, DT,
     architecture="auto", method="direct",
-    output_dir=OUT, snapshots=20, overwrite=True,
-    verbose=True, debug_energy=True,
+    output_dir=OUT, snapshots=20, verbose=True, debug_energy=True,
+    step_timeout_s=60, restart_interval=100,
+    **({"continue_run": True} if _resume else {"overwrite": True}),
 )
 print(f"run: {time.perf_counter() - t0:.1f} s")
 

@@ -32,10 +32,18 @@ _cache: dict = {}
 
 def delivered_pallas_tops(K: int = 256, iters: int = 1000,
                           interpret: bool = False) -> float:
-    """Sustained Top/s of a Mosaic-compiled fma chain (~135 GFLOP, so
-    ~0.05-0.15 s on-device; the ~58 ms tunnel dispatch latency is a
-    bounded perturbation).  ``interpret=True`` lets tests run a tiny
-    CPU configuration through the same graph."""
+    """Sustained Top/s of a Mosaic-compiled fma chain (~135 GFLOP).
+
+    The ~58 ms tunnel dispatch latency is NOT a bounded perturbation at
+    this probe size: ~48 ms of on-device work at the best-seen rate
+    means latency would halve the reading and misclassify a *healthy*
+    allocation as degraded (``BEST_SEEN_TOPS`` was calibrated with
+    bench.py's 4x-larger probe where latency is a small fraction).  So
+    the dispatch+transfer latency is measured with a trivially cheap
+    executable of the same output shape and subtracted, bounded to at
+    most a 4x correction so timer noise can never inflate the result
+    unboundedly.  ``interpret=True`` lets tests run a tiny CPU
+    configuration through the same graph."""
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -68,11 +76,20 @@ def delivered_pallas_tops(K: int = 256, iters: int = 1000,
         c, _ = jax.lax.scan(body, v, None, length=8)
         return c
 
+    @jax.jit
+    def trivial(v):
+        return v + 1.0
+
     flops = 512 * 512 * K * 8 * grid * 2
+    jax.device_get(trivial(x))  # compile
+    t0 = time.perf_counter()
+    jax.device_get(trivial(x))
+    latency = time.perf_counter() - t0
     jax.device_get(chain(x))  # compile
     t0 = time.perf_counter()
     jax.device_get(chain(x))
-    return flops / (time.perf_counter() - t0) / 1e12
+    elapsed = time.perf_counter() - t0
+    return flops / max(elapsed - latency, 0.25 * elapsed) / 1e12
 
 
 def rate_scale() -> float:

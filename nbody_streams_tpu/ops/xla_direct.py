@@ -76,10 +76,13 @@ def _nb_rows(bs: int, rs: int, npad: int) -> int:
 
 
 def uses_spatial_sort(kind: str, n: int) -> bool:
-    """Same predicate as the Pallas path: the two-pass split exists for
-    the compact-support spline at sizes where the sort pays for
-    itself."""
-    return kind == "spline" and n >= 16384
+    """Delegates to the Pallas path's predicate (single source of
+    truth): the two-pass split exists for the compact-support spline at
+    sizes where the sort pays for itself, and the auto-impl crossover
+    (ops/dispatch.py) assumes both backends agree on when it fires."""
+    from .pallas_direct import uses_spatial_sort as _pallas_predicate
+
+    return _pallas_predicate(kind, n)
 
 
 def _newton_block(pos_t, pos_s, m_s, eps2):
@@ -323,6 +326,12 @@ def _dispatch(pos, mass, soft, G, kind, kahan, mode, eps2, order,
             block_size or _choose_block(n), mode, eps2)
     bs = block_size or BS
     rs = min(RS, bs)
+    if bs % rs:
+        # the band bookkeeping maps each bs-sized source block onto
+        # whole rs-sized band rows (k = bs // rs), so a user block_size
+        # above RS must be a multiple of it — round up rather than
+        # crash at trace time with an opaque reshape error
+        bs = -(-bs // rs) * rs
     npad = -(-n // bs) * bs
     nb_rows = _nb_rows(bs, rs, npad)
     # guard semantics: a supplied order means "scan context" (the

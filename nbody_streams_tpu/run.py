@@ -541,10 +541,23 @@ def run_nbody(
                     continue
                 done = 0
                 fetched_at = 0   # steps into this chunk at last payload fetch
+                since_sort = 0   # order staleness (steps) entering a dispatch
                 while done < n_steps:
                     limit = wd_sub if step_timeout_s else n_steps
                     s = min(_dispatch_cap(limit, est_step_s), n_steps - done)
-                    do_presort = presort and done == 0
+                    if presort_every:
+                        # xla backend: the exact-or-NaN guard tolerates
+                        # only ~presort_every steps of order staleness,
+                        # and run_chunk's in-scan refresh fires only when
+                        # the dispatched length exceeds that cadence — so
+                        # when the dispatch cap shrinks sub-chunks below
+                        # it (large N on a tunnelled chip), sort at
+                        # sub-chunk start whenever skipping would let
+                        # staleness exceed the cadence mid-dispatch
+                        do_presort = presort and (
+                            done == 0 or since_sort + s > presort_every)
+                    else:
+                        do_presort = presort and done == 0
                     # run_chunk executables are specialised on BOTH the scan
                     # length and the static presort flag — key the compile
                     # allowance and the rate measurement on the pair, or a
@@ -556,11 +569,13 @@ def run_nbody(
                         allow = 600.0 if not pre_compiled else 30.0
                         with _ChunkWatchdog(step_timeout_s * s + allow,
                                             emergency_restart):
-                            # re-sort only on the first sub-chunk of each
-                            # boundary chunk — the order staying slightly
-                            # stale within a boundary is exact by
+                            # Pallas path: re-sort only on the first
+                            # sub-chunk of each boundary chunk — stale
+                            # order within a boundary is exact by
                             # construction (band-validity fallback), and
-                            # per-sub-chunk argsort costs ~96 ms/step at 2M
+                            # per-sub-chunk argsort costs ~96 ms/step at
+                            # 2M.  xla path: do_presort above bounds
+                            # staleness at presort_every
                             state = run_chunk(step_fn, state, s,
                                               presort=do_presort,
                                               presort_every=presort_every)
@@ -579,6 +594,16 @@ def run_nbody(
                         est_step_s = 0.5 * est_step_s + 0.5 * measured
                     compiled_lengths.add((s, do_presort))
                     done += s
+                    # order-staleness accounting for the next iteration:
+                    # run_chunk's in-scan refresh leaves the order
+                    # (s % k or k) steps stale; a sub-chunk-start sort
+                    # leaves it s stale; otherwise staleness accumulates
+                    if presort_every and presort_every < s:
+                        since_sort = s % presort_every or presort_every
+                    elif do_presort:
+                        since_sort = s
+                    else:
+                        since_sort += s
                     # refresh the emergency payload every wd_sub completed
                     # steps and at the chunk end (the boundary code below
                     # reuses that final fetch) — NOT per sub-dispatch: when

@@ -196,3 +196,69 @@ def test_spatial_sort_active_and_integrator_reuse(cloud):
     err = np.abs(np.asarray(state.pos) - np.asarray(ref.pos)).max()
     scale = np.abs(np.asarray(ref.pos)).max()
     assert err / scale < 1e-5
+
+
+def test_non_multiple_block_size_rounds_up(cloud, oracle_acc):
+    """A user block_size above RS that is not a multiple of it is
+    rounded up to whole band rows (1000 -> 1024) instead of crashing at
+    trace time with an opaque reshape error — and stays exact."""
+    pos, mass, soft = cloud
+    s = _solver(mass, soft, block_size=1000)
+    a = np.asarray(s.accel(jnp.asarray(pos, jnp.float32)), float)
+    err = np.abs(a - oracle_acc).max() / np.abs(oracle_acc).max()
+    assert err < 3e-6
+
+
+def test_uses_spatial_sort_delegates_to_pallas(monkeypatch):
+    """xla_direct's predicate is the Pallas one (single source of
+    truth): re-tuning the Pallas threshold must move the xla backend and
+    the auto-impl crossover with it, never silently diverge."""
+    from nbody_streams_tpu.ops import pallas_direct, xla_direct
+
+    assert xla_direct.uses_spatial_sort("spline", 16384)
+    assert not xla_direct.uses_spatial_sort("spline", 16383)
+    assert not xla_direct.uses_spatial_sort("plummer", 1 << 20)
+    monkeypatch.setattr(pallas_direct, "uses_spatial_sort",
+                        lambda kind, n, spatial_sort=None: n >= 7)
+    assert xla_direct.uses_spatial_sort("plummer", 7)
+    assert not xla_direct.uses_spatial_sort("spline", 6)
+
+
+def test_driver_bounds_order_staleness_under_dispatch_cap(
+        cloud, monkeypatch, tmp_path):
+    """When the dispatch cap shrinks sub-chunks below presort_interval
+    (large N on a tunnelled chip), run_chunk's in-scan refresh never
+    fires — the driver must instead presort at sub-chunk start whenever
+    skipping would let the slab order go staler than the cadence, or
+    the exact-or-NaN guard eventually poisons the run mid-boundary."""
+    from nbody_streams_tpu import run as run_mod
+    from nbody_streams_tpu.sim import run_simulation
+    from nbody_streams_tpu.species import Species
+
+    pos, mass, soft = cloud
+    xv = np.concatenate([pos, np.zeros_like(pos)], axis=1)
+    sp = [Species.dark(N=N, mass=float(mass[0]), softening=0.05)]
+
+    seen = []
+    real_run_chunk = run_mod.run_chunk
+
+    def spy(step_fn, state, n_steps, presort=False, presort_every=None):
+        seen.append((n_steps, presort, presort_every))
+        return real_run_chunk(step_fn, state, n_steps, presort=presort,
+                              presort_every=presort_every)
+
+    monkeypatch.setattr(run_mod, "run_chunk", spy)
+    monkeypatch.setattr(run_mod, "_dispatch_cap", lambda limit, est: 3)
+
+    dt = 1e-5
+    res = run_simulation(
+        xv, sp, 0.0, 12 * dt, dt, architecture="cpu", method="direct",
+        impl="xla", block_size=BS, output_dir=str(tmp_path),
+        save_snapshots=False, verbose=False, precision="float32_kahan",
+    )
+    assert np.isfinite(res["dark"]).all()
+    # 12 steps in 3-step sub-chunks with presort_interval=10: sorts at
+    # 0 (chunk start) and again entering the sub-chunk where staleness
+    # would reach 12 > 10 — never drops the sort entirely
+    pat = [(s_, p) for s_, p, pe in seen if pe == 10]
+    assert pat == [(3, True), (3, False), (3, False), (3, True)]
