@@ -215,14 +215,12 @@ class DirectGravity:
         (Pallas or XLA) and therefore accept a reusable ``order=`` (the
         integrator re-sorts once per scanned chunk instead of per force
         call)."""
-        if self.impl == "pallas":
+        if self.impl in ("pallas", "xla"):
+            # both backends share the Pallas predicate (xla_direct
+            # delegates to it)
             from . import pallas_direct
 
             return pallas_direct.uses_spatial_sort(self.kernel, self.n)
-        if self.impl == "xla":
-            from . import xla_direct
-
-            return xla_direct.uses_spatial_sort(self.kernel, self.n)
         return False
 
     def sort_key(self, pos):
