@@ -55,6 +55,9 @@ __all__ = ["run_nbody", "run_nbody_tpu", "run_nbody_cpu"]
 # length compiles exactly once.
 _DISPATCH_LADDER = (50, 25, 10, 5, 2, 1)
 _DISPATCH_BUDGET_S = 40.0
+# grace added to the boundary-work watchdog deadline (fetch + energy
+# eval + compile headroom); module-level so tests can shrink it
+_BOUNDARY_GRACE_S = 60.0
 
 
 def _dispatch_cap(limit, est_step_s, budget_s=_DISPATCH_BUDGET_S,
@@ -508,6 +511,18 @@ def run_nbody(
                       f"restart (all completed work) saved to "
                       f"{output_path}/restart.npz", flush=True)
 
+            def boundary_guard():
+                # Boundary device work (payload fetch, debug-energy
+                # eval) sits outside the per-sub-chunk watchdog; a
+                # tunnelled dispatch can wedge there just as it can
+                # mid-chunk (observed in the wild at a nan-check
+                # boundary).  Guard it with a generous deadline — an
+                # energy eval costs about one step, a fetch far less.
+                return (_ChunkWatchdog(step_timeout_s * 4
+                                       + _BOUNDARY_GRACE_S,
+                                       emergency_restart)
+                        if step_timeout_s else _nullctx())
+
             # watchdog granularity: arm the deadline over sub-chunks of at
             # most 50 steps and refresh the restart payload after each, so a
             # hang loses <= 50 steps instead of a whole chunk (the reference
@@ -612,7 +627,8 @@ def run_nbody(
                     # step.  A hang still loses <= wd_sub steps.
                     if step_timeout_s and (done - fetched_at >= wd_sub
                                            or done >= n_steps):
-                        last_xv = fetch_xv(state)
+                        with boundary_guard():
+                            last_xv = fetch_xv(state)
                         fetched_at = done
                         wd_step = current + done
                         wd_t = time_start + wd_step * dt
@@ -662,8 +678,9 @@ def run_nbody(
                             f"| {rate:.1f} steps/s | "
                             f"avg {1e3 * elapsed / max(done, 1):.1f} ms/step")
                     if debug_energy and e_ref is not None:
-                        ke, pe = energy_fn(state)
-                        ke, pe = float(ke), float(pe)
+                        with boundary_guard():
+                            ke, pe = energy_fn(state)
+                            ke, pe = float(ke), float(pe)
                         etot = ke + pe
                         # pe == 0 (massless tracers in an external field) and
                         # e_ref == 0 are legitimate states, not report errors
@@ -680,7 +697,8 @@ def run_nbody(
             if profile_dir:
                 jax.profiler.stop_trace()
 
-        xv_final = fetch_xv(state)
+        with boundary_guard():
+            xv_final = fetch_xv(state)
         if current != total_steps:
             # only when no boundary reached total_steps (e.g. resuming a
             # finished run, where boundaries is empty and the state never

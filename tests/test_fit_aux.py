@@ -332,3 +332,53 @@ def test_fit_cylspline_razor_thin_disk():
                             np.linspace(-1, 1, 100)])
     with pytest.raises(ValueError, match="R_grid"):
         fit_cylspline_from_particles(posz, np.ones(100), mmax=0)
+
+
+def test_watchdog_guards_boundary_device_work(tmp_path, monkeypatch):
+    """Device calls at chunk boundaries (payload fetch, debug-energy
+    eval) must sit under their own watchdog: a tunnelled dispatch can
+    wedge there just as it can mid-chunk (observed in the wild at a
+    nan-check boundary), and without the guard the run hangs forever
+    with step_timeout_s armed."""
+    import time as _time
+
+    import jax
+
+    from nbody_streams_tpu import run as run_mod
+    from nbody_streams_tpu.nbody_io import _load_restart
+    from nbody_streams_tpu.run import run_nbody
+
+    monkeypatch.setattr(run_mod, "_BOUNDARY_GRACE_S", 0.2)
+
+    real_device_get = jax.device_get
+    calls = {"tuples": 0}
+
+    def hanging_device_get(x):
+        # fetch_xv fetches (pos, vel) tuples; the first in-loop fetch
+        # lands at step 50, so hanging the second (step 100) must leave
+        # a step-50 restart.  A blocking call cannot be cancelled by
+        # the watchdog (interrupt_main lands when it returns) — the
+        # contract is: restart saved promptly by the timer thread, run
+        # aborted on return.  Without the boundary guard this run would
+        # simply complete successfully and no mid-run restart would
+        # exist.
+        if isinstance(x, tuple):
+            calls["tuples"] += 1
+            if calls["tuples"] == 2:
+                _time.sleep(3.0)
+        return real_device_get(x)
+
+    monkeypatch.setattr(run_mod.jax, "device_get", hanging_device_get)
+
+    xv, m = make_plummer_sphere(32, M_total=1e4, a=0.01, seed=1)
+    with pytest.raises(KeyboardInterrupt):
+        run_nbody(xv, m, 0.0, 120e-4, 1e-4, softening=0.003,
+                  architecture="cpu", output_dir=str(tmp_path),
+                  verbose=False, save_snapshots=False,
+                  step_timeout_s=0.05)
+    loaded = _load_restart(str(tmp_path))
+    assert loaded is not None
+    xv_saved, _t, step = loaded[0], loaded[1], loaded[2]
+    # the guard saved the 50 completed steps during the boundary hang
+    assert step >= 50
+    assert np.isfinite(xv_saved).all()
