@@ -165,6 +165,13 @@ class DirectGravity:
                     "slab-sorted Pallas spline path (impl='pallas', "
                     f"kernel='spline', N >= 16384); with {why} it runs "
                     "as plain 'float32'", PerformanceWarning, stacklevel=2)
+            if tile_config is not None and tile_config.get("mxu") is False:
+                # fail at construction, not at trace time deep inside
+                # the kernel (pallas_direct raises the same conflict)
+                raise ValueError(
+                    "precision='float32_fast' builds r^2 on the MXU "
+                    "moment path; tile_config {'mxu': False} conflicts "
+                    "with it")
 
         if self.impl == "sharded":
             from ..parallel.sharded import ShardedDirect

@@ -156,6 +156,18 @@ TN = 512        # source sub-tile width (lanes)
 MAX_SUB = 16    # sub-tiles per source superblock
 
 
+def _mask_self_lanes(s, iglob, src_row0, tn):
+    """Zero the s_ii lanes when the target block IS the source block
+    (global row orderings aligned).  The VPU s*dx form needs no self
+    mask (dx_ii == 0 kills the term), but the MXU moment and row-sum
+    forms accumulate s_ii ~ 1/eps2^1.5 directly, which wrecks the
+    fp32 sums long before any finalisation could cancel it.
+    ``src_row0`` is the global row index of the source tile's first
+    lane."""
+    jglob = src_row0 + jax.lax.broadcasted_iota(jnp.int32, (1, tn), 1)
+    return jnp.where(iglob == jglob, 0.0, s)
+
+
 def _tile_sum(kind, mode, mask_self, eps2, tm, tn, n_sub,
               xt, yt, zt, ht, iglob,
               xs_ref, ys_ref, zs_ref, ms_ref, hs_ref, k, jb,
@@ -227,15 +239,8 @@ def _tile_sum(kind, mode, mask_self, eps2, tm, tn, n_sub,
             # one rounding moved from the pair factor into the matrix.
             s = _force_pre(kind, r2, pre)
             if mask_self:
-                # the VPU path needs no self mask (s_ii * dx_ii == 0),
-                # but the moment form accumulates s_ii * x_i — with
-                # s_ii ~ 1 / eps2^1.5 that wrecks P in fp32 long
-                # before the finalisation cancels it.  For 2-set
-                # callers whose target block IS the source block
-                # (row orderings aligned).
-                jglob = (jb * (n_sub * tn) + k * tn
-                         + jax.lax.broadcasted_iota(jnp.int32, (1, tn), 1))
-                s = jnp.where(iglob == jglob, 0.0, s)
+                s = _mask_self_lanes(s, iglob, jb * (n_sub * tn) + k * tn,
+                                     tn)
             b = jnp.concatenate(
                 [gms * xs, gms * ys, gms * zs, gms], axis=0)    # (4, TN)
             return jax.lax.dot_general(
@@ -256,21 +261,13 @@ def _tile_sum(kind, mode, mask_self, eps2, tm, tn, n_sub,
         # multiply per pair exactly as in acc mode.
         s = _pot_pre(kind, r2, pre)
         if mask_self:
-            from jax import lax as _lax
-
-            jglob = (jb * (n_sub * tn) + k * tn
-                     + _lax.broadcasted_iota(jnp.int32, (1, tn), 1))
-            s = jnp.where(iglob == jglob, 0.0, s)
+            s = _mask_self_lanes(s, iglob, jb * (n_sub * tn) + k * tn, tn)
         return jax.lax.dot_general(
             s, gms, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)               # (tm, 1)
     s = gms * _pot_pre(kind, r2, pre)
     if mask_self:
-        from jax import lax as _lax
-
-        jglob = (jb * (n_sub * tn) + k * tn
-                 + _lax.broadcasted_iota(jnp.int32, (1, tn), 1))
-        s = jnp.where(iglob == jglob, 0.0, s)
+        s = _mask_self_lanes(s, iglob, jb * (n_sub * tn) + k * tn, tn)
     return jnp.sum(s, axis=1, keepdims=True)
 
 
@@ -519,13 +516,8 @@ def _band_kernel(start_ref, xt_ref, yt_ref, zt_ref, ht_ref,
     else:
         s = gms * _pot_pre("spline", r2, pre)
         if mask_self:
-            from jax import lax as _lax
-
-            iglob = i * tm + _lax.broadcasted_iota(jnp.int32, (tm, 1), 0)
-            jrow = start_ref[i] + b
-            jglob = jrow * tn + _lax.broadcasted_iota(jnp.int32, (1, tn),
-                                                      1)
-            s = jnp.where(iglob == jglob, 0.0, s)
+            iglob = i * tm + jax.lax.broadcasted_iota(jnp.int32, (tm, 1), 0)
+            s = _mask_self_lanes(s, iglob, (start_ref[i] + b) * tn, tn)
         if mxu:
             _accum(jax.lax.dot_general(
                 s, jnp.ones_like(xs), (((1,), (1,)), ((), ())),
@@ -638,7 +630,7 @@ def _pallas_self_sorted(pos, gmass, soft, kind, kahan, mode, eps2,
     takes over — performance degrades, correctness never.
     """
     if order is None:
-        order = jnp.argsort(pos[:, 0])
+        order = slab_sort_key(pos)
     ps = pos[order]
     gs = gmass[order]
     hsoft = soft[order]
@@ -649,6 +641,10 @@ def _pallas_self_sorted(pos, gmass, soft, kind, kahan, mode, eps2,
         # in interpret mode (dot_general interprets fine; only the
         # Mosaic lowering motivated the interpret exclusion)
         mxu = (MXU_BASE and not interpret) or fast
+    if fast and not mxu:
+        raise ValueError(
+            "float32_fast builds r^2 on the MXU moment path; "
+            "tile mxu=False conflicts with fast=True")
     if (mxu and mode == "acc") or fast:
         # centre the coordinates: the MXU moment rewrite subtracts two
         # large sums (S@xs vs x_t*(S@1)), with cancellation error
@@ -791,6 +787,22 @@ def slab_sort_key(pos):
     return jnp.argsort(pos[:, 0])
 
 
+def _warn_tile_ignored(tile, kind, n):
+    """The tm/tn/max_sub/mxu overrides only shape the slab-sorted
+    two-pass path; warn rather than let a bencher believe they measured
+    a geometry the non-sorted kernel never saw."""
+    if tile:
+        import warnings
+
+        from ..species import PerformanceWarning
+
+        warnings.warn(
+            f"tile overrides {sorted(tile)} apply only to the "
+            f"slab-sorted spline path (kernel='spline', N >= 16384); "
+            f"ignored for kernel={kind!r}, N={n:,}",
+            PerformanceWarning, stacklevel=3)
+
+
 def pallas_accel(pos, mass, soft, G, kind, kahan, eps2=PAIRWISE_EPS2,
                  interpret=False, spatial_sort=None, order=None,
                  fast=False, tile=None):
@@ -826,6 +838,7 @@ def pallas_accel(pos, mass, soft, G, kind, kahan, eps2=PAIRWISE_EPS2,
         return _pallas_self_sorted(pos, gmass, soft, kind, kahan, "acc",
                                    float(eps2), interpret, order=order,
                                    fast=fast, **(tile or {}))
+    _warn_tile_ignored(tile, kind, pos.shape[0])
     return pallas_accel_2set(pos, soft, pos, gmass, soft, kind, kahan,
                              eps2, interpret)
 
@@ -843,5 +856,6 @@ def pallas_potential(pos, mass, soft, G, kind, kahan, eps2=PAIRWISE_EPS2,
         return _pallas_self_sorted(pos, gmass, soft, kind, kahan, "pot",
                                    float(eps2), interpret, order=order,
                                    fast=fast, **(tile or {}))
+    _warn_tile_ignored(tile, kind, pos.shape[0])
     return pallas_potential_2set(pos, soft, pos, gmass, soft, kind, kahan,
                                  eps2, interpret, mask_self=True)

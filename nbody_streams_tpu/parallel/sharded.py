@@ -120,8 +120,11 @@ class ShardedDirect:
         self.use_pallas = bool(use_pallas) \
             and solver.dtype == jnp.float32
         self.interpret = bool(interpret)
-        # MXU moment rewrite for the acc ring tiles (pallas branch only);
-        # needs the centroid shift in _sharded_eval — see pallas_direct
+        # MXU moment rewrite: applied to the spline kernel's
+        # far-Newtonian acc ring branch (which needs the centroid shift
+        # in _sharded_eval) and to the potential row-sum tiles; the
+        # non-spline acc tiles keep the VPU s*dx form, whose self/near
+        # pairs are exact — see _ring
         self.mxu = (True if mxu is None else bool(mxu)) and self.use_pallas
 
     # -- ring kernels -------------------------------------------------------
@@ -229,12 +232,22 @@ class ShardedDirect:
         # the even npad length and keep it on output, so scanned KDK
         # steps never reshard
         padded_in = pos.shape[0] == self.npad and self.npad != n
-        if mode == "acc" and self.mxu:
-            # centre the frame for the MXU moment rewrite: acceleration
-            # is translation invariant, and the shift (same for targets
-            # and every ring source block) bounds the moment
-            # cancellation error by the system extent
-            pos = pos - jnp.mean(pos, axis=0, keepdims=True)
+        if mode == "acc" and self.mxu and self.solver.kernel == "spline":
+            # centre the frame for the MXU moment rewrite (used only by
+            # the spline far-Newtonian ring branch, see _ring):
+            # acceleration is translation invariant, and the shift
+            # (same for targets and every ring source block) bounds the
+            # moment cancellation error by the system extent.  Compute
+            # the centroid over the REAL rows only — zero-position
+            # ghost rows would bias it toward the origin and weaken
+            # exactly the bound the shift exists to provide.
+            if padded_in:
+                live = (jnp.arange(self.npad) < n)[:, None]
+                c = jnp.sum(jnp.where(live, pos, 0.0), axis=0,
+                            keepdims=True) / n
+            else:
+                c = jnp.mean(pos, axis=0, keepdims=True)
+            pos = pos - c
         posp = pos if padded_in else jnp.pad(
             pos, ((0, self.npad - n), (0, 0)))
 

@@ -356,3 +356,38 @@ def test_fast_tier_bounded_and_finite():
         # no blowups (the dx_x^2 clamp regression) and bounded typical error
         assert err.max() < 0.5, (mode, err.max())
         assert np.median(err) < med_tol, (mode, np.median(err))
+
+
+def test_fast_tier_rejects_mxu_false_tile():
+    """float32_fast builds r^2 on the MXU moment path; a tile override
+    mxu=False must fail loudly at construction (previously: opaque
+    trace-time ValueError from accel, silent success from potential)."""
+    from nbody_streams_tpu.ops.dispatch import DirectGravity
+
+    n = 16384
+    m = np.full(n, 1e5)
+    soft = np.full(n, 0.05)
+    with pytest.raises(ValueError, match="mxu"):
+        DirectGravity(m, soft, kernel="spline", precision="float32_fast",
+                      impl="pallas", tile_config={"mxu": False})
+
+
+def test_tile_override_warns_when_ignored(rng):
+    """tm/tn/max_sub/mxu only shape the slab-sorted spline path; a
+    bencher supplying them with a non-sorted kernel must be told the
+    geometry was never used."""
+    from nbody_streams_tpu.ops import pallas_direct
+    from nbody_streams_tpu.species import PerformanceWarning
+
+    n = 512
+    pos = jnp.asarray(rng.normal(0, 1, (n, 3)), jnp.float32)
+    m = jnp.full((n,), 1e5, jnp.float32)
+    soft = jnp.full((n,), 0.05, jnp.float32)
+    with pytest.warns(PerformanceWarning, match="slab-sorted"):
+        pallas_direct.pallas_accel(pos, m, soft, 4.3e-6, "plummer",
+                                   True, interpret=True,
+                                   tile={"tm": 256})
+    with pytest.warns(PerformanceWarning, match="slab-sorted"):
+        pallas_direct.pallas_potential(pos, m, soft, 4.3e-6, "plummer",
+                                       True, interpret=True,
+                                       tile={"tm": 256})
