@@ -84,6 +84,21 @@ def _tile_blocked(mode, kind, kahan, block, eps2,
     return total
 
 
+def _real_centroid(pos, n):
+    """Centroid over the first ``n`` (real) rows of a possibly
+    ghost-padded ``(npad, 3)`` array, ``(1, 3)``.
+
+    Zero-position ghost rows would bias a plain ``mean`` toward the
+    origin by ``pad/npad`` of the system offset, weakening exactly the
+    moment-cancellation bound the centring shift exists to provide
+    (the masked sum stays sharding-friendly: iota + where + reduction
+    partition cleanly, no gather)."""
+    if pos.shape[0] == n:
+        return jnp.mean(pos, axis=0, keepdims=True)
+    live = (jnp.arange(pos.shape[0]) < n)[:, None]
+    return jnp.sum(jnp.where(live, pos, 0.0), axis=0, keepdims=True) / n
+
+
 class ShardedDirect:
     """Ring-sharded direct summation bound to a DirectGravity solver.
 
@@ -237,17 +252,8 @@ class ShardedDirect:
             # the spline far-Newtonian ring branch, see _ring):
             # acceleration is translation invariant, and the shift
             # (same for targets and every ring source block) bounds the
-            # moment cancellation error by the system extent.  Compute
-            # the centroid over the REAL rows only — zero-position
-            # ghost rows would bias it toward the origin and weaken
-            # exactly the bound the shift exists to provide.
-            if padded_in:
-                live = (jnp.arange(self.npad) < n)[:, None]
-                c = jnp.sum(jnp.where(live, pos, 0.0), axis=0,
-                            keepdims=True) / n
-            else:
-                c = jnp.mean(pos, axis=0, keepdims=True)
-            pos = pos - c
+            # moment cancellation error by the system extent
+            pos = pos - _real_centroid(pos, n)
         posp = pos if padded_in else jnp.pad(
             pos, ((0, self.npad - n), (0, 0)))
 
