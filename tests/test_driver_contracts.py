@@ -52,6 +52,54 @@ def test_bench_config_selection():
         assert s.tile_config == tile, name
 
 
+def test_bench_supervisor_passes_through_child_json(capfd):
+    """Healthy child: its stdout JSON reaches the supervisor's stdout."""
+    import sys
+
+    import bench
+
+    rc = bench._supervised([sys.executable, "-c",
+                            "print('{\"value\": 1.0}')"])
+    assert rc == 0
+    assert '{"value": 1.0}' in capfd.readouterr().out
+
+
+def test_bench_supervisor_kills_wedged_child_and_retries(monkeypatch,
+                                                         capfd):
+    """A child that never returns (axon tunnel wedge) is killed at the
+    deadline; after the retry also wedges the supervisor gives up with
+    rc=1 instead of hanging the driver's bench slot."""
+    import sys
+    import time
+
+    import bench
+
+    monkeypatch.setenv("NBODY_BENCH_TIMEOUT_S", "1")
+    t0 = time.perf_counter()
+    rc = bench._supervised([sys.executable, "-c",
+                            "import time; time.sleep(600)"])
+    elapsed = time.perf_counter() - t0
+    assert rc == 1
+    assert elapsed < 30  # two 1 s deadlines, not a hang
+    err = capfd.readouterr().err
+    assert "killing child" in err and "retrying once" in err
+
+
+def test_bench_supervisor_retries_failed_child(capfd):
+    """Non-zero child exit (e.g. _require_device abort) is retried, and
+    a second failure yields rc=1 with no stdout (no fake JSON line)."""
+    import sys
+
+    import bench
+
+    rc = bench._supervised([sys.executable, "-c",
+                            "import sys; sys.exit(3)"])
+    assert rc == 1
+    out, err = capfd.readouterr()
+    assert out == ""
+    assert err.count("rc=3") == 2
+
+
 def test_graft_entry_single_step_compiles_and_runs():
     import __graft_entry__ as g
 
