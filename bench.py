@@ -23,8 +23,12 @@ import numpy as np  # noqa: E402
 
 N = 65536
 DT = 2e-5
-STEPS = 50   # per window: ~58 ms tunnel latency per dispatch must be
-             # amortised over the window (3 ms/step at 20, 1.2 at 50)
+STEPS = 150  # per window: ~58 ms tunnel latency per dispatch must be
+             # amortised over the window (3 ms/step at 20, 1.2 at 50,
+             # 0.4 at 150 — ~3% of the 64k step time, so the window
+             # must be long enough that fixed dispatch latency doesn't
+             # get billed to the kernel; 150 steps ~5 s/dispatch, still
+             # far under the ~100 s axon execution limit)
 BASELINE_GINT = 124.0  # reference RTX 3080 direct f32 path
 
 
