@@ -138,22 +138,52 @@ def main(argv=None):
 
     if 3 in sections:
         # ---- section 3: cross-backend validation --------------------------
-        print("\nSECTION 3: validation vs the float64 jnp oracle (n=4096 "
-              "subset)")
+        # The fp32 solver runs at FULL N so the production code path is
+        # what gets validated: a truncated-N problem falls back to the
+        # unsorted small-N kernel, which is how the MXU bf16-operand
+        # truncation in the sorted path's moment contraction escaped
+        # this section until 2026-08-19 (ops/pallas_direct.py _tile_sum,
+        # precision=HIGHEST fix).  The float64 oracle is rectangular —
+        # 4096 targets against all N sources via the shared accel_tile
+        # primitive — so its emulated-f64 cost stays O(4096*N).
         nv = min(n, 4096)
+        print(f"\nSECTION 3: validation vs the float64 jnp oracle "
+              f"({nv} targets x all {n:,} sources, full-N fp32 solve)")
+        from .constants import G_DEFAULT
+        from .ops.pairwise import accel_tile
+
         with jax.enable_x64():
-            oracle = DirectGravity(m[:nv], soft[:nv], kernel="spline",
-                                   precision="float64", impl="jnp")
-            a_ref = np.asarray(oracle.accel(jnp.asarray(pos64[:nv],
-                                                        jnp.float64)), float)
+            cs = 4096
+            npad = -(-n // cs) * cs
+            pt = jnp.asarray(pos64[:nv], jnp.float64)
+            ht = jnp.asarray(soft[:nv], jnp.float64)
+            it = jnp.arange(nv, dtype=jnp.int32)
+            ps = jnp.asarray(np.pad(pos64, ((0, npad - n), (0, 0))),
+                             jnp.float64).reshape(-1, cs, 3)
+            msr = jnp.asarray(np.pad(m, (0, npad - n)),
+                              jnp.float64).reshape(-1, cs)
+            hsr = jnp.asarray(np.pad(soft, (0, npad - n)),
+                              jnp.float64).reshape(-1, cs)
+            isr = jnp.arange(npad, dtype=jnp.int32).reshape(-1, cs)
+
+            def _src_block(acc, sb):
+                pos_s, m_s, h_s, idx_s = sb
+                return acc + accel_tile("spline", pt, ht, it,
+                                        pos_s, m_s, h_s, idx_s), None
+
+            a_ref, _ = jax.lax.scan(
+                _src_block, jnp.zeros((nv, 3), jnp.float64),
+                (ps, msr, hsr, isr))
+            a_ref = np.asarray(jax.device_get(G_DEFAULT * a_ref), float)
         scale = np.abs(a_ref).max()
         for precision in ("float32_kahan", "float32"):
-            s = DirectGravity(m[:nv], soft[:nv], kernel="spline",
+            s = DirectGravity(m, soft, kernel="spline",
                               precision=precision, impl=impl)
-            a = np.asarray(s.accel(jnp.asarray(pos64[:nv], s.dtype)), float)
-            err = np.abs(a - a_ref).max() / scale
-            net = np.abs((m[:nv, None] * a).sum(0)).max() \
-                / np.abs(m[:nv, None] * a).sum()
+            a = np.asarray(jax.device_get(
+                s.accel(jnp.asarray(pos64, s.dtype))), float)
+            err = np.abs(a[:nv] - a_ref).max() / scale
+            net = np.abs((m[:, None] * a).sum(0)).max() \
+                / np.abs(m[:, None] * a).sum()
             print(f"  {precision:14s} max rel err {err:.2e}   "
                   f"net-force/|F|sum {net:.2e}")
 

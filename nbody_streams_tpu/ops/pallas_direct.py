@@ -181,6 +181,15 @@ def _tile_sum(kind, mode, mask_self, eps2, tm, tn, n_sub,
     tiles are accumulated (sum_j s_ij (x_j - x_i) is linear, so the
     rewrite is exact up to fp32 rounding of the two moment sums).
 
+    Every MXU contraction here carries ``precision=HIGHEST``: the v5e
+    systolic array multiplies fp32 operands as single-pass bf16 by
+    default (``preferred_element_type`` only sets the accumulator),
+    which truncates the force factors to 8 mantissa bits — measured
+    5.6e-3 max / 4.7e-4 median relative force error at N=16k on
+    hardware before the fix, invisible to CPU interpret tests.  The
+    moment contraction is a few % of tile FLOPs, so the 6-pass fp32
+    decomposition costs ~nothing (measured same-session below).
+
     ``mxu_r2`` (the ``float32_fast`` tier, requires ``mxu``) moves the
     r^2 construction onto the MXU too, via the expanded form
     ``r^2 = |x_t|^2 + |x_s|^2 - 2 x_t . x_s`` — the cross term is a
@@ -204,6 +213,7 @@ def _tile_sum(kind, mode, mask_self, eps2, tm, tn, n_sub,
         s3 = jnp.concatenate([xs, ys, zs], axis=0)          # (3, TN)
         cross = jax.lax.dot_general(
             t3, s3, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32)              # (tm, TN)
         b_s = xs * xs + (ys * ys + zs * zs)                  # (1, TN)
         # clamp by the exact bound r^2 >= dx_x^2 (+eps2): the expansion's
@@ -245,6 +255,7 @@ def _tile_sum(kind, mode, mask_self, eps2, tm, tn, n_sub,
                 [gms * xs, gms * ys, gms * zs, gms], axis=0)    # (4, TN)
             return jax.lax.dot_general(
                 s, b, (((1,), (1,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
                 preferred_element_type=jnp.float32)          # (tm, 4)
         s = gms * _force_pre(kind, r2, pre)
         ax = jnp.sum(s * dx, axis=1, keepdims=True)
@@ -264,6 +275,7 @@ def _tile_sum(kind, mode, mask_self, eps2, tm, tn, n_sub,
             s = _mask_self_lanes(s, iglob, jb * (n_sub * tn) + k * tn, tn)
         return jax.lax.dot_general(
             s, gms, (((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32)               # (tm, 1)
     s = gms * _pot_pre(kind, r2, pre)
     if mask_self:
@@ -521,6 +533,7 @@ def _band_kernel(start_ref, xt_ref, yt_ref, zt_ref, ht_ref,
         if mxu:
             _accum(jax.lax.dot_general(
                 s, jnp.ones_like(xs), (((1,), (1,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
                 preferred_element_type=jnp.float32))          # (tm, 1)
         else:
             _accum(jnp.sum(s, axis=1, keepdims=True))
