@@ -391,3 +391,31 @@ def test_tile_override_warns_when_ignored(rng):
         pallas_direct.pallas_potential(pos, m, soft, 4.3e-6, "plummer",
                                        True, interpret=True,
                                        tile={"tm": 256})
+
+
+def test_mxu_contractions_pin_operand_precision():
+    """Every MXU contraction in the compute path must carry
+    ``precision=jax.lax.Precision.HIGHEST``: the v5e systolic array
+    multiplies fp32 operands as single-pass bf16 by default
+    (``preferred_element_type`` only sets the accumulator), which was
+    measured to inject 5.6e-3-class relative force errors on hardware
+    while remaining invisible to these interpret-mode tests
+    (docs/performance.md, 'MXU bf16 operand truncation').  Source-level
+    guard because no CPU test can see the truncation."""
+    import re
+    from pathlib import Path
+
+    pkg = Path(__file__).resolve().parent.parent / "nbody_streams_tpu"
+    for rel in ("ops/pallas_direct.py", "ops/scf.py"):
+        src = (pkg / rel).read_text()
+        for match in re.finditer(r"dot_general\(", src):
+            window = src[match.start():match.start() + 400]
+            assert "precision=jax.lax.Precision.HIGHEST" in window, (
+                f"{rel}: dot_general at offset {match.start()} has no "
+                "precision=HIGHEST (bf16 operand truncation on TPU)")
+        # jnp.matmul / @ with fp32 operands hits the same MXU default
+        for match in re.finditer(r"jnp\.matmul\(", src):
+            window = src[match.start():match.start() + 400]
+            assert "precision=jax.lax.Precision.HIGHEST" in window, (
+                f"{rel}: jnp.matmul at offset {match.start()} has no "
+                "precision=HIGHEST (bf16 operand truncation on TPU)")
