@@ -43,6 +43,7 @@ from __future__ import annotations
 
 import math
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -271,7 +272,11 @@ class CylSplinePotential(Potential):
             m01 = jnp.stack([c10[0], c10[2], c11[0], c11[2]])
             m11 = jnp.stack([c10[1], c10[3], c11[1], c11[3]])
             row = (bu[0] * m00 + bu[1] * m10 + bu[2] * m01 + bu[3] * m11)
-            return jnp.dot(row, bv)
+            # precision: a (4,)x(4,) dot normally fuses on the VPU, but
+            # nothing stops XLA batching vmapped calls onto the MXU,
+            # whose fp32 default is single-pass bf16 operands
+            return jnp.dot(row, bv,
+                           precision=jax.lax.Precision.HIGHEST)
 
         fsc0 = cell_eval(self.i0)
         if self.log_scaling:

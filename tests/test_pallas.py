@@ -406,9 +406,10 @@ def test_mxu_contractions_pin_operand_precision():
     from pathlib import Path
 
     pkg = Path(__file__).resolve().parent.parent / "nbody_streams_tpu"
-    for rel in ("ops/pallas_direct.py", "ops/scf.py"):
+    for rel in ("ops/pallas_direct.py", "ops/scf.py",
+                "potentials/cylspline.py"):
         src = (pkg / rel).read_text()
-        for match in re.finditer(r"dot_general\(", src):
+        for match in re.finditer(r"dot_general\(|jnp\.dot\(", src):
             window = src[match.start():match.start() + 400]
             assert "precision=jax.lax.Precision.HIGHEST" in window, (
                 f"{rel}: dot_general at offset {match.start()} has no "
