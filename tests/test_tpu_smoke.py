@@ -11,7 +11,8 @@ block_until_ready semantics, remote-compile costs).
 Budget: ~6 min with a warm compilation cache (measured 366 s; small N,
 few steps —
 accuracy is pinned by the CPU suites; this tier proves the code paths
-*execute* on hardware).  Reference analogue: the reference runs its
+*execute* on hardware).  The BFE test adds ~8.5 min on a cold cache
+(two grad-through-evaluator jit compiles); warm it is seconds.  Reference analogue: the reference runs its
 whole suite on its real backend (tests/test_physics.py GPU variants).
 """
 import os
@@ -247,3 +248,55 @@ def test_xla_two_pass_backend_on_chip(tpu_device):
                       presort_every=sx.presort_interval)
     out = np.asarray(jax.device_get(state.pos))
     assert np.isfinite(out).all()
+
+
+def test_bfe_potentials_on_chip(tpu_device):
+    """BFE evaluators (CylSpline Hermite dot, Multipole quintic) on real
+    hardware against their analytic sources.  The CylSpline cell
+    evaluation ends in a vmapped dot (potentials/cylspline.py) that XLA
+    may batch onto the MXU, whose fp32 default is single-pass bf16
+    operands — this pins the precision=HIGHEST guarantee where the CPU
+    suite cannot (same failure class as the Pallas moment truncation,
+    docs/performance.md 'MXU bf16 operand truncation')."""
+    import jax
+    import jax.numpy as jnp
+
+    from nbody_streams_tpu.potentials.analytic import (
+        MiyamotoNagaiPotential, PlummerPotential)
+    from nbody_streams_tpu.potentials.coefs import (
+        CylSplineCoefs, MultipoleCoefs)
+    from nbody_streams_tpu.potentials.cylspline import CylSplinePotential
+    from nbody_streams_tpu.potentials.multipole import MultipolePotential
+
+    rng = np.random.default_rng(0)
+
+    # CylSpline from a tabulated Miyamoto-Nagai disk
+    mn = MiyamotoNagaiPotential(mass=5e10, scaleRadius=3.0,
+                                scaleHeight=0.3)
+    r_grid = np.concatenate([[0.0], np.geomspace(0.1, 100.0, 30)])
+    zp = np.geomspace(0.05, 100.0, 15)
+    z_grid = np.concatenate([-zp[::-1], [0.0], zp])
+    rr, zz = np.meshgrid(r_grid, z_grid, indexing="ij")
+    tab = np.asarray(mn.potential(np.column_stack(
+        [rr.ravel(), np.zeros(rr.size), zz.ravel()]))).reshape(rr.shape)
+    cs = CylSplinePotential(CylSplineCoefs(
+        R_grid=r_grid, z_grid=z_grid, m_values=[0], phi=tab[None]))
+    pts = rng.normal(0, 10, (2048, 3)).astype(np.float32)
+    f = np.asarray(jax.device_get(jax.jit(cs.force)(jnp.asarray(pts))))
+    f_ref = np.asarray(mn.force(pts))
+    assert np.isfinite(f).all()
+    assert np.abs(f - f_ref).max() / np.abs(f_ref).max() < 5e-3
+
+    # Multipole from a sampled Plummer sphere (l=0)
+    pl = PlummerPotential(mass=1e11, scaleRadius=5.0)
+    rg = np.geomspace(0.05, 500, 40)
+    pts_r = np.column_stack([rg, 0 * rg, 0 * rg])
+    phi_r = np.asarray(pl.potential(pts_r))
+    dphi = -np.asarray(pl.force(pts_r))[:, 0]
+    mp = MultipolePotential(MultipoleCoefs(
+        R_grid=rg, lm_labels=[(0, 0)], phi=phi_r[:, None],
+        dphi_dr=dphi[:, None]))
+    g = np.asarray(jax.device_get(jax.jit(mp.force)(jnp.asarray(pts))))
+    g_ref = np.asarray(pl.force(pts))
+    assert np.isfinite(g).all()
+    assert np.abs(g - g_ref).max() / np.abs(g_ref).max() < 1e-4
