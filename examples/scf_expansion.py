@@ -22,11 +22,18 @@ Run:  python examples/scf_expansion.py [N] [steps]
 Defaults: N=200_000, steps=400 (a few minutes on one TPU; any backend
 works — the expansion is plain XLA matmuls).
 """
+import os
 import sys
 import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    # the axon TPU plugin force-registers itself and ignores the env
+    # var; honouring it needs the config override before backend init
+    import jax
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 
