@@ -134,15 +134,23 @@ def _capacity_probe(K=256, ITERS=4000, interpret=False):
 # small set and reports the best.
 TILE_CONFIGS = [
     ("mxu-512/512/16", "pallas",
-     {"mxu": True, "tm": 512, "tn": 512, "max_sub": 16}),
-    ("xla-two-pass", "xla", None),
+     {"mxu": True, "tm": 512, "tn": 512, "max_sub": 16}, None),
+    ("xla-two-pass", "xla", None, None),
+    ("xla-mb-4096", "xla", None, {"block_size": 4096, "band_rows": ...}),
+    ("xla-mb-2048", "xla", None, {"block_size": 2048, "band_rows": ...}),
     ("mxu-128/512/32", "pallas",
-     {"mxu": True, "tm": 128, "tn": 512, "max_sub": 32}),
+     {"mxu": True, "tm": 128, "tn": 512, "max_sub": 32}, None),
     ("vpu-512/512/16", "pallas",
-     {"mxu": False, "tm": 512, "tn": 512, "max_sub": 16}),
+     {"mxu": False, "tm": 512, "tn": 512, "max_sub": 16}, None),
     ("vpu-128/512/32", "pallas",
-     {"mxu": False, "tm": 128, "tn": 512, "max_sub": 32}),
+     {"mxu": False, "tm": 128, "tn": 512, "max_sub": 32}, None),
 ]
+BAND_SLACK = 6         # rows over the measured width for the xla-mb-*
+#                        configs: covers order staleness (refresh every
+#                        10 steps, drift ~2 rows/50 steps) and the
+#                        bench's tiny dt; an insufficient slack poisons
+#                        |dE/E| to NaN, which the winner loop below
+#                        rejects — never a silently wrong number
 PROBE_OK_RATIO = 0.7   # pallas >= ratio * xla capacity => healthy
 PROBE_OK_ABS = 2.0     # Top/s (best allocation seen sustains ~2.8)
 WINDOWS = 8            # best-of windows for the final measurement
@@ -153,7 +161,11 @@ def _pick_configs(xla_tops, pallas_tops):
     """Kernel configs to trial, given the session's capacity probe.
 
     Healthy allocation -> just the tuned default (first entry).
-    Degraded Pallas capacity -> the full allocation-dependent set."""
+    Degraded Pallas capacity -> the full allocation-dependent set,
+    including the measured-band xla configs (ops/xla_direct.py
+    measure_band_rows): the static band floor over-provisions the
+    64k bench population 26 vs 16 rows, pure band-pass surplus on the
+    backend that wins degraded allocations."""
     if pallas_tops >= PROBE_OK_RATIO * xla_tops and \
             pallas_tops >= PROBE_OK_ABS:
         return TILE_CONFIGS[:1]
@@ -181,10 +193,23 @@ def main():
     xv, m = make_plummer_sphere(N, M_total=1e9, a=1.0, seed=2)
     soft = np.full(N, 0.05)
 
-    def build(impl, tile):
+    def solver_kwargs(extra):
+        """Resolve an ``...`` band_rows placeholder against the actual
+        bench ICs (the measurement is host-side NumPy, ~ms)."""
+        if not extra:
+            return {}
+        extra = dict(extra)
+        if extra.get("band_rows") is ...:
+            from nbody_streams_tpu.ops.xla_direct import measure_band_rows
+
+            extra["band_rows"] = measure_band_rows(
+                xv[:, :3], soft, bs=extra["block_size"]) + BAND_SLACK
+        return extra
+
+    def build(impl, tile, extra=None):
         solver = DirectGravity(m, soft, kernel="spline",
                                precision="float32_kahan", impl=impl,
-                               tile_config=tile)
+                               tile_config=tile, **solver_kwargs(extra))
         accel_fn = make_accel_fn(solver, solver.mass)
         step_fn = make_kdk_step(accel_fn, dt=DT, t0=0.0)
         # slab-order reuse, exactly as the run_simulation driver does
@@ -218,30 +243,39 @@ def main():
     candidates = _pick_configs(xla_tops, pallas_tops)
     if DirectGravity(m, soft, kernel="spline", precision="float32_kahan",
                      impl="auto").impl not in ("pallas", "xla"):
-        candidates = [("default", "auto", None)]  # configs are TPU-only
-    chosen_name, chosen_impl, chosen_tile = candidates[0]
+        candidates = [("default", "auto", None, None)]  # configs are TPU-only
+    ranked = list(candidates)
     if len(candidates) > 1:
         timed = []
-        for name, impl, tile in candidates:
-            trial_solver, step_fn, presort, state = build(impl, tile)
+        for name, impl, tile, extra in candidates:
+            trial_solver, step_fn, presort, state = build(impl, tile, extra)
             dt_trial, _ = windows(step_fn, state, presort, TRIAL_WINDOWS,
                                   trial_solver.presort_interval)
-            timed.append((dt_trial, name, impl, tile))
+            timed.append((dt_trial, name, impl, tile, extra))
             print(f"# config trial {name}: {dt_trial * 1e3:.2f} ms/step "
                   f"({N * N / dt_trial / 1e9:.1f} Gint/s)", file=sys.stderr)
-        _, chosen_name, chosen_impl, chosen_tile = min(
-            timed, key=lambda t: t[0])
+        ranked = [c[1:] for c in sorted(timed, key=lambda t: t[0])]
 
-    solver, step_fn, presort, state = build(chosen_impl, chosen_tile)
-    energy = jax.jit(lambda s: system_energy(s, solver, solver.mass))
-    ke0, pe0 = energy(state)
-    e0 = float(ke0) + float(pe0)
+    # final measurement: fastest trial first, but reject any config
+    # whose measured window shows a non-finite energy drift (e.g. a
+    # measured-band config whose provisioning lost to drift poisons to
+    # NaN by contract) and fall through to the next-fastest
+    for chosen_name, chosen_impl, chosen_tile, chosen_extra in ranked:
+        solver, step_fn, presort, state = build(chosen_impl, chosen_tile,
+                                                chosen_extra)
+        energy = jax.jit(lambda s: system_energy(s, solver, solver.mass))
+        ke0, pe0 = energy(state)
+        e0 = float(ke0) + float(pe0)
 
-    dt_step, state = windows(step_fn, state, presort, WINDOWS,
-                             solver.presort_interval)
+        dt_step, state = windows(step_fn, state, presort, WINDOWS,
+                                 solver.presort_interval)
 
-    ke1, pe1 = energy(state)
-    de = abs((float(ke1) + float(pe1) - e0) / e0)
+        ke1, pe1 = energy(state)
+        de = abs((float(ke1) + float(pe1) - e0) / e0)
+        if np.isfinite(de):
+            break
+        print(f"# config {chosen_name}: non-finite |dE/E| over the "
+              "measured window — rejected, falling back", file=sys.stderr)
     gint = N * N / dt_step / 1e9
 
     print(f"# N={N} {dt_step * 1e3:.2f} ms/step  |dE/E|={de:.2e} "

@@ -91,6 +91,7 @@ class DirectGravity:
         eps2: float = PAIRWISE_EPS2,
         sharded_opts: dict | None = None,
         tile_config: dict | None = None,
+        band_rows: int | None = None,
     ):
         validate_kernel(kernel)
         validate_precision(precision)
@@ -145,6 +146,16 @@ class DirectGravity:
             if bad:
                 raise ValueError(f"unknown tile_config keys: {sorted(bad)}")
         self.tile_config = tile_config
+        # band_rows: measured-width band provisioning for the XLA
+        # two-pass backend (ops/xla_direct.py measure_band_rows) — an
+        # expert knob the bench's measured-band trial configs use; the
+        # static _nb_rows floor remains the default.  Other backends
+        # have no band bookkeeping to override.
+        if band_rows is not None and impl != "xla":
+            raise ValueError(
+                f"band_rows= only applies to impl='xla' (got {impl!r}); "
+                "the Pallas path sizes its band from a static ladder")
+        self.band_rows = band_rows
 
         if self.fast:
             # the fast tier only exists on the slab-sorted Pallas spline
@@ -274,6 +285,7 @@ class DirectGravity:
                 pos, self.mass, self.softening, self.G, self.kernel,
                 self.kahan, self.eps2, order=order,
                 block_size=self._user_block_size,
+                band_rows=self.band_rows,
             )
         if self.impl == "sharded":
             return self._sharded.accel(pos)
@@ -301,6 +313,7 @@ class DirectGravity:
                 pos, self.mass, self.softening, self.G, self.kernel,
                 self.kahan, self.eps2, order=order,
                 block_size=self._user_block_size,
+                band_rows=self.band_rows,
             )
         if self.impl == "sharded":
             return self._sharded.potential(pos)

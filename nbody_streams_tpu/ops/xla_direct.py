@@ -37,13 +37,15 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from ..constants import PAIRWISE_EPS2
 from .kernels import force_factor, potential_factor
 from .pairwise import kahan_add
 
-__all__ = ["xla_accel", "xla_potential", "uses_spatial_sort"]
+__all__ = ["xla_accel", "xla_potential", "uses_spatial_sort",
+           "measure_band_rows"]
 
 # Default geometry.  BS: target-block size (bigger amortises XLA loop
 # overhead; 4096 measured best of {2048..8192} at N=64k).  RS: band
@@ -73,6 +75,51 @@ def _nb_rows(bs: int, rs: int, npad: int) -> int:
     never silently wrong — on the in-scan path."""
     rows = npad // rs
     return min(max(bs // rs + 12, rows // 12 + 16), rows)
+
+
+def measure_band_rows(pos, soft, bs: int = BS, rs: int = RS) -> int:
+    """Concrete (host-side) band-window width for THIS population.
+
+    Replicates ``_xla_self_sorted``'s window bookkeeping in NumPy —
+    slab-sort by x, edge-pad to a whole number of ``bs`` blocks, resolve
+    per-target-block [first, last] not-provably-far band rows at ``rs``
+    granularity — and returns ``max(last - first + 1)`` over blocks.
+
+    The static ``_nb_rows`` floor must over-provision (it cannot see the
+    data, and a too-narrow window poisons in-scan), which at the bench
+    population costs a measurable band-pass surplus: 26 provisioned vs
+    16 measured rows at N=64k, 186 vs 111 at N=1M.  Callers that know
+    their population (bench.py's measured-band trial configs) can
+    instead pass ``measure_band_rows(...) + slack`` as the solver's
+    ``band_rows`` override.  Slack budget: the window is re-resolved
+    from *current* positions every force call, so the override only
+    needs to absorb growth of the true width between calls under the
+    in-scan order-refresh cadence (every 10 steps, dispatch.py
+    ``presort_interval``; measured drift ~2 band-rows per 50 steps on
+    the 64k bench population).  An insufficient override stays safe:
+    one-shot calls fall back to the single-pass kernel, in-scan calls
+    poison with NaN (never silently wrong).
+    """
+    pos = np.asarray(pos, np.float32)
+    soft_arr = np.asarray(soft, np.float32)
+    n = pos.shape[0]
+    bs = -(-bs // rs) * rs if bs % rs else bs
+    x = np.sort(pos[:, 0])
+    npad = -(-n // bs) * bs
+    if npad > n:
+        x = np.concatenate([x, np.full(npad - n, x[-1], x.dtype)])
+    nblk, rows = npad // bs, npad // rs
+    x_t = x.reshape(nblk, bs)
+    x_r = x.reshape(rows, rs)
+    t_lo, t_hi = x_t.min(axis=1), x_t.max(axis=1)
+    s_lo, s_hi = x_r.min(axis=1), x_r.max(axis=1)
+    h_max = float(soft_arr.max()) if soft_arr.size else 0.0
+    far = np.logical_or(s_hi[None, :] < (t_lo - h_max)[:, None],
+                        s_lo[None, :] > (t_hi + h_max)[:, None])
+    ridx = np.arange(rows)[None, :]
+    first = np.where(far, rows, ridx).min(axis=1)
+    last = np.where(far, -1, ridx).max(axis=1)
+    return int((last - first + 1).max())
 
 
 def uses_spatial_sort(kind: str, n: int) -> bool:
@@ -316,7 +363,7 @@ def _xla_self_sorted(pos, mass, soft, G, kind, kahan, mode, eps2,
 
 
 def _dispatch(pos, mass, soft, G, kind, kahan, mode, eps2, order,
-              block_size):
+              block_size, band_rows=None):
     n = pos.shape[0]
     if not uses_spatial_sort(kind, n):
         from .pairwise import _choose_block, _pairwise_blocked
@@ -333,7 +380,16 @@ def _dispatch(pos, mass, soft, G, kind, kahan, mode, eps2, order,
         # crash at trace time with an opaque reshape error
         bs = -(-bs // rs) * rs
     npad = -(-n // bs) * bs
-    nb_rows = _nb_rows(bs, rs, npad)
+    if band_rows is not None:
+        # measured-width override (see measure_band_rows): trust the
+        # caller's provisioning but keep it shape-valid.  Floor at the
+        # target block's own span + 1 (a window narrower than the block
+        # itself can never cover and would poison every call); a window
+        # still narrower than the data falls back / poisons exactly as
+        # a too-narrow static floor would.
+        nb_rows = min(max(int(band_rows), bs // rs + 1), npad // rs)
+    else:
+        nb_rows = _nb_rows(bs, rs, npad)
     # guard semantics: a supplied order means "scan context" (the
     # integrator refreshes it once per chunk) -> poison guard, which
     # keeps the expensive fallback branch out of the per-step graph; a
@@ -347,14 +403,14 @@ def _dispatch(pos, mass, soft, G, kind, kahan, mode, eps2, order,
 
 
 def xla_accel(pos, mass, soft, G, kind, kahan, eps2=PAIRWISE_EPS2,
-              order=None, block_size=None):
+              order=None, block_size=None, band_rows=None):
     """Softened accelerations via the XLA two-pass path, (N, 3)."""
     return _dispatch(pos, mass, soft, G, kind, kahan, "acc", eps2,
-                     order, block_size)
+                     order, block_size, band_rows)
 
 
 def xla_potential(pos, mass, soft, G, kind, kahan, eps2=PAIRWISE_EPS2,
-                  order=None, block_size=None):
+                  order=None, block_size=None, band_rows=None):
     """Softened potential per particle via the XLA two-pass path, (N,)."""
     return _dispatch(pos, mass, soft, G, kind, kahan, "pot", eps2,
-                     order, block_size)
+                     order, block_size, band_rows)

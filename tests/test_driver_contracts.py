@@ -42,12 +42,18 @@ def test_bench_config_selection():
     assert degraded == bench.TILE_CONFIGS
     # absolute floor: both probes low (whole-chip contention)
     assert bench._pick_configs(1.0, 0.9) == bench.TILE_CONFIGS
-    # every trial config must be a valid DirectGravity (impl, tile_config)
+    # every trial config must be a valid DirectGravity (impl,
+    # tile_config, extra solver kwargs); a band_rows ``...`` placeholder
+    # stands for the measured width and resolves to an int in main()
     from nbody_streams_tpu.ops.dispatch import DirectGravity
 
-    for name, impl, tile in bench.TILE_CONFIGS:
+    for name, impl, tile, extra in bench.TILE_CONFIGS:
+        kw = dict(extra or {})
+        if kw.get("band_rows") is ...:
+            assert impl == "xla", name  # only the xla backend takes it
+            kw["band_rows"] = 20
         s = DirectGravity(np.ones(8), np.full(8, 0.05),
-                          impl="jnp" if impl == "auto" else impl,
+                          impl="jnp" if impl == "auto" else impl, **kw,
                           tile_config=tile)
         assert s.tile_config == tile, name
 

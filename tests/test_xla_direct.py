@@ -170,6 +170,74 @@ def test_band_ladder_covers_bench_population(n):
     assert nb >= max_width + 4, (n, max_width, nb)
 
 
+def test_measure_band_rows_matches_static_bookkeeping(cloud):
+    """measure_band_rows must reproduce the exact max_width the ladder
+    test above derives (same bookkeeping, shared helper) and be bounded
+    by [block span, total rows]; a wider softening reach can only widen
+    the window."""
+    from nbody_streams_tpu.ops.xla_direct import measure_band_rows
+
+    pos, mass, soft = cloud
+    w = measure_band_rows(pos, soft, bs=BS, rs=512)
+    npad = -(-N // BS) * BS
+    assert BS // 512 <= w <= npad // 512
+    w_wide = measure_band_rows(pos, np.full(N, 0.5), bs=BS, rs=512)
+    assert w_wide >= w
+
+
+def test_band_rows_override_exact_and_tighter(cloud, oracle_acc):
+    """A solver provisioned from the measured width (+ slack) must stay
+    at the fp32+Kahan oracle floor — the override changes cost, never
+    values — for both accel and potential, one-shot and with a supplied
+    fresh order."""
+    from nbody_streams_tpu.ops.xla_direct import _nb_rows, measure_band_rows
+
+    pos, mass, soft = cloud
+    w = measure_band_rows(pos, soft, bs=BS, rs=512)
+    npad = -(-N // BS) * BS
+    assert w + 4 < _nb_rows(BS, 512, npad), \
+        "population no longer exercises a *tighter*-than-default band"
+    s = _solver(mass, soft, band_rows=w + 4)
+    p32 = jnp.asarray(pos, jnp.float32)
+    a = np.asarray(s.accel(p32), float)
+    assert np.abs(a - oracle_acc).max() / np.abs(oracle_acc).max() < 3e-6
+    o = DirectGravity(mass, soft, kernel="spline", precision="float64",
+                      impl="jnp")
+    p_ref = np.asarray(o.potential(jnp.asarray(pos, jnp.float64)), float)
+    p = np.asarray(s.potential(p32), float)
+    assert np.abs(p - p_ref).max() / np.abs(p_ref).max() < 3e-6
+    order = jnp.argsort(p32[:, 0])
+    a_ord = np.asarray(s.accel(p32, order=order), float)
+    assert np.abs(a_ord - oracle_acc).max() / np.abs(oracle_acc).max() < 3e-6
+
+
+def test_band_rows_too_narrow_one_shot_falls_back(cloud, oracle_acc):
+    """An under-provisioned override on the one-shot path must take the
+    single-pass cond fallback and stay exact (same contract as the
+    too-large-softening fallback)."""
+    pos, mass, soft = cloud
+    s = _solver(mass, soft, band_rows=BS // 512 + 1)
+    a = np.asarray(s.accel(jnp.asarray(pos, jnp.float32)), float)
+    assert np.abs(a - oracle_acc).max() / np.abs(oracle_acc).max() < 3e-6
+
+
+def test_band_rows_too_narrow_in_scan_poisons(cloud):
+    """With a supplied order (scan context) an under-provisioned band
+    must poison with NaN, never return silently wrong forces."""
+    pos, mass, soft = cloud
+    s = _solver(mass, soft, band_rows=BS // 512 + 1)
+    p32 = jnp.asarray(pos, jnp.float32)
+    a = np.asarray(s.accel(p32, order=jnp.argsort(p32[:, 0])), float)
+    assert np.isnan(a).all()
+
+
+def test_band_rows_rejected_off_the_xla_backend(cloud):
+    pos, mass, soft = cloud
+    with pytest.raises(ValueError, match="band_rows"):
+        DirectGravity(mass, soft, kernel="spline",
+                      precision="float32_kahan", impl="jnp", band_rows=20)
+
+
 def test_spatial_sort_active_and_integrator_reuse(cloud):
     """The integrator's order-reuse contract extends to impl='xla':
     spatial_sort_active is True, and a scanned chunk with presorted
