@@ -37,9 +37,25 @@ def main():
     steps = 5 if n > 500_000 else 50
     print(f"session Pallas fma probe: {delivered_pallas_tops():.2f} Top/s "
           "(best-seen 2.8)", flush=True)
-    for impl in ("pallas", "xla"):
+    from nbody_streams_tpu.ops.xla_direct import measure_band_rows
+
+    w = measure_band_rows(xv[:, :3], soft)
+    # The drift the slack must absorb is a fixed PHYSICAL width (order
+    # staleness x velocities), so in row units it scales ~linearly with
+    # N (rows get thinner).  Measured 2026-08-19: +6 rows holds at 64k
+    # over 1500+ steps, but both w//4 at 256k (42 rows) and at 1M (138
+    # rows) poisoned finite=False — at >=256k the slack that survives
+    # is ~the static floor itself, so the measured-band override is a
+    # 64k-class (thick-row) optimization and this variant exists to
+    # document exactly that boundary.
+    mb = {"band_rows": w + max(6, w // 4)}
+    todo = sys.argv[2].split(",") if len(sys.argv) > 2 else None
+    for impl, extra in (("pallas", {}), ("xla", {}), ("xla-mb", mb)):
+        if todo and impl not in todo:
+            continue
         s = DirectGravity(m, soft, kernel="spline",
-                          precision="float32_kahan", impl=impl)
+                          precision="float32_kahan",
+                          impl=impl.split("-")[0], **extra)
         accel_fn = make_accel_fn(s, s.mass)
         step_fn = make_kdk_step(accel_fn, dt=2e-5, t0=0.0)
         presort = s.spatial_sort_active

@@ -103,6 +103,7 @@ def measure_band_rows(pos, soft, bs: int = BS, rs: int = RS) -> int:
     pos = np.asarray(pos, np.float32)
     soft_arr = np.asarray(soft, np.float32)
     n = pos.shape[0]
+    rs = min(rs, bs)              # mirror _dispatch's geometry exactly
     bs = -(-bs // rs) * rs if bs % rs else bs
     x = np.sort(pos[:, 0])
     npad = -(-n // bs) * bs
