@@ -157,6 +157,20 @@ WINDOWS = 8            # best-of windows for the final measurement
 TRIAL_WINDOWS = 2      # per-config windows during the auto-try
 
 
+def _resolve_config_kwargs(extra, pos, soft):
+    """Resolve a ``...`` band_rows placeholder against the actual bench
+    ICs (host-side NumPy, ~ms at 64k)."""
+    if not extra:
+        return {}
+    extra = dict(extra)
+    if extra.get("band_rows") is ...:
+        from nbody_streams_tpu.ops.xla_direct import measure_band_rows
+
+        extra["band_rows"] = measure_band_rows(
+            pos, soft, bs=extra["block_size"]) + BAND_SLACK
+    return extra
+
+
 def _pick_configs(xla_tops, pallas_tops):
     """Kernel configs to trial, given the session's capacity probe.
 
@@ -193,23 +207,12 @@ def main():
     xv, m = make_plummer_sphere(N, M_total=1e9, a=1.0, seed=2)
     soft = np.full(N, 0.05)
 
-    def solver_kwargs(extra):
-        """Resolve an ``...`` band_rows placeholder against the actual
-        bench ICs (the measurement is host-side NumPy, ~ms)."""
-        if not extra:
-            return {}
-        extra = dict(extra)
-        if extra.get("band_rows") is ...:
-            from nbody_streams_tpu.ops.xla_direct import measure_band_rows
-
-            extra["band_rows"] = measure_band_rows(
-                xv[:, :3], soft, bs=extra["block_size"]) + BAND_SLACK
-        return extra
-
     def build(impl, tile, extra=None):
         solver = DirectGravity(m, soft, kernel="spline",
                                precision="float32_kahan", impl=impl,
-                               tile_config=tile, **solver_kwargs(extra))
+                               tile_config=tile,
+                               **_resolve_config_kwargs(extra, xv[:, :3],
+                                                        soft))
         accel_fn = make_accel_fn(solver, solver.mass)
         step_fn = make_kdk_step(accel_fn, dt=DT, t0=0.0)
         # slab-order reuse, exactly as the run_simulation driver does

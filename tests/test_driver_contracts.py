@@ -58,6 +58,26 @@ def test_bench_config_selection():
         assert s.tile_config == tile, name
 
 
+def test_bench_resolves_measured_band_placeholder():
+    """The ``...`` band_rows placeholder in the xla-mb configs resolves
+    to measured-width + BAND_SLACK against the actual ICs, and a
+    placeholder-free config passes through untouched."""
+    import bench
+    from nbody_streams_tpu.ops.xla_direct import measure_band_rows
+
+    rng = np.random.default_rng(3)
+    pos = rng.normal(0, 1.0, (8192, 3))
+    soft = np.full(8192, 0.05)
+    kw = bench._resolve_config_kwargs(
+        {"block_size": 2048, "band_rows": ...}, pos, soft)
+    assert kw["band_rows"] == measure_band_rows(
+        pos, soft, bs=2048) + bench.BAND_SLACK
+    assert isinstance(kw["band_rows"], int)
+    assert bench._resolve_config_kwargs(None, pos, soft) == {}
+    assert bench._resolve_config_kwargs({"block_size": 4096}, pos,
+                                        soft) == {"block_size": 4096}
+
+
 def test_bench_supervisor_passes_through_child_json(capfd):
     """Healthy child: its stdout JSON reaches the supervisor's stdout."""
     import sys
