@@ -42,6 +42,7 @@ __all__ = [
     "ChandrasekharFriction",
     "make_df_force_extra",
     "chandrasekhar_accel",
+    "chandrasekhar_friction",
     "compute_sigma_r",
     "shrinking_sphere_com",
 ]
@@ -282,6 +283,33 @@ def chandrasekhar_accel(r_com, v_com, M_sat, rho, sigma, t, G=G_DEFAULT,
     # vanish when the satellite is at rest or at the exact centre
     live = ((r > 1e-6) & (v > 1e-6))[..., None]
     return jnp.where(live, a, jnp.zeros_like(a))
+
+
+def chandrasekhar_friction(r_com, v_com, M_sat, pot, sigma_func, t,
+                           coulomb_mode: str = "variable",
+                           fixed_ln_lambda: float = 3.0,
+                           core_gamma: float = 0.0, r_core: float = 1.0,
+                           G: float = G_DEFAULT):
+    """Drop-in for the reference ``chandrasekhar_friction``
+    (reference _chandrasekhar.py:439-523): the host-convenience form that
+    looks up the local density from a potential object and the dispersion
+    from ``sigma_func(r)``, then evaluates BT2008 eq. 8.13.  Returns a
+    NumPy (3,) array like the reference; for an on-device, jittable DF
+    term use :func:`chandrasekhar_accel` / :class:`ChandrasekharFriction`.
+    """
+    r_com = np.asarray(r_com, float)
+    v_com = np.asarray(v_com, float)
+    r = float(np.linalg.norm(r_com))
+    v = float(np.linalg.norm(v_com))
+    if r < 1e-6 or v < 1e-6:
+        return np.zeros(3)
+    rho = float(np.asarray(
+        jax.device_get(pot.density(r_com, t))).ravel()[0])
+    sigma = float(sigma_func(r))
+    return np.asarray(jax.device_get(chandrasekhar_accel(
+        r_com, v_com, M_sat, rho, sigma, t, G=G,
+        coulomb_mode=coulomb_mode, fixed_ln_lambda=fixed_ln_lambda,
+        core_gamma=core_gamma, r_core=r_core)), float)
 
 
 # ---------------------------------------------------------------------------

@@ -34,11 +34,17 @@ from .io import (
     write_snapshot_coefs_to_h5,
     read_coef_string,
 )
-from .load import load_potential, load_evolving_potential
+from .load import (
+    load_potential,
+    load_evolving_potential,
+    load_agama_potential,
+    load_agama_evolving_potential,
+)
 from .fit import (
     fit_potential,
     fit_multipole_from_particles,
     fit_cylspline_from_particles,
+    create_snapshot_dict,
 )
 from .factory import make_potential, load_potential_ini
 from .fire import (
@@ -48,8 +54,28 @@ from .fire import (
     load_fire_pot,
 )
 
-# Drop-in alias for reference call sites (reference: PotentialGPU factory)
+# Drop-in aliases for reference call sites.  The reference exposes its
+# evaluators under *GPU names (agama_helper/_potential.py,
+# _analytic_potentials.py); the native classes accept the same
+# constructor forms, so bare aliases make reference code run unchanged.
 PotentialTPU = make_potential
+PotentialGPU = make_potential
+NFWPotentialGPU = NFWPotential
+PlummerPotentialGPU = PlummerPotential
+HernquistPotentialGPU = HernquistPotential
+DehnenSphericalPotentialGPU = DehnenPotential
+IsochronePotentialGPU = IsochronePotential
+MiyamotoNagaiPotentialGPU = MiyamotoNagaiPotential
+LogHaloPotentialGPU = LogHaloPotential
+DiskAnsatzPotentialGPU = DiskAnsatzPotential
+UniformAccelerationGPU = UniformAcceleration
+AnalyticPotentialGPU = AnalyticPotential
+CompositePotentialGPU = CompositePotential
+MultipolePotentialGPU = MultipolePotential
+CylSplinePotentialGPU = CylSplinePotential
+ShiftedPotentialGPU = ShiftedPotential
+ScaledPotentialGPU = ScaledPotential
+EvolvingPotentialGPU = EvolvingPotential
 
 __all__ = [
     "Potential",
@@ -80,6 +106,9 @@ __all__ = [
     "read_coef_string",
     "load_potential",
     "load_evolving_potential",
+    "load_agama_potential",
+    "load_agama_evolving_potential",
+    "create_snapshot_dict",
     "fit_potential",
     "fit_multipole_from_particles",
     "fit_cylspline_from_particles",
@@ -90,4 +119,21 @@ __all__ = [
     "create_fire_evolving_ini",
     "load_fire_pot",
     "PotentialTPU",
+    "PotentialGPU",
+    "NFWPotentialGPU",
+    "PlummerPotentialGPU",
+    "HernquistPotentialGPU",
+    "DehnenSphericalPotentialGPU",
+    "IsochronePotentialGPU",
+    "MiyamotoNagaiPotentialGPU",
+    "LogHaloPotentialGPU",
+    "DiskAnsatzPotentialGPU",
+    "UniformAccelerationGPU",
+    "AnalyticPotentialGPU",
+    "CompositePotentialGPU",
+    "MultipolePotentialGPU",
+    "CylSplinePotentialGPU",
+    "ShiftedPotentialGPU",
+    "ScaledPotentialGPU",
+    "EvolvingPotentialGPU",
 ]

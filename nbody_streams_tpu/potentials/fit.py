@@ -33,7 +33,86 @@ __all__ = [
     "fit_multipole_from_particles",
     "fit_cylspline_from_particles",
     "fit_potential",
+    "create_snapshot_dict",
 ]
+
+
+def create_snapshot_dict(pos_dark, mass_dark, pos_star=None, mass_star=None,
+                         pos_gas=None, mass_gas=None, temperature_gas=None):
+    """Pack particle arrays into a FIRE-like snapshot dictionary.
+
+    Drop-in for the reference ``create_snapshot_dict``
+    (agama_helper/_fit.py:44-128): returns
+    ``{"dark": {"host.distance": pos, "mass": mass}, "star": {...},
+    "gas": {...}}`` with empty sub-dicts for omitted species and an
+    optional ``"temperature"`` entry for gas.  ``fit_potential`` accepts
+    this dict directly (gas is split into hot/cold at
+    ``cold_temp_log10_thresh`` when temperatures are present).
+    """
+    def check(pos, mass, name):
+        pos = np.asarray(pos, float)
+        mass = np.asarray(mass, float)
+        if pos.ndim != 2 or pos.shape[1] != 3:
+            raise ValueError(f"pos_{name} must be shape (N, 3)")
+        if mass.ndim == 0:
+            mass = np.broadcast_to(mass, (pos.shape[0],)).copy()
+        if mass.shape[0] != pos.shape[0]:
+            raise ValueError(f"mass_{name} length must match pos_{name}")
+        return pos, mass
+
+    pos_dark, mass_dark = check(pos_dark, mass_dark, "dark")
+    snap = {"dark": {"host.distance": pos_dark, "mass": mass_dark},
+            "star": {}, "gas": {}}
+    if (pos_star is None) != (mass_star is None):
+        raise ValueError("pos_star and mass_star must be given together")
+    if pos_star is not None:
+        pos_star, mass_star = check(pos_star, mass_star, "star")
+        snap["star"] = {"host.distance": pos_star, "mass": mass_star}
+    if (pos_gas is None) != (mass_gas is None):
+        raise ValueError("pos_gas and mass_gas must be given together")
+    if pos_gas is not None:
+        pos_gas, mass_gas = check(pos_gas, mass_gas, "gas")
+        snap["gas"] = {"host.distance": pos_gas, "mass": mass_gas}
+        if temperature_gas is not None:
+            temperature_gas = np.asarray(temperature_gas, float)
+            if temperature_gas.shape[0] != pos_gas.shape[0]:
+                raise ValueError(
+                    "temperature_gas length must match pos_gas")
+            snap["gas"]["temperature"] = temperature_gas
+    elif temperature_gas is not None:
+        raise ValueError("temperature_gas requires pos_gas/mass_gas")
+    return snap
+
+
+def _normalise_particles(particles, cold_temp_log10_thresh):
+    """Accept both particle-dict forms: the native
+    ``{species: (pos, mass)}`` and the reference's FIRE-style nested
+    ``{species: {"host.distance": pos, "mass": mass[, "temperature": T]}}``
+    (the ``create_snapshot_dict`` format).  Nested gas with temperatures
+    is split into 'cold_gas' (-> CylSpline) and 'hot_gas' (-> Multipole)
+    at ``log10 T = cold_temp_log10_thresh``, matching the reference's
+    Arora+2022 split (agama_helper/_fit.py cold_temp_log10_thresh)."""
+    out = {}
+    for name, val in particles.items():
+        if isinstance(val, dict):
+            if not val:
+                continue                      # empty sub-dict: omitted
+            pos = np.asarray(val["host.distance"], float)
+            mass = np.asarray(val["mass"], float)
+            temp = val.get("temperature")
+            if name == "gas" and temp is not None:
+                cold = np.log10(np.maximum(np.asarray(temp, float),
+                                           1e-30)) \
+                    < cold_temp_log10_thresh
+                if cold.any():
+                    out["cold_gas"] = (pos[cold], mass[cold])
+                if (~cold).any():
+                    out["hot_gas"] = (pos[~cold], mass[~cold])
+            else:
+                out[name] = (pos, mass)
+        else:
+            out[name] = val
+    return out
 
 
 def _real_sph_harm(labels, pos):
@@ -270,11 +349,18 @@ def fit_potential(particles: dict, lmax: int = 8, mmax_cyl: int = 8,
                   cylspl_species=("star", "cold_gas", "gas"),
                   center=None, rotation=None,
                   subsample_factor: float = 1.0, seed: int = 0,
-                  G: float = G_DEFAULT, **kwargs):
+                  G: float = G_DEFAULT,
+                  cold_temp_log10_thresh: float = 4.5, **kwargs):
     """Fit a composite BFE potential from a particle snapshot.
 
-    ``particles``: {species: (pos (N,3), mass (N,) or float)}.  Extended
-    (spheroidal) components fit a Multipole, disky components a
+    ``particles``: {species: (pos (N,3), mass (N,) or float)}, or the
+    reference's FIRE-style nested form produced by
+    :func:`create_snapshot_dict` ({species: {"host.distance": pos,
+    "mass": mass[, "temperature": T]}}) — nested gas with temperatures
+    splits into hot (-> Multipole) / cold (-> CylSpline) components at
+    ``log10 T = cold_temp_log10_thresh``.  The reference kwarg aliases
+    ``sym=`` (-> symmetry) and ``pole_l=`` (-> lmax) are accepted.
+    Extended (spheroidal) components fit a Multipole, disky components a
     CylSpline (the Arora+2022 split, reference: _fit.py:133-420).
 
     ``rotation``: optional (3, 3) matrix applied to positions after the
@@ -286,6 +372,25 @@ def fit_potential(particles: dict, lmax: int = 8, mmax_cyl: int = 8,
              'cylspline': CylSplineCoefs | None,
              'potential': the combined evaluator}.
     """
+    if "sym" in kwargs:
+        symmetry = kwargs.pop("sym")
+        if isinstance(symmetry, (list, tuple)):
+            if len(symmetry) != 1:
+                raise ValueError(
+                    "the reference's multi-symmetry sym=[...] form fits "
+                    "one file per symmetry; call fit_potential once per "
+                    "symmetry here")
+            symmetry = symmetry[0]
+    if "pole_l" in kwargs:
+        lmax = kwargs.pop("pole_l")
+        if isinstance(lmax, (list, tuple)):
+            if len(lmax) != 1:
+                raise ValueError(
+                    "the reference's multi-order pole_l=[...] form fits "
+                    "one file per order; call fit_potential once per "
+                    "order here")
+            lmax = int(lmax[0])
+    particles = _normalise_particles(particles, cold_temp_log10_thresh)
     if rotation is not None:
         rotation = np.asarray(rotation, float)
         if rotation.shape != (3, 3):

@@ -28,6 +28,7 @@ __all__ = [
     "find_center",
     "find_center_position",
     "iterative_unbinding",
+    "compute_iterative_boundness",
 ]
 
 
@@ -413,6 +414,13 @@ def _self_potential(pos, mass, solver: str = "direct", G: float = G_DEFAULT,
     raise ValueError(f"unknown potential solver {solver!r}")
 
 
+_REF_UNBIND_KWARGS = frozenset((
+    "pos_star", "vel_star", "mass_star", "center_position",
+    "recursive_iter_converg", "potential_compute_method", "center_on",
+    "vel_aperture", "tol_frac_change", "return_history", "top_fraction",
+    "theta", "lmax"))
+
+
 def iterative_unbinding(pos, vel, mass, solver: str = "direct",
                         max_iter: int = 20, G: float = G_DEFAULT,
                         softening=0.0, center_velocity: bool = True,
@@ -422,7 +430,27 @@ def iterative_unbinding(pos, vel, mass, solver: str = "direct",
     Returns (bound_mask (N,), info dict).  Velocities are measured
     relative to the bound subset's mass-weighted mean each iteration
     (reference: utils/main.py:1722-2047).
+
+    The reference call form is also accepted (detected by its
+    reference-only kwargs: ``pos_star``/``potential_compute_method``/
+    ``center_position``/``tol_frac_change``/... or a vector
+    ``center_velocity``) and returns the reference contract
+    ``((bound_dark[, bound_star][, histories...]), center_position,
+    center_velocity)`` with int masks — see
+    :func:`compute_iterative_boundness`.
     """
+    if (not isinstance(center_velocity, bool)
+            or _REF_UNBIND_KWARGS & solver_kwargs.keys()):
+        ref_kwargs = dict(solver_kwargs)
+        if not isinstance(center_velocity, bool):
+            ref_kwargs["center_velocity"] = center_velocity
+        if solver != "direct":
+            ref_kwargs.setdefault("potential_compute_method", solver)
+        ref_kwargs.setdefault("recursive_iter_converg", max_iter
+                              if max_iter != 20 else 50)
+        return _unbinding_reference_form(
+            pos, vel, mass, softening=softening, G=G, verbose=verbose,
+            **ref_kwargs)
     pos = np.asarray(pos, float)
     vel = np.asarray(vel, float)
     n = pos.shape[0]
@@ -458,3 +486,146 @@ def iterative_unbinding(pos, vel, mass, solver: str = "direct",
         "removed_per_iter": history,
         "bound_fraction": float(bound.sum()) / n,
     }
+
+
+def _unbinding_reference_form(
+        pos_dark, vel_dark, mass_dark, pos_star=None, vel_star=None,
+        mass_star=None, center_position=(), center_velocity=(),
+        recursive_iter_converg: int = 50,
+        potential_compute_method: str = "tree", softening: float = 0.03,
+        G: float = G_DEFAULT, center_on: str = "dark",
+        vel_aperture: float = 5.0, tol_frac_change: float = 1e-4,
+        verbose: bool = True, return_history: bool = False, **kwargs):
+    """Reference-contract unbinding (reference utils/main.py:1722-2047).
+
+    Multi-component (dark + star), automatic density-peak centering
+    (mass-weighted centroid of the lowest-phi ``top_fraction`` of
+    ``center_on`` particles; velocity = aperture mean), fixed centre,
+    iterate ``E = phi + |v_rel|^2/2 < 0`` until the changed fraction
+    drops below ``tol_frac_change``.  Solvers: 'tree'/'tree_gpu'/
+    'direct'/'direct_gpu' all run the exact direct sum (Pallas on TPU —
+    force error 0 instead of the tree's 1-5%; ``theta`` accepted and
+    ignored); 'bfe' fits a native Multipole (``lmax``, default 8) on the
+    bound subset each iteration.  Returns ``((bound_dark[, bound_star]
+    [, history_dark][, history_star]), center_position,
+    center_velocity)`` with int masks, exactly the reference contract.
+    """
+    from ..ops import compute_potential_direct
+
+    method = potential_compute_method.lower()
+    if method not in ("tree", "tree_gpu", "direct", "direct_gpu",
+                      "direct_tpu", "bfe"):
+        raise ValueError(
+            f"unknown potential_compute_method {potential_compute_method!r}")
+    lmax = int(kwargs.pop("lmax", 8))
+    top_fraction = float(kwargs.pop("top_fraction", 0.01))
+    kwargs.pop("theta", None)             # tree opening angle: exact here
+    precision = kwargs.pop("precision", "float32_kahan")
+    kernel = kwargs.pop("kernel", "plummer")
+    if kwargs:
+        raise TypeError(f"unexpected kwargs: {sorted(kwargs)}")
+
+    pos_dark = np.asarray(pos_dark, float)
+    vel_dark = np.asarray(vel_dark, float)
+    n_dark = pos_dark.shape[0]
+    mass_dark = np.broadcast_to(np.asarray(mass_dark, float),
+                                (n_dark,)).copy()
+    has_stars = pos_star is not None
+    if has_stars:
+        pos_star = np.asarray(pos_star, float)
+        vel_star = np.asarray(vel_star, float)
+        mass_star = np.broadcast_to(np.asarray(mass_star, float),
+                                    (pos_star.shape[0],)).copy()
+        pos_all = np.vstack((pos_dark, pos_star))
+        vel_all = np.vstack((vel_dark, vel_star))
+        mass_all = np.concatenate((mass_dark, mass_star))
+    else:
+        pos_all, vel_all, mass_all = pos_dark, vel_dark, mass_dark
+    if center_on == "star" and not has_stars:
+        raise ValueError("center_on='star' requires star data")
+    if center_on == "both" or not has_stars:
+        ctr_sl = slice(None)
+    elif center_on == "star":
+        ctr_sl = slice(n_dark, None)
+    else:
+        ctr_sl = slice(None, n_dark)
+
+    def phi_of(pos_eval, mass_src, bound_mask):
+        if method == "bfe":
+            from ..potentials import fit_multipole_from_particles
+            from ..potentials.multipole import MultipolePotential
+
+            coefs = fit_multipole_from_particles(
+                pos_eval[bound_mask], mass_src[bound_mask], lmax=lmax,
+                G=G)
+            return np.asarray(MultipolePotential(coefs)
+                              .potential(pos_eval))
+        # exact direct sum; unbound sources masked to zero mass (they
+        # still receive phi at their positions and can re-bind)
+        return np.asarray(compute_potential_direct(
+            pos_eval, mass_src * bound_mask, softening, G=G,
+            kernel=kernel, precision=precision))
+
+    center_position = np.asarray(center_position, float)
+    center_velocity = np.asarray(center_velocity, float)
+    all_bound = np.ones(len(pos_all), dtype=bool)
+    if center_position.size < 3:
+        phi_init = phi_of(pos_all, mass_all, all_bound)
+        phi_c, pos_c, m_c = (phi_init[ctr_sl], pos_all[ctr_sl],
+                             mass_all[ctr_sl])
+        n_pick = max(10, int(len(phi_c) * top_fraction))
+        idx = np.argsort(phi_c)[:n_pick]
+        center_position = np.average(pos_c[idx], axis=0,
+                                     weights=m_c[idx])
+    if center_velocity.size < 3:
+        pos_c, vel_c, m_c = (pos_all[ctr_sl], vel_all[ctr_sl],
+                             mass_all[ctr_sl])
+        sel = np.sum((pos_c - center_position) ** 2, axis=1) \
+            < vel_aperture ** 2
+        if not sel.any():
+            sel = np.ones(len(pos_c), dtype=bool)
+        center_velocity = np.average(vel_c[sel], axis=0,
+                                     weights=m_c[sel])
+    if verbose:
+        print(f"unbinding centre: pos {np.around(center_position, 2)} "
+              f"vel {np.around(center_velocity, 2)}")
+
+    pos_rel = pos_all - center_position
+    vel_rel = vel_all - center_velocity
+    kin = 0.5 * np.sum(vel_rel ** 2, axis=1)
+    mask = np.ones(len(pos_all), dtype=bool)
+    hist_dark, hist_star = [], []
+    for i in range(recursive_iter_converg):
+        if int(mask.sum()) < 5:
+            break
+        phi = phi_of(pos_rel, mass_all, mask)
+        new = (phi + kin) < 0.0
+        hist_dark.append(new[:n_dark].copy())
+        if has_stars:
+            hist_star.append(new[n_dark:].copy())
+        frac = float(np.mean(new != mask))
+        if verbose:
+            print(f"  unbinding iter {i}: delta bound mask = {frac:.5f}")
+        mask = new
+        if frac < tol_frac_change:
+            break
+
+    results = [mask[:n_dark].astype(int)]
+    if has_stars:
+        results.append(mask[n_dark:].astype(int))
+    if return_history:
+        results.append(hist_dark)
+        if has_stars:
+            results.append(hist_star)
+    return tuple(results), center_position, center_velocity
+
+
+def compute_iterative_boundness(*args, **kwargs):
+    """Deprecated reference alias (reference utils/main.py:1714-1720):
+    always runs the reference-contract form."""
+    import warnings
+
+    warnings.warn(
+        "compute_iterative_boundness is deprecated; use "
+        "iterative_unbinding.", DeprecationWarning, stacklevel=2)
+    return _unbinding_reference_form(*args, **kwargs)

@@ -28,13 +28,74 @@ def _get_axis(ax=None, **subplot_kw):
     return ax
 
 
-def plot_density(pos, mass=1.0, method: str = "sph", npix: int = 256,
+_AXIS_INDEX = {"x": 0, "y": 1, "z": 2}
+
+
+def plot_density(pos=None, mass=1.0, method: str = "sph", npix: int = 256,
                  extent=None, axes=(0, 1), z_slice=None, log: bool = True,
                  cmap: str = "magma", scale_bar: float | None = None,
                  colorbar: bool = True, ax=None, vmin=None, vmax=None,
                  **render_kwargs):
     """Projected density image (methods: 'sph', 'histogram',
-    'gauss_smooth').  Returns (ax, image_array)."""
+    'gauss_smooth').  Returns (ax, image_array).
+
+    Reference kwarg aliases (viz/plots.py:110-133) are accepted:
+    ``snap=``/``spec=`` (a ParticleReader snapshot dict + species key),
+    ``gridsize=`` (-> extent), ``resolution=`` (-> npix),
+    ``xval=``/``yval=`` ('x'/'y'/'z' -> axes; the reference defaults to
+    an x-z projection only when *both* are given), ``slice_width=``/
+    ``slice_axis=`` (-> z_slice on that axis), ``scale_size=``
+    (-> scale_bar), ``smooth_sigma=`` (gauss_smooth sigma) and
+    ``return_dens=`` (ignored: the image array is always returned).
+    """
+    snap = render_kwargs.pop("snap", None)
+    spec = render_kwargs.pop("spec", "dark")
+    if snap is not None:
+        if pos is not None:
+            raise ValueError("pass either pos= or snap=, not both")
+        try:
+            if hasattr(snap, "__getitem__"):
+                part = snap[spec]
+            elif hasattr(snap, spec):
+                part = getattr(snap, spec)
+            else:                  # our read_snapshot: .species dict
+                part = snap.species[spec]
+        except (KeyError, AttributeError):
+            raise ValueError(
+                f"snap has no species {spec!r}; pass pos/mass directly "
+                "or check the species name") from None
+        pos = np.asarray(part["posvel"], float)[:, :3]
+        mass = np.asarray(part["mass"], float)
+    if pos is None:
+        raise ValueError("plot_density needs pos= (or snap=)")
+    if "gridsize" in render_kwargs:
+        extent = float(render_kwargs.pop("gridsize")) / 2.0
+    if "resolution" in render_kwargs:
+        npix = int(render_kwargs.pop("resolution"))
+    if "xval" in render_kwargs or "yval" in render_kwargs:
+        axes = (_AXIS_INDEX[render_kwargs.pop("xval", "x")],
+                _AXIS_INDEX[render_kwargs.pop("yval", "z")])
+        if axes[0] == axes[1]:
+            raise ValueError("xval and yval must differ")
+    slice_width = render_kwargs.pop("slice_width", 0.0)
+    slice_axis = render_kwargs.pop("slice_axis", None)
+    if slice_width and z_slice is None:
+        if slice_axis is not None and _AXIS_INDEX[slice_axis] in axes:
+            raise ValueError(
+                f"slice_axis {slice_axis!r} is a projected axis")
+        z_slice = float(slice_width)
+    if "scale_size" in render_kwargs:
+        scale_size = render_kwargs.pop("scale_size")
+        if scale_size:
+            scale_bar = scale_size
+    if "smooth_sigma" in render_kwargs:
+        render_kwargs["sigma"] = float(render_kwargs.pop("smooth_sigma"))
+    density_kind = render_kwargs.pop("density_kind", "surface")
+    if density_kind not in ("surface", "volume"):
+        raise ValueError(f"unknown density_kind {density_kind!r}")
+    if density_kind == "volume" and not (slice_width or z_slice):
+        raise ValueError("density_kind='volume' requires slice_width")
+    render_kwargs.pop("return_dens", None)
     pos = np.asarray(pos, float)
     n = pos.shape[0]
     mass = np.broadcast_to(np.asarray(mass, float), (n,))
@@ -69,6 +130,11 @@ def plot_density(pos, mass=1.0, method: str = "sph", npix: int = 256,
             img = gaussian_filter(img, sigma=render_kwargs.get("sigma", 1.5))
     else:
         raise ValueError(f"unknown density method {method!r}")
+
+    if density_kind == "volume":
+        # M/kpc^2 -> M/kpc^3 over the +-z_slice slab (reference
+        # viz/plots.py density_kind='volume': divide by 2*slice_width)
+        img = img / (2.0 * z_slice)
 
     ax = _get_axis(ax)
     shown = np.log10(np.maximum(img, img[img > 0].min() if (img > 0).any()

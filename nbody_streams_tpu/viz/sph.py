@@ -29,11 +29,22 @@ __all__ = [
 
 
 def get_smoothing_lengths(pos, n_neighbors: int = 32,
-                          method: str = "auto"):
+                          method: str = "auto", *, k_neighbors=None,
+                          safety_factor=None, gpu_vram_threshold_gb=None,
+                          verbose: bool = False):
     """Per-particle smoothing length = distance to the n-th neighbour.
 
     method: 'auto' | 'native' (C++ grid-hash kNN) | 'ckdtree'.
+
+    Reference compatibility (viz/sph_kernels.py:118): ``k_neighbors``
+    counts the particle itself (h = distance to the (k-1)-th *other*
+    particle) and maps to ``n_neighbors = k_neighbors - 1``;
+    ``safety_factor`` / ``gpu_vram_threshold_gb`` / ``verbose`` are
+    CUDA VRAM-budget knobs with no TPU analogue — accepted and ignored.
     """
+    if k_neighbors is not None:
+        n_neighbors = int(k_neighbors) - 1
+    del safety_factor, gpu_vram_threshold_gb, verbose
     pos = np.asarray(pos, float)
     if method not in ("auto", "native", "ckdtree"):
         raise ValueError(f"unknown kNN method {method!r}")
@@ -122,17 +133,76 @@ def _splat(x, y, m, h, x0, y0, dx_pix, dy_pix, nx, ny, stencil):
     return grid
 
 
+_REF_RENDER_KWARGS = frozenset((
+    "h", "resolution", "gridsize", "chunk_size", "k_neighbors",
+    "sort_by_morton", "verbose"))
+
+
 def render_surface_density(pos, mass, extent=None, npix: int = 256,
                            axes=(0, 1), smoothing=None,
                            n_neighbors: int = 32, stencil: int = 9,
-                           arch: str = "auto"):
+                           arch: str = "auto", **compat):
     """Projected surface density map [Msun/kpc^2].
 
-    Reference-equivalent of ``render_surface_density``
-    (viz/sph_kernels.py:638): returns (image (npix, npix), extent).
-    ``arch`` accepted for API compatibility ('auto'/'tpu'/'cpu' — the
-    jitted splat runs wherever JAX runs).
+    Native form: ``render_surface_density(pos (N,3), mass, extent=,
+    npix=, ...)`` -> (image (npix, npix) with rows along y for
+    ``imshow(origin='lower')``, extent 4-tuple).
+
+    The reference call form (viz/sph_kernels.py:638) is also accepted:
+    ``render_surface_density(x, y, mass, h=None, resolution=512,
+    gridsize=200.0, ...)`` — detected by a 1-D first argument — and
+    returns the reference contract: grid shape (resolution, resolution)
+    with rows along **x** (the reference's ``grid[i, j]`` layout,
+    sph_kernels.py:378) over ``[-gridsize/2, gridsize/2]`` bounds.
+    ``chunk_size``/``sort_by_morton``/``verbose`` are CUDA tiling knobs
+    with no TPU analogue — accepted and ignored.  ``k_neighbors``
+    counts the particle itself (maps to ``n_neighbors - 1``).
     """
+    unknown = set(compat) - _REF_RENDER_KWARGS
+    if unknown:
+        raise TypeError(f"unexpected kwargs: {sorted(unknown)}")
+    pos = np.asarray(pos, float)
+    if pos.ndim == 1:
+        # reference positional form: (x, y, mass, ...)
+        x, y = pos, np.asarray(mass, float)
+        if extent is None:
+            raise TypeError(
+                "reference call form render_surface_density(x, y, mass, "
+                "...) requires the mass array as the third argument")
+        m = np.asarray(extent, float)
+        if not (x.shape == y.shape == m.shape):
+            raise ValueError(
+                f"x, y, mass must have the same length; got {x.shape}, "
+                f"{y.shape}, {m.shape}")
+        gridsize = float(compat.get("gridsize", 200.0))
+        half = gridsize / 2.0
+        img, bounds = _render_native(
+            np.column_stack([x, y]), m,
+            extent=(-half, half, -half, half),
+            npix=int(compat.get("resolution", 512)), axes=(0, 1),
+            smoothing=compat.get("h"),
+            n_neighbors=int(compat.get("k_neighbors", 32)) - 1,
+            stencil=stencil,
+            arch="auto" if arch == "gpu" else arch)
+        return img.T, bounds          # back to the reference [ix, iy]
+    if compat:
+        if "resolution" in compat:
+            npix = int(compat["resolution"])
+        if "gridsize" in compat:
+            half = float(compat["gridsize"]) / 2.0
+            extent = (-half, half, -half, half)
+        if compat.get("h") is not None:
+            smoothing = compat["h"]
+        if "k_neighbors" in compat:
+            n_neighbors = int(compat["k_neighbors"]) - 1
+    return _render_native(pos, mass, extent, npix, axes, smoothing,
+                          n_neighbors, stencil, arch)
+
+
+def _render_native(pos, mass, extent=None, npix: int = 256,
+                   axes=(0, 1), smoothing=None,
+                   n_neighbors: int = 32, stencil: int = 9,
+                   arch: str = "auto"):
     pos = np.asarray(pos, float)
     n = pos.shape[0]
     mass = np.broadcast_to(np.asarray(mass, float), (n,))
