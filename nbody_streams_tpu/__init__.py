@@ -44,6 +44,8 @@ from . import coords
 from . import viz
 from .friction import make_df_force_extra, ChandrasekharFriction
 from .utils.devices import get_device_info, device_alive
+from . import agama_helper   # reference module-path alias -> potentials
+from . import tree_gpu       # reference module-path alias -> tree
 
 # Drop-in aliases for reference call sites (reference: __init__.py:63-96)
 get_gpu_info = get_device_info
@@ -84,6 +86,8 @@ __all__ = [
     "utils",
     "coords",
     "viz",
+    "agama_helper",
+    "tree_gpu",
     "make_df_force_extra",
     "ChandrasekharFriction",
     "get_device_info",

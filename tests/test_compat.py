@@ -35,6 +35,35 @@ def rng():
 
 
 # ---------------------------------------------------------------------------
+# module-path aliases
+# ---------------------------------------------------------------------------
+
+def test_reference_module_paths_resolve():
+    """The reference's submodule import paths work after the package
+    rename (reference: agama_helper/__init__.py, tree_gpu/__init__.py)."""
+    from nbody_streams_tpu import agama_helper, tree_gpu
+
+    assert agama_helper.fit_potential is P.fit_potential
+    assert agama_helper.PotentialGPU is P.make_potential
+    assert agama_helper.MultipoleCoefs is P.MultipoleCoefs
+    assert agama_helper.load_agama_potential is P.load_agama_potential
+    from nbody_streams_tpu.tree import TreeGPU, tree_gravity_gpu
+    assert tree_gpu.TreeGPU is TreeGPU
+    assert tree_gpu.tree_gravity_gpu is tree_gravity_gpu
+    assert callable(tree_gpu.cuda_alive)
+    # every reference-public agama_helper name is re-exported
+    ref_names = {
+        "PotentialGPU", "create_snapshot_dict", "fit_potential",
+        "write_coef_to_h5", "write_snapshot_coefs_to_h5", "read_coefs",
+        "read_coef_string", "MultipoleCoefs", "CylSplineCoefs",
+        "generate_lmax_pairs", "load_agama_potential",
+        "load_agama_evolving_potential", "create_evolving_ini",
+        "load_fire_pot", "read_snapshot_times",
+        "create_fire_evolving_ini"}
+    assert ref_names <= set(agama_helper.__all__)
+
+
+# ---------------------------------------------------------------------------
 # potential class aliases
 # ---------------------------------------------------------------------------
 
