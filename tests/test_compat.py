@@ -40,7 +40,8 @@ def rng():
 
 def test_reference_module_paths_resolve():
     """The reference's submodule import paths work after the package
-    rename (reference: agama_helper/__init__.py, tree_gpu/__init__.py)."""
+    rename (reference: agama_helper/__init__.py, tree_gpu/__init__.py,
+    fields.py, viz/sph_kernels.py)."""
     from nbody_streams_tpu import agama_helper, tree_gpu
 
     assert agama_helper.fit_potential is P.fit_potential
@@ -61,6 +62,42 @@ def test_reference_module_paths_resolve():
         "load_fire_pot", "read_snapshot_times",
         "create_fire_evolving_ini"}
     assert ref_names <= set(agama_helper.__all__)
+
+
+def test_fields_module_alias(rng):
+    import nbody_streams_tpu as nst
+    from nbody_streams_tpu import fields
+
+    assert fields.compute_nbody_forces_gpu is nst.compute_forces_direct
+    assert fields.compute_nbody_potential_cpu is nst.compute_potential_direct
+    pos = rng.normal(0, 1, (64, 3))
+    acc = np.asarray(fields.compute_nbody_forces_gpu(
+        pos, np.full(64, 1e6), 0.05))
+    assert acc.shape == (64, 3) and np.isfinite(acc).all()
+    assert isinstance(fields.get_gpu_info(), dict)
+
+
+def test_sph_kernels_module_alias(rng):
+    """render_cpu/render_gpu take the reference's positional-h signature
+    (sph_kernels.py:381,532) and return the [ix, iy] grid layout."""
+    from nbody_streams_tpu.viz import sph_kernels
+    from nbody_streams_tpu.viz import render_surface_density
+
+    n = 2000
+    x = rng.normal(0, 20, n)
+    y = rng.normal(0, 20, n)
+    m = np.ones(n)
+    h = sph_kernels.get_smoothing_lengths(np.column_stack([x, y]),
+                                          k_neighbors=16)
+    g_cpu = sph_kernels.render_cpu(x, y, m, h, 64, 120.0)
+    g_gpu = sph_kernels.render_gpu(x, y, m, h, resolution=64,
+                                   gridsize=120.0, chunk_size=1)
+    np.testing.assert_array_equal(g_cpu, g_gpu)
+    assert g_cpu.shape == (64, 64)
+    # same splat as the public entry point with explicit h
+    g_pub, _ = render_surface_density(x, y, m, h=h, resolution=64,
+                                      gridsize=120.0)
+    np.testing.assert_allclose(g_cpu, g_pub, rtol=1e-6, atol=1e-8)
 
 
 # ---------------------------------------------------------------------------
