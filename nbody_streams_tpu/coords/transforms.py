@@ -59,9 +59,15 @@ def _from_cart(xyz, system, mollweide):
     return np.column_stack([np.hypot(x, y), phi, z])
 
 
-def convert_coords(coords, from_sys: str, to_sys: str,
-                   mollweide: bool = False):
-    """Convert points between 'cart', 'sph' and 'cyl' systems."""
+def convert_coords(coords=None, from_sys: str = None, to_sys: str = None,
+                   mollweide: bool = False, *, data=None):
+    """Convert points between 'cart', 'sph' and 'cyl' systems
+    (``data=`` is the reference keyword name for the first argument,
+    reference coords/transforms.py:152)."""
+    if data is not None:
+        if coords is not None:
+            raise TypeError("pass either coords or data, not both")
+        coords = data
     if from_sys not in _SYSTEMS or to_sys not in _SYSTEMS:
         raise ValueError(
             f"coordinate systems must be one of {_SYSTEMS}, got "
@@ -98,15 +104,60 @@ def _cyl_basis(phi):
     return basis
 
 
-def convert_vectors(vectors, positions, from_sys: str, to_sys: str,
+def convert_vectors(*args, vectors=None, positions=None,
+                    from_sys: str | None = None, to_sys: str | None = None,
                     position_system: str = "cart",
-                    mollweide: bool = False):
-    """Convert a vector field (e.g. velocities) between bases.
+                    mollweide: bool = False, pos=None, vec=None):
+    """Rotate a vector field between coordinate bases — two call forms.
 
-    Components: cart (vx, vy, vz); sph (v_r, v_theta, v_phi);
-    cyl (v_R, v_phi, v_z).  ``positions`` are given in
-    ``position_system`` coordinates.
+    Reference form (the positional contract, reference
+    coords/transforms.py:265): ``convert_vectors(pos, vec, from_sys,
+    to_sys)`` with ``pos`` and ``vec`` both in the *source* system;
+    returns the tuple ``(pos_new, vec_new)`` in the target system.
+
+    Native form (keywords ``vectors=``/``positions=``): converts only
+    the vector components; ``positions`` are given in
+    ``position_system`` coordinates and only the rotated vectors are
+    returned.  Components: cart (vx, vy, vz); sph (v_r, v_theta,
+    v_phi); cyl (v_R, v_phi, v_z).
     """
+    if vectors is None and positions is None:
+        # reference form: (pos, vec, from_sys, to_sys) positionally
+        # and/or by the reference keyword names
+        ref = list(args) + [None] * (4 - len(args))
+        pos = ref[0] if pos is None else pos
+        vec = ref[1] if vec is None else vec
+        from_sys = ref[2] if from_sys is None else from_sys
+        to_sys = ref[3] if to_sys is None else to_sys
+        if pos is None or vec is None or from_sys is None \
+                or to_sys is None:
+            raise TypeError(
+                "convert_vectors needs (pos, vec, from_sys, to_sys) "
+                "(reference form) or vectors=/positions=/from_sys=/"
+                "to_sys= (native form)")
+        vec_new = _convert_vectors_native(vec, pos, from_sys, to_sys,
+                                          position_system=from_sys,
+                                          mollweide=mollweide)
+        return convert_coords(pos, from_sys, to_sys,
+                              mollweide=mollweide), vec_new
+    # native form: remaining positionals are (from_sys, to_sys)
+    if pos is not None or vec is not None:
+        raise TypeError("pass either the reference (pos/vec) or the "
+                        "native (vectors/positions) names, not both")
+    strs = [a for a in args if isinstance(a, str)]
+    if strs:
+        if from_sys is None and len(strs) >= 1:
+            from_sys = strs[0]
+        if to_sys is None and len(strs) >= 2:
+            to_sys = strs[1]
+    return _convert_vectors_native(vectors, positions, from_sys, to_sys,
+                                   position_system=position_system,
+                                   mollweide=mollweide)
+
+
+def _convert_vectors_native(vectors, positions, from_sys: str,
+                            to_sys: str, position_system: str = "cart",
+                            mollweide: bool = False):
     if from_sys not in _SYSTEMS or to_sys not in _SYSTEMS:
         raise ValueError(
             f"vector systems must be one of {_SYSTEMS}, got "
@@ -141,8 +192,27 @@ def convert_vectors(vectors, positions, from_sys: str, to_sys: str,
     return out.reshape(lead + (3,))
 
 
-def convert_to_vel_los(positions, velocities, observer=None):
-    """Line-of-sight velocity relative to an observer (default origin)."""
+def convert_to_vel_los(positions, velocities=None, observer=None, *,
+                       reference_xv=None):
+    """Line-of-sight velocity relative to an observer (default origin).
+
+    The reference call form (reference coords/transforms.py:369:
+    ``convert_to_vel_los(xv, reference_xv=None)`` with a single
+    phase-space array of trailing dimension 6, optionally minus a
+    broadcastable reference) is detected by the (..., 6) first argument
+    and returns a scalar for (6,) input.
+    """
+    first = np.asarray(positions, float)
+    if first.shape[-1] == 6:
+        if velocities is not None and reference_xv is None:
+            reference_xv = velocities
+        xv = first
+        if reference_xv is not None:
+            xv = xv - np.asarray(reference_xv, float)
+        r = np.linalg.norm(xv[..., :3], axis=-1)
+        los = np.sum(xv[..., :3] * xv[..., 3:6], axis=-1) \
+            / np.maximum(r, 1e-30)
+        return float(los) if los.ndim == 0 else los
     pos, lead = _as_rows(positions)
     vel, _ = _as_rows(velocities)
     if observer is not None:

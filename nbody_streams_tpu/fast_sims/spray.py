@@ -115,9 +115,22 @@ _CHEN_COV = np.array([
 ])
 
 
-def create_ic_particle_spray_chen2025(orbit_sat, mass_sat, rj, rot,
-                                      G: float = G_DEFAULT, seed: int = 0):
-    """Chen+2025 correlated phase-space spray ICs: (2N, 6)."""
+def create_ic_particle_spray_chen2025(orbit_sat, mass_sat, rj, rot=None,
+                                      G: float = G_DEFAULT, seed: int = 0,
+                                      *, R=None):
+    """Chen+2025 correlated phase-space spray ICs: (2N, 6).
+
+    ``R=`` is the reference keyword name for the per-step rotation
+    matrices (reference fast_sims/spray.py:130); ``G=None`` selects the
+    default constant as in the reference."""
+    if R is not None:
+        if rot is not None:
+            raise TypeError("pass either rot or R, not both")
+        rot = R
+    if rot is None:
+        raise TypeError("missing rotation matrices (rot= / R=)")
+    if G is None:
+        G = G_DEFAULT
     orbit_sat = np.asarray(orbit_sat, float)
     n = len(orbit_sat)
     rng = np.random.default_rng(seed)
@@ -148,10 +161,19 @@ def create_ic_particle_spray_chen2025(orbit_sat, mass_sat, rj, rot,
     return ics
 
 
-def create_ic_particle_spray_fardal2015(orbit_sat, rj, vj, rot,
+def create_ic_particle_spray_fardal2015(orbit_sat, rj, vj, rot=None,
                                         gala_modified: bool = True,
-                                        seed: int = 0):
-    """Fardal+2015 spray ICs (optionally Gala-modified dispersions)."""
+                                        seed: int = 0, *, R=None):
+    """Fardal+2015 spray ICs (optionally Gala-modified dispersions).
+
+    ``R=`` is the reference keyword name for the per-step rotation
+    matrices (reference fast_sims/spray.py:227)."""
+    if R is not None:
+        if rot is not None:
+            raise TypeError("pass either rot or R, not both")
+        rot = R
+    if rot is None:
+        raise TypeError("missing rotation matrices (rot= / R=)")
     orbit_sat = np.asarray(orbit_sat, float)
     n = len(orbit_sat)
     rng = np.random.default_rng(seed)

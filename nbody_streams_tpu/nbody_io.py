@@ -557,12 +557,20 @@ class ParticleReader:
             part.time = self._snap_to_time.get(snap_index)
         return part
 
-    def extract_orbits(self, particle_type: str = "star",
-                       max_workers: int | str = "auto", snap_indices=None):
+    def extract_orbits(self, particle_type="star",
+                       max_workers: int | str = "auto", snap_indices=None,
+                       *, min_parallel_workers=None):
         """Bulk-load one species across snapshots into a (T, N_k, 6) array.
 
         Returns a SimpleNamespace with ``.posvel`` (T, N_k, 6), ``.times``
-        (T,) (or None), ``.snaps`` (T,) and ``.mass`` (N_k,).
+        (T,) (or None), ``.snaps`` (T,) and ``.mass`` (N_k,) — plus the
+        reference-contract attributes (reference nbody_io.py:548-768):
+        ``.species`` ({name: (T, N_k, 6)}), a per-species attribute
+        (``.star``, ``.dark``, ...) and ``.Times``.
+        ``particle_type='all'``/``True`` loads every species in the
+        file; ``False`` returns None.  ``min_parallel_workers=`` is the
+        reference's worker-cap name (actual workers =
+        min(cap, cpus, snapshots), same as ``max_workers=``).
 
         Worker strategy: h5py serialises all HDF5 API calls (including
         gzip-chunk decompression) under a single global lock, so thread
@@ -579,6 +587,21 @@ class ParticleReader:
         Warns before allocating > 4 GB (reference
         parity: nbody_io.py:632-640).
         """
+        if min_parallel_workers is not None:
+            max_workers = int(min_parallel_workers)
+        if particle_type is False:
+            return None
+        if particle_type is True or particle_type == "all":
+            combined = SimpleNamespace(species={})
+            for s in self.species_list:
+                one = self.extract_orbits(s.name, max_workers=max_workers,
+                                          snap_indices=snap_indices)
+                combined.species[s.name] = one.posvel
+                setattr(combined, s.name, one.posvel)
+                combined.Times = one.times
+                combined.times = one.times
+                combined.snaps = one.snaps
+            return combined
         species = next(
             (s for s in self.species_list if s.name == particle_type), None
         )
@@ -642,6 +665,9 @@ class ParticleReader:
             times = np.array(
                 [self._snap_to_time.get(int(s), np.nan) for s in snaps]
             )
-        return SimpleNamespace(
-            posvel=out, times=times, snaps=snaps, mass=species.mass_array()
+        ns = SimpleNamespace(
+            posvel=out, times=times, snaps=snaps, mass=species.mass_array(),
+            species={particle_type: out}, Times=times,
         )
+        setattr(ns, particle_type, out)
+        return ns

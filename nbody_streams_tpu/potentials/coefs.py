@@ -68,19 +68,46 @@ class MultipoleCoefs:
     def m_values(self):
         return sorted({m for _, m in self.lm_labels})
 
-    def radial_power(self, l: int) -> np.ndarray:
-        """Sum_m Phi_lm(r)^2 for one harmonic order."""
+    def radial_power(self, l: int,
+                     use_quadrature: bool = True) -> np.ndarray:
+        """Per-radius power of one harmonic order: sum_m Phi_lm(r)^2,
+        or sum_m |Phi_lm(r)| with ``use_quadrature=False`` (reference
+        _coefs.py:171)."""
         cols = [i for i, (ll, _) in enumerate(self.lm_labels) if ll == l]
         if not cols:
             return np.zeros(self.R_grid.shape)
-        return (self.phi[:, cols] ** 2).sum(axis=1)
+        block = self.phi[:, cols]
+        return ((block ** 2).sum(axis=1) if use_quadrature
+                else np.abs(block).sum(axis=1))
 
-    def total_power(self) -> dict:
-        return {l: self.radial_power(l) for l in self.l_values}
+    def total_power(self, l: int | None = None,
+                    use_quadrature: bool = True):
+        """``total_power(l)`` -> float (reference contract,
+        _coefs.py:194); ``total_power()`` -> the native {l: power(r)}
+        dict over every order present."""
+        if l is not None:
+            return float(self.radial_power(l, use_quadrature).sum())
+        return {ll: self.radial_power(ll, use_quadrature)
+                for ll in self.l_values}
 
-    def zeroed(self, keep_lm) -> "MultipoleCoefs":
-        """Copy with all harmonics except ``keep_lm`` zeroed out."""
-        keep = {tuple(p) for p in keep_lm}
+    def zeroed(self, keep_lm,
+               include_negative: bool = True) -> "MultipoleCoefs":
+        """Copy with all harmonics except ``keep_lm`` zeroed out.
+
+        Reference semantics (_coefs.py:213): a bare int ``l`` keeps
+        every (l, m) present for that order, and negative-m
+        counterparts are auto-added (disable with
+        ``include_negative=False`` for exact-pair control).
+        """
+        keep = set()
+        for item in keep_lm:
+            if isinstance(item, (int, np.integer)):
+                keep.update(tuple(lm) for lm in self.lm_labels
+                            if lm[0] == int(item))
+            else:
+                keep.add(tuple(item))
+        if include_negative:
+            keep |= {(l, -m) for l, m in keep}
         phi = self.phi.copy()
         dphi = None if self.dphi_dr is None else self.dphi_dr.copy()
         for i, lm in enumerate(self.lm_labels):
@@ -140,8 +167,14 @@ class CylSplineCoefs:
     def mmax(self) -> int:
         return max((abs(m) for m in self.m_values), default=0)
 
-    def zeroed(self, keep_m) -> "CylSplineCoefs":
-        keep = set(keep_m)
+    def zeroed(self, keep_m,
+               include_negative: bool = True) -> "CylSplineCoefs":
+        """Copy keeping only azimuthal orders ``keep_m`` (negative-m
+        counterparts auto-added unless ``include_negative=False``;
+        reference _coefs.py:356)."""
+        keep = set(int(m) for m in keep_m)
+        if include_negative:
+            keep |= {-m for m in keep if m != 0}
         phi = self.phi.copy()
         for i, m in enumerate(self.m_values):
             if m not in keep:

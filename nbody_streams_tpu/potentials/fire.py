@@ -17,14 +17,25 @@ __all__ = [
 ]
 
 
-def read_snapshot_times(path) -> dict:
+def read_snapshot_times(path, sep=None) -> dict:
     """Parse a FIRE ``snapshot_times.txt`` robustly.
 
     Returns {'index', 'scale_factor', 'redshift', 'time', 'lookback'}
     arrays (missing columns filled with NaN).  Handles comment headers
     and variable column counts (reference: _fire.py:29).
+
+    Reference compatibility: a *directory* argument reads
+    ``snapshot_times.txt`` inside it (the reference's ``sim_dir`` form),
+    the reference column names (``'snap'``, ``'scale-factor'``,
+    ``'time[Gyr]'``, ``'time_width[Myr]'``) are included as dict keys so
+    ``df["time[Gyr]"]``-style reference code works unchanged, and
+    ``sep=`` is accepted and ignored (the parser is whitespace/comma
+    robust).
     """
+    del sep
     path = Path(path)
+    if path.is_dir():
+        path = path / "snapshot_times.txt"
     rows = []
     for line in path.read_text().splitlines():
         s = line.strip()
@@ -46,13 +57,43 @@ def read_snapshot_times(path) -> dict:
     for j, name in enumerate(names):
         out[name] = arr[:, j] if j < width else np.full(len(rows), np.nan)
     out["index"] = out["index"].astype(int)
+    # reference (pandas) column-name aliases
+    out["snap"] = out["index"]
+    out["scale-factor"] = out["scale_factor"]
+    out["time[Gyr]"] = out["time"]
+    out["time_width[Myr]"] = out["lookback"]
     return out
 
 
-def create_evolving_ini(filename, coef_files, times,
-                        interp_linear: bool = True) -> Path:
+def create_evolving_ini(filename=None, coef_files=None, times=None,
+                        interp_linear: bool = True, *,
+                        coef_paths=None, output_path=None) -> Path:
     """Write an Agama-style ``type=Evolving`` INI with a Timestamps block
-    (readable by :func:`..factory.load_potential_ini` and by Agama)."""
+    (readable by :func:`..factory.load_potential_ini` and by Agama).
+
+    Native form: ``create_evolving_ini(filename, coef_files, times)``.
+    The reference argument order (reference _load.py:
+    ``create_evolving_ini(times, coef_paths, output_path,
+    interp_linear)``) is detected by a non-path first argument, and the
+    reference keyword names ``coef_paths=``/``output_path=`` are
+    accepted.
+    """
+    if coef_paths is not None:
+        coef_files = coef_paths
+    if output_path is not None:
+        if filename is not None and not isinstance(filename,
+                                                   (str, Path)):
+            # reference positional order with output_path keyword:
+            # (times, coef_paths, output_path=...)
+            times = filename if times is None else times
+        filename = output_path
+    elif filename is not None and not isinstance(filename, (str, Path)):
+        # reference positional order: (times, coef_paths, output_path)
+        filename, coef_files, times = times, coef_files, filename
+    if filename is None or coef_files is None or times is None:
+        raise TypeError("create_evolving_ini needs (filename, "
+                        "coef_files, times) or the reference (times, "
+                        "coef_paths, output_path)")
     filename = Path(filename)
     if len(coef_files) != len(times):
         raise ValueError(
@@ -69,18 +110,70 @@ def create_evolving_ini(filename, coef_files, times,
     return filename
 
 
-def create_fire_evolving_ini(sim_dir, snapshots, filename=None,
+def create_fire_evolving_ini(sim_dir, snapshots=None, filename=None,
                              pattern: str = "{snap}.coef_mult",
                              times=None, snapshot_times="snapshot_times.txt",
-                             interp_linear: bool = True) -> Path:
+                             interp_linear: bool = True, *,
+                             model_pattern=None, output_filename=None,
+                             snap_range=None, verbose: bool = True):
     """Build an evolving-potential INI for a series of FIRE snapshots.
 
     ``pattern`` is formatted with ``snap``; times default to the physical
     times from the snapshot_times listing (reference: _fire.py:191).
+
+    The reference call form (reference _fire.py:191:
+    ``create_fire_evolving_ini(sim_dir, model_pattern,
+    output_filename, snap_range=None, verbose=True)``, detected by a
+    string second positional or the reference keywords) writes the INI
+    into ``<sim_dir>/potential/10kpc/<output_filename>``, takes every
+    snapshot in ``snapshot_times.txt`` filtered by the inclusive
+    ``snap_range``, names coefficient files ``<snap><model_pattern
+    without '*'>``, requires them to exist, and returns the path as a
+    string.
     """
     import os
 
     sim_dir = Path(sim_dir)
+    if isinstance(snapshots, str) and model_pattern is None:
+        # reference positional layout: (sim_dir, model_pattern,
+        # output_filename, ...)
+        model_pattern = snapshots
+        snapshots = None
+        if filename is not None and output_filename is None:
+            output_filename = filename
+            filename = None
+    if model_pattern is not None or output_filename is not None \
+            or snap_range is not None:
+        if model_pattern is None or output_filename is None:
+            raise TypeError("the reference form needs both "
+                            "model_pattern and output_filename")
+        pot_dir = sim_dir / "potential" / "10kpc"
+        pot_dir.mkdir(parents=True, exist_ok=True)
+        listing = read_snapshot_times(sim_dir)
+        snaps, t_gyr = listing["snap"], listing["time[Gyr]"]
+        keep = np.isfinite(t_gyr)
+        if snap_range is not None:
+            keep &= (snaps >= snap_range[0]) & (snaps <= snap_range[1])
+        snaps, t_gyr = snaps[keep], t_gyr[keep]
+        suffix = model_pattern.replace("*", "")
+        paths = [pot_dir / f"{int(s)}{suffix}" for s in snaps]
+        missing = [str(p) for p in paths if not p.exists()]
+        if missing:
+            sample = "\n".join(missing[:10]) \
+                + ("\n  ..." if len(missing) > 10 else "")
+            raise FileNotFoundError(
+                f"Missing {len(missing)} coefficient file(s):\n{sample}")
+        out = create_evolving_ini(pot_dir / output_filename,
+                                  [str(p) for p in paths],
+                                  list(t_gyr),
+                                  interp_linear=interp_linear)
+        if verbose:
+            print(f"Written: {out}  ({len(t_gyr)} snapshots)")
+        return str(out)
+    if snapshots is None:
+        raise TypeError("create_fire_evolving_ini needs snapshots= "
+                        "(native form) or model_pattern/output_filename "
+                        "(reference form)")
     if times is None:
         listing = read_snapshot_times(sim_dir / snapshot_times)
         tmap = dict(zip(listing["index"], listing["time"]))
@@ -205,7 +298,7 @@ def load_fire_pot(sim_dir, nsnap, sym: str = "n", lmax: int = 4,
                     else [tuple(p) for p in keep_lm_mult])
             if verbose:
                 print(f"Multipole keep (l,m): {keep}")
-            coefs = coefs.zeroed(keep)
+            coefs = coefs.zeroed(keep, include_negative=False)
             if save_modified:
                 _save(dark_path, coefs.to_coef_string())
         return coefs
@@ -217,7 +310,8 @@ def load_fire_pot(sim_dir, nsnap, sym: str = "n", lmax: int = 4,
                     if include_negative_m else set(keep_m_cylspl))
             if verbose:
                 print(f"CylSpline keep m: {sorted(keep)}")
-            coefs = coefs.zeroed(sorted(keep))
+            coefs = coefs.zeroed(sorted(keep),
+                                 include_negative=False)
             if save_modified:
                 _save(bar_path, coefs.to_coef_string())
         return coefs

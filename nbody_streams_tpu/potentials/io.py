@@ -52,10 +52,13 @@ def write_coef_to_h5(h5_path, coef_string: str,
             grp.attrs[k] = v
 
 
-def write_snapshot_coefs_to_h5(h5_path, coef_strings, times=None,
+def write_snapshot_coefs_to_h5(h5_path=None, coef_strings=None, times=None,
                                group_fmt: str = "snap_{snap:03d}",
                                dataset_name: str = "coefs",
-                               overwrite: bool = True) -> None:
+                               overwrite: bool = True, *,
+                               snapshot_ids=None, coef_file_patterns=None,
+                               h5_output_paths=None,
+                               encoding: str = "utf-8") -> None:
     """Batch-pack snapshot coefficient strings (+ optional times dataset).
 
     With ``overwrite=True`` (default) any OTHER ``group_fmt``-matching
@@ -63,8 +66,56 @@ def write_snapshot_coefs_to_h5(h5_path, coef_strings, times=None,
     archive with fewer snapshots must not leave stale snap_* groups
     behind (they would desync from the ``times`` dataset and break
     ``load_evolving_potential``'s groups/times pairing).
+
+    The reference file-pattern form (reference _io.py:
+    ``write_snapshot_coefs_to_h5(snapshot_ids, coef_file_patterns,
+    h5_output_paths, ...)``, detected by an integer-sequence first
+    argument or its keywords) reads ``pattern.format(snap=id)`` source
+    files and writes one archive per pattern, storing groups under
+    ``group_fmt.format(snap=id)`` and embedding ``times`` in each.
     """
     _require_h5py()
+    if snapshot_ids is None and h5_path is not None \
+            and not isinstance(h5_path, (str, Path)):
+        # reference positional layout
+        snapshot_ids, coef_file_patterns, h5_output_paths = \
+            h5_path, coef_strings, h5_output_paths or times
+        if h5_output_paths is times:
+            times = None
+    if snapshot_ids is not None:
+        snap_list = [int(s) for s in snapshot_ids]
+        if coef_file_patterns is None or h5_output_paths is None:
+            raise TypeError("the reference form needs snapshot_ids, "
+                            "coef_file_patterns and h5_output_paths")
+        if len(coef_file_patterns) != len(h5_output_paths):
+            raise ValueError(
+                f"coef_file_patterns (len={len(coef_file_patterns)}) and "
+                f"h5_output_paths (len={len(h5_output_paths)}) must have "
+                "the same length")
+        if times is not None and len(times) != len(snap_list):
+            raise ValueError(
+                f"times (len={len(times)}) must match snapshot_ids "
+                f"(len={len(snap_list)})")
+        for pattern, out_path in zip(coef_file_patterns, h5_output_paths):
+            srcs = [Path(pattern.format(snap=s)) for s in snap_list]
+            missing = [str(p) for p in srcs if not p.exists()]
+            if missing:
+                raise FileNotFoundError(
+                    f"Coefficient file(s) not found: {missing[:5]}")
+            # per-group overwrite (the reference semantic: other groups
+            # in an existing archive are left alone)
+            out_path = Path(out_path)
+            for s, src in zip(snap_list, srcs):
+                write_coef_to_h5(out_path, src.read_text(encoding=encoding),
+                                 group_fmt.format(snap=s), dataset_name,
+                                 overwrite=overwrite)
+            if times is not None:
+                with h5py.File(out_path, "a") as f:
+                    if "times" in f:
+                        del f["times"]
+                    f.create_dataset("times",
+                                     data=np.asarray(times, float))
+        return
     h5_path = Path(h5_path)
     coef_strings = list(coef_strings)
     if overwrite and h5_path.exists():

@@ -35,11 +35,15 @@ def _wrap_center(pot, center):
 def _build(coefs, keep_lm_mult=None, keep_m_cylspl=None):
     if isinstance(coefs, MultipoleCoefs):
         if keep_lm_mult is not None:
-            coefs = coefs.zeroed(keep_lm_mult)
+            # exact-pair semantics: load_agama_* pre-expands
+            # (incl. the include_negative_m=False contract)
+            coefs = coefs.zeroed(keep_lm_mult,
+                                 include_negative=False)
         return MultipolePotential(coefs)
     if isinstance(coefs, CylSplineCoefs):
         if keep_m_cylspl is not None:
-            coefs = coefs.zeroed(keep_m_cylspl)
+            coefs = coefs.zeroed(keep_m_cylspl,
+                                 include_negative=False)
         return CylSplinePotential(coefs)
     raise TypeError(type(coefs))
 

@@ -69,7 +69,8 @@ class TreeGPU:
 
 def tree_gravity_gpu(pos, mass, eps=None, G: float = G_DEFAULT,
                      theta: float = 0.6, nleaf: int = 64, ncrit: int = 64,
-                     level_split: int = 5, tree: TreeGPU | None = None):
+                     level_split: int = 5, verbose: bool = False,
+                     tree: TreeGPU | None = None):
     """(acc, phi) for all particles (reference ``tree_gravity_gpu``,
     tree_gpu/_force.py:224) — computed exactly.
 
@@ -84,6 +85,7 @@ def tree_gravity_gpu(pos, mass, eps=None, G: float = G_DEFAULT,
     eps_arr = np.broadcast_to(np.asarray(eps, np.float32), (n,))
     # scalar (shared) mass is part of the reference surface too
     mass = np.broadcast_to(np.asarray(mass, np.float32), (n,))
+    del verbose              # reference CUDA-timing chatter: no analogue
     _note_exact(theta)
     handle = tree if tree is not None else TreeGPU(n)
     solver = handle._get_solver(mass, eps_arr, G)

@@ -36,32 +36,110 @@ __all__ = [
 # Grids
 # ---------------------------------------------------------------------------
 
-def make_uneven_grid(r_min: float, r_max: float, n: int = 40,
-                     power: float = 1.0) -> np.ndarray:
-    """Quasi-logarithmic radial grid (power=1 -> pure log spacing)."""
-    lg = np.linspace(np.log(r_min), np.log(r_max), n)
-    if power != 1.0:
-        u = (lg - lg[0]) / (lg[-1] - lg[0])
-        lg = lg[0] + (lg[-1] - lg[0]) * u**power
-    return np.exp(lg)
+def make_uneven_grid(xmin: float, xmax: float | None = None,
+                     nbins: int = 10) -> np.ndarray:
+    """Graded 1-D grid: node 0 at 0, node 1 at ``xmin``, last node at
+    ``xmax``, spacing growing geometrically (reference contract,
+    utils/main.py:107-164).
+
+    ``xmax=None`` returns a uniform grid with spacing ``xmin``; if the
+    requested grading is infeasible (``xmax <= (nbins-1)*xmin``) a
+    uniform 0..xmax grid is returned.  Shape ``(nbins,)``.
+    """
+    nbins = int(nbins)
+    if nbins < 3:
+        raise ValueError("nbins must be at least 3")
+    if xmin <= 0:
+        raise ValueError("xmin must be positive")
+    if xmax is None:
+        return np.arange(nbins, dtype=float) * float(xmin)
+    if xmax <= xmin:
+        raise ValueError("xmax must be greater than xmin")
+    n_iv = nbins - 1
+    if xmax <= n_iv * xmin:
+        return np.linspace(0.0, xmax, nbins)
+
+    # Nodes x_k = xmax (q^k - 1)/(q^n - 1) for a growth ratio q > 1
+    # fixed by x_1 = xmin.  Solve for q by bisection on
+    # g(q) = (q - 1)/(q^n - 1) - xmin/xmax, which is strictly
+    # decreasing in q on (1, inf).
+    target = xmin / xmax
+
+    def g(q):
+        return np.expm1(np.log(q)) / np.expm1(n_iv * np.log(q)) - target
+
+    lo, hi = 1.0 + 1e-12, 2.0
+    while g(hi) > 0.0:
+        hi *= 2.0
+        if hi > 1e6:
+            raise RuntimeError("failed to bracket the grid growth ratio")
+    for _ in range(200):
+        mid = 0.5 * (lo + hi)
+        if g(mid) > 0.0:
+            lo = mid
+        else:
+            hi = mid
+    q = 0.5 * (lo + hi)
+    k = np.arange(nbins)
+    return np.expm1(k * np.log(q)) / np.expm1(n_iv * np.log(q)) * xmax
 
 
-def uniform_spherical_grid(n_r: int = 16, n_points: int = 200,
-                           r_min: float = 0.1, r_max: float = 100.0):
-    """(N, 3) points on log-spaced shells with Fibonacci coverage."""
-    radii = np.geomspace(r_min, r_max, n_r)
-    shells = [r * fibonacci_sphere_grid(n_points) for r in radii]
-    return np.concatenate(shells), radii
+def _sphere_projection(x, y, z, radius, proj):
+    if proj == "cart":
+        return np.column_stack([x, y, z])
+    if proj == "sph":
+        polar = np.arccos(np.clip(z / radius, -1.0, 1.0))
+        return np.column_stack([np.full(len(x), radius), polar,
+                                np.mod(np.arctan2(y, x), 2 * np.pi)])
+    if proj == "cyl":
+        return np.column_stack([np.hypot(x, y), np.arctan2(y, x), z])
+    raise ValueError("proj must be 'cart', 'sph', or 'cyl'")
 
 
-def fibonacci_sphere_grid(n: int = 200) -> np.ndarray:
-    """(n, 3) near-uniform unit vectors via the golden-angle spiral."""
-    i = np.arange(n) + 0.5
-    phi = np.pi * (1.0 + np.sqrt(5.0)) * i
-    cos_t = 1.0 - 2.0 * i / n
+def uniform_spherical_grid(num_pts: int, radius: float = 1.0,
+                           proj: str = "cart", seed: int | None = 42):
+    """``(num_pts, 3)`` uniformly random points on a sphere surface
+    (reference contract, utils/main.py:1327-1382).  ``proj`` selects the
+    returned coordinates: 'cart' (x,y,z) | 'sph' (r,theta,phi) |
+    'cyl' (R,phi,z)."""
+    if not isinstance(num_pts, (int, np.integer)) or num_pts <= 0:
+        raise ValueError("num_pts must be a positive integer")
+    if radius <= 0:
+        raise ValueError("radius must be positive")
+    rng = np.random.default_rng(seed)
+    cos_t = rng.uniform(-1.0, 1.0, num_pts)
     sin_t = np.sqrt(1.0 - cos_t**2)
-    return np.column_stack([sin_t * np.cos(phi), sin_t * np.sin(phi),
-                            cos_t])
+    az = rng.uniform(0.0, 2 * np.pi, num_pts)
+    return _sphere_projection(radius * sin_t * np.cos(az),
+                              radius * sin_t * np.sin(az),
+                              radius * cos_t, radius, proj.lower())
+
+
+def fibonacci_sphere_grid(num_pts: int = 200, radius: float = 1.0,
+                          proj: str = "cart", jittered: bool = False,
+                          seed: int | None = 42) -> np.ndarray:
+    """``(num_pts, 3)`` near-uniform sphere-surface points via the
+    golden-angle spiral (reference contract, utils/main.py:1384-1457);
+    ``jittered`` adds stratified polar/azimuthal jitter, ``proj`` as in
+    :func:`uniform_spherical_grid`."""
+    if not isinstance(num_pts, (int, np.integer)) or num_pts <= 0:
+        raise ValueError("num_pts must be a positive integer")
+    if radius <= 0:
+        raise ValueError("radius must be positive")
+    i = np.arange(num_pts) + 0.5
+    phi = np.pi * (1.0 + np.sqrt(5.0)) * i
+    u = i / num_pts
+    if jittered:
+        rng = np.random.default_rng(seed)
+        u = np.clip((i + rng.uniform(-0.5, 0.5, num_pts)) / num_pts,
+                    0.0, 1.0)
+        phi = phi + rng.uniform(-np.pi / num_pts, np.pi / num_pts,
+                                num_pts)
+    cos_t = 1.0 - 2.0 * u
+    sin_t = np.sqrt(np.maximum(1.0 - cos_t**2, 0.0))
+    return _sphere_projection(radius * sin_t * np.cos(phi),
+                              radius * sin_t * np.sin(phi),
+                              radius * cos_t, radius, proj.lower())
 
 
 # ---------------------------------------------------------------------------
@@ -81,14 +159,54 @@ def _radial_bins(r, bins, r_min=None, r_max=None):
     return edges, mids, idx, valid
 
 
-def empirical_density_profile(pos, mass, center=None, bins=30,
-                              r_min=None, r_max=None):
-    """(r_mid, rho(r), counts) spherical mass-density profile."""
+def _ref_grid_form(center, kw):
+    """Detect the reference call form of the profile functions
+    (reference utils/main.py:168-448: ``nbins=``/``rmin=``/``rmax=``
+    keywords, or an integer in the third positional slot where the
+    native form takes ``center``).  Returns the uneven-grid edges
+    (0-started, reference :func:`make_uneven_grid`) or None."""
+    ref = any(k in kw for k in ("nbins", "rmin", "rmax"))
+    nbins = int(kw.pop("nbins", 50))
+    if center is not None and np.ndim(center) == 0:
+        nbins = int(center)
+        ref = True
+    if not ref:
+        return None
+    return make_uneven_grid(kw.pop("rmin", 0.1), kw.pop("rmax", 600.0),
+                            nbins=nbins + 1)
+
+
+def _radii_of(pos, center):
+    """Radii from positions (N, 3) or pre-computed radii (N,)."""
     pos = np.asarray(pos, float)
-    mass = np.broadcast_to(np.asarray(mass, float), (pos.shape[0],))
+    if pos.ndim == 1:
+        return pos
     if center is not None:
         pos = pos - np.asarray(center)
-    r = np.linalg.norm(pos, axis=1)
+    return np.linalg.norm(pos, axis=1)
+
+
+def empirical_density_profile(pos, mass, center=None, bins=30,
+                              r_min=None, r_max=None, **ref_kw):
+    """(r_mid, rho(r), counts) spherical mass-density profile.
+
+    The reference call form (``nbins=``/``rmin=``/``rmax=`` or an int
+    third positional, reference utils/main.py:168) is also accepted and
+    returns the reference 2-tuple contract ``(radius, density)`` on the
+    reference's 0-started graded grid with arithmetic bin centres.
+    """
+    edges_ref = _ref_grid_form(center, ref_kw)
+    if ref_kw:
+        raise TypeError(f"unexpected kwargs: {sorted(ref_kw)}")
+    pos = np.asarray(pos, float)
+    n = pos.shape[0]
+    mass = np.broadcast_to(np.asarray(mass, float), (n,))
+    if edges_ref is not None:
+        r = _radii_of(pos, None)
+        msum, _ = np.histogram(r, bins=edges_ref, weights=mass)
+        vol = 4.0 / 3.0 * np.pi * (edges_ref[1:]**3 - edges_ref[:-1]**3)
+        return 0.5 * (edges_ref[1:] + edges_ref[:-1]), msum / vol
+    r = _radii_of(pos, center)
     edges, mids, idx, valid = _radial_bins(r, bins, r_min, r_max)
     msum = np.bincount(idx[valid], weights=mass[valid],
                        minlength=len(mids))
@@ -99,18 +217,30 @@ def empirical_density_profile(pos, mass, center=None, bins=30,
 
 def empirical_circular_velocity_profile(pos, mass, center=None, bins=30,
                                         G: float = G_DEFAULT,
-                                        r_min=None, r_max=None):
-    """(r_mid, v_circ = sqrt(G M(<r)/r)) from enclosed mass."""
+                                        r_min=None, r_max=None, **ref_kw):
+    """(r_mid, v_circ = sqrt(G M(<r)/r)) from exact enclosed mass.
+
+    Reference form (``nbins=``/``rmin=``/``rmax=`` or int third
+    positional) uses the reference grid; both forms return 2-tuples.
+    """
+    edges_ref = _ref_grid_form(center, ref_kw)
+    if ref_kw:
+        raise TypeError(f"unexpected kwargs: {sorted(ref_kw)}")
     pos = np.asarray(pos, float)
     mass = np.broadcast_to(np.asarray(mass, float), (pos.shape[0],))
-    if center is not None:
-        pos = pos - np.asarray(center)
-    r = np.linalg.norm(pos, axis=1)
-    edges, mids, _, _ = _radial_bins(r, bins, r_min, r_max)
+    if edges_ref is not None:
+        mids = 0.5 * (edges_ref[1:] + edges_ref[:-1])
+        r = _radii_of(pos, None)
+    else:
+        r = _radii_of(pos, center)
+        _, mids, _, _ = _radial_bins(r, bins, r_min, r_max)
     order = np.argsort(r)
     m_enc_sorted = np.cumsum(mass[order])
     m_at = np.interp(mids, r[order], m_enc_sorted)
-    return mids, np.sqrt(G * m_at / mids)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        vc = np.where(mids > 0, np.sqrt(G * m_at / np.maximum(mids, 1e-300)),
+                      0.0)
+    return mids, vc
 
 
 def _velocity_profile(pos, vel, center, center_v, bins, stat,
@@ -131,10 +261,36 @@ def _velocity_profile(pos, vel, center, center_v, bins, stat,
     return mids, out
 
 
+def _binned_stat(r, values, edges, stat):
+    idx = np.digitize(r, edges) - 1
+    out = np.full(len(edges) - 1, np.nan)
+    for k in range(len(out)):
+        sel = idx == k
+        if sel.sum() > 1:
+            out[k] = stat(values[sel])
+    return out
+
+
 def empirical_velocity_dispersion_profile(pos, vel, center=None,
                                           center_v=None, bins=30,
                                           **kw):
-    """(r_mid, sigma_r) radial velocity dispersion."""
+    """(r_mid, sigma_r) radial velocity dispersion.
+
+    The reference form (``nbins=``/``rmin=``/``rmax=`` or int third
+    positional, reference utils/main.py:276) bins on the reference grid
+    and returns the reference statistic — the std of the speed
+    ``|v|`` per bin, not the radial dispersion.
+    """
+    edges_ref = _ref_grid_form(center, kw)
+    if edges_ref is not None:
+        if kw:
+            raise TypeError(f"unexpected kwargs: {sorted(kw)}")
+        r = _radii_of(pos, None)
+        vel = np.asarray(vel, float)
+        speed = np.linalg.norm(vel, axis=1) if vel.ndim == 2 else vel
+        return (0.5 * (edges_ref[1:] + edges_ref[:-1]),
+                _binned_stat(r, speed, edges_ref, np.std))
+
     def stat(p, v, r):
         vr = np.sum(p * v, axis=1) / np.maximum(r, 1e-12)
         return np.std(vr)
@@ -144,7 +300,23 @@ def empirical_velocity_dispersion_profile(pos, vel, center=None,
 
 def empirical_velocity_rms_profile(pos, vel, center=None, center_v=None,
                                    bins=30, **kw):
-    """(r_mid, v_rms) total rms speed profile."""
+    """(r_mid, v_rms) total rms speed profile.
+
+    Reference form (``nbins=``/``rmin=``/``rmax=`` or int third
+    positional, reference utils/main.py:316) supported as in
+    :func:`empirical_velocity_dispersion_profile`.
+    """
+    edges_ref = _ref_grid_form(center, kw)
+    if edges_ref is not None:
+        if kw:
+            raise TypeError(f"unexpected kwargs: {sorted(kw)}")
+        r = _radii_of(pos, None)
+        vel = np.asarray(vel, float)
+        speed = np.linalg.norm(vel, axis=-1) if vel.ndim >= 2 else vel
+        rms = _binned_stat(r, speed, edges_ref,
+                           lambda v: np.sqrt(np.mean(v**2)))
+        return 0.5 * (edges_ref[1:] + edges_ref[:-1]), rms
+
     def stat(p, v, r):
         return np.sqrt(np.mean((v**2).sum(1)))
 
@@ -153,7 +325,52 @@ def empirical_velocity_rms_profile(pos, vel, center=None, center_v=None,
 
 def empirical_velocity_anisotropy_profile(pos, vel, center=None,
                                           center_v=None, bins=30, **kw):
-    """(r_mid, beta = 1 - sigma_t^2/(2 sigma_r^2))."""
+    """(r_mid, beta = 1 - sigma_t^2/(2 sigma_r^2)).
+
+    The reference form (reference utils/main.py:361: third positional =
+    ``mass`` (N,) or scalar, ``nbins=``/``rmin=``/``rmax=``; ``rmax``
+    defaults to the 90th radius percentile) computes the mass-weighted
+    beta on the reference grid.  Detected by reference keywords or a
+    non-(3,)-shaped third positional.
+    """
+    mass = kw.pop("mass", None)
+    ref = any(k in kw for k in ("nbins", "rmin", "rmax")) \
+        or mass is not None
+    if center is not None and np.shape(center) != (3,):
+        mass, center, ref = center, None, True
+    if ref:
+        pos = np.asarray(pos, float)
+        vel = np.asarray(vel, float)
+        if pos.ndim != 2 or pos.shape[1] != 3 or vel.shape != pos.shape:
+            raise ValueError("pos and vel must both be (N, 3) for the "
+                             "anisotropy decomposition")
+        r = np.linalg.norm(pos, axis=1)
+        rmax = kw.pop("rmax", None)
+        if rmax is None:
+            rmax = float(np.percentile(r, 90))
+        edges = make_uneven_grid(kw.pop("rmin", 0.1), rmax,
+                                 nbins=int(kw.pop("nbins", 50)) + 1)
+        if kw:
+            raise TypeError(f"unexpected kwargs: {sorted(kw)}")
+        n = pos.shape[0]
+        m = (np.ones(n) if mass is None
+             else np.broadcast_to(np.asarray(mass, float), (n,)))
+        vr = np.sum(pos * vel, axis=1) / np.maximum(r, 1e-300)
+        vt2 = np.sum(vel**2, axis=1) - vr**2
+        idx = np.digitize(r, edges) - 1
+        valid = (idx >= 0) & (idx < len(edges) - 1)
+        nb = len(edges) - 1
+        msum = np.bincount(idx[valid], weights=m[valid], minlength=nb)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            mean_vr = np.bincount(idx[valid], weights=(m * vr)[valid],
+                                  minlength=nb) / msum
+            s_r2 = np.bincount(idx[valid], weights=(m * vr**2)[valid],
+                               minlength=nb) / msum - mean_vr**2
+            s_t2 = np.bincount(idx[valid], weights=(m * vt2)[valid],
+                               minlength=nb) / msum
+            beta = 1.0 - s_t2 / (2.0 * np.where(s_r2 > 0, s_r2, np.nan))
+        return 0.5 * (edges[1:] + edges[:-1]), beta
+
     def stat(p, v, r):
         rr = np.maximum(r, 1e-12)[:, None]
         rhat = p / rr
@@ -176,12 +393,69 @@ def empirical_velocity_anisotropy_profile(pos, vel, center=None,
 # Profile fits
 # ---------------------------------------------------------------------------
 
-def double_power_law_density(r, rho_s, r_s, alpha, beta, gamma):
-    """Zhao (1996) alpha-beta-gamma profile:
-    rho = rho_s (r/r_s)^-gamma [1 + (r/r_s)^alpha]^-((beta-gamma)/alpha).
+def double_power_law_density(*args, **kw):
+    """Zhao (1996) alpha-beta-gamma profile — two call forms.
+
+    Native evaluator: ``double_power_law_density(r, rho_s, r_s, alpha,
+    beta, gamma)`` -> rho(r) = rho_s (r/r_s)^-gamma
+    [1 + (r/r_s)^alpha]^-((beta-gamma)/alpha).
+
+    Reference factory (reference utils/main.py:450-531):
+    ``double_power_law_density(mass, scaleradius, alpha, beta, gamma,
+    rcut=None, cutoffstrength=2.0)`` -> a callable ``rho(r)``
+    normalised so the profile (with its optional exponential cutoff
+    ``exp(-(r/rcut)^cutoffstrength)``) integrates to ``mass``.
+    Detected by 5 positional args or any reference keyword.
     """
-    x = np.asarray(r, float) / r_s
-    return rho_s * x**(-gamma) * (1.0 + x**alpha)**(-(beta - gamma) / alpha)
+    ref_keys = {"mass", "scaleradius", "rcut", "cutoffstrength"}
+    if not (ref_keys & kw.keys()) and len(args) + len(kw) >= 6:
+        # native evaluator form
+        names = ["r", "rho_s", "r_s", "alpha", "beta", "gamma"]
+        p = dict(zip(names, args))
+        p.update(kw)
+        x = np.asarray(p["r"], float) / p["r_s"]
+        g, b, a = p["gamma"], p["beta"], p["alpha"]
+        return p["rho_s"] * x**(-g) * (1.0 + x**a)**(-(b - g) / a)
+
+    from scipy.integrate import quad
+
+    names = ["mass", "scaleradius", "alpha", "beta", "gamma", "rcut",
+             "cutoffstrength"]
+    p = dict(zip(names, args))
+    p.update(kw)
+    unknown = set(p) - set(names)
+    if unknown:
+        raise TypeError(f"unexpected kwargs: {sorted(unknown)}")
+    mass, a = float(p["mass"]), float(p["scaleradius"])
+    alpha, beta, gamma = (float(p["alpha"]), float(p["beta"]),
+                          float(p["gamma"]))
+    rcut = p.get("rcut")
+    cut_s = float(p.get("cutoffstrength", 2.0))
+    if beta <= 3.0 and rcut is None:
+        raise ValueError(
+            "beta <= 3 requires a finite rcut to normalise total mass")
+
+    def shape(r):
+        x = np.asarray(r, float) / a
+        with np.errstate(divide="ignore", invalid="ignore"):
+            rho = np.where(
+                x > 0.0,
+                x**(-gamma) * (1.0 + x**alpha)**(-(beta - gamma) / alpha),
+                0.0)
+        if rcut is not None and rcut > 0:
+            rho = rho * np.exp(-(np.asarray(r, float) / rcut)**cut_s)
+        return rho
+
+    upper = 8.0 * rcut if (rcut is not None and rcut > 0) \
+        else max(1e4 * a, 1e3)
+    total, _ = quad(lambda r: r**2 * shape(r), 0.0, upper,
+                    epsrel=1e-6, limit=200)
+    norm = mass / (4.0 * np.pi * total)
+    if not np.isfinite(norm) or norm <= 0:
+        raise RuntimeError(
+            "normalisation integral failed; provide rcut or steeper "
+            "outer slope")
+    return lambda r: norm * shape(r)
 
 
 def _fit_log_profile(model, r, rho, p0, bounds):
@@ -193,9 +467,56 @@ def _fit_log_profile(model, r, rho, p0, bounds):
     return popt, np.sqrt(np.diag(pcov))
 
 
-def fit_double_spheroid_profile(r, rho, p0=None):
+def _ellipsoidal_density_profile(pos, mass, bins, axis_y=1.0, axis_z=1.0,
+                                 pct=(0.1, 99.9)):
+    """(r_centers, rho_vals) on log-spaced shells of the ellipsoidal
+    radius r~ = sqrt(x^2 + (y/q_y)^2 + (z/q_z)^2) (reference binning,
+    utils/main.py:843-852)."""
+    pos = np.asarray(pos, float)
+    n = pos.shape[0]
+    mass = np.broadcast_to(np.asarray(mass, float), (n,))
+    x, y, z = pos.T
+    r = np.sqrt(x**2 + (y / axis_y)**2 + (z / axis_z)**2)
+    rmin, rmax = np.percentile(r, list(pct))
+    edges = np.geomspace(rmin, rmax, int(bins) + 1)
+    centers = np.sqrt(edges[:-1] * edges[1:])
+    msum, _ = np.histogram(r, bins=edges, weights=mass)
+    vol = (4.0 / 3.0 * np.pi * axis_y * axis_z
+           * (edges[1:]**3 - edges[:-1]**3))
+    return centers, msum / vol
+
+
+_REF_SPHEROID_KWARGS = frozenset((
+    "r_centers", "rho_vals", "pos", "mass", "bins", "axis_y", "axis_z",
+    "weighting", "plot_results", "return_profiles", "rcut",
+    "cutoff_strength"))
+
+
+def fit_double_spheroid_profile(r=None, rho=None, p0=None, **ref_kw):
     """Fit the alpha-beta-gamma profile to a density curve; returns
-    (params dict, 1-sigma errors dict)."""
+    (params dict, 1-sigma errors dict).
+
+    The reference call form (reference utils/main.py:532-798, detected
+    by any of its keywords ``pos=``/``mass=``/``bins=``/``axis_y=``/
+    ``weighting=``/``return_profiles=``/``rcut=``/...) bins particles on
+    ellipsoidal radii when no profile is given, weights the log-space
+    residuals, fits the mass-normalised Zhao model and returns the
+    reference contract ``(M, a, alpha, beta, gamma)`` (plus
+    ``(r_centers, rho_vals, rho_residuals, r2_rho_vals)`` when
+    ``return_profiles=True``).
+    """
+    if ref_kw:
+        unknown = set(ref_kw) - _REF_SPHEROID_KWARGS
+        if unknown:
+            raise TypeError(f"unexpected kwargs: {sorted(unknown)}")
+        return _fit_spheroid_reference_form(
+            r_centers=np.asarray(
+                ref_kw.pop("r_centers", r if r is not None else ()),
+                float),
+            rho_vals=np.asarray(
+                ref_kw.pop("rho_vals", rho if rho is not None else ()),
+                float),
+            **ref_kw)
     r = np.asarray(r, float)
     rho = np.asarray(rho, float)
     if p0 is None:
@@ -215,10 +536,118 @@ def fit_double_spheroid_profile(r, rho, p0=None):
     return dict(zip(names, vals)), dict(zip(names, errs))
 
 
-def fit_dehnen_profile(r, rho, p0=None):
+def _fit_spheroid_reference_form(
+        r_centers, rho_vals, pos=None, mass=None, bins: int = 20,
+        axis_y: float = 1.0, axis_z: float = 1.0, weighting="uniform",
+        plot_results: bool = False, return_profiles: bool = False,
+        rcut=None, cutoff_strength: float = 2.0):
+    """Reference-contract spheroid fit (reference utils/main.py:532).
+
+    Fits (M, a, alpha, beta, gamma) of the mass-normalised Zhao model to
+    a log-density profile; the profile is measured from particles on the
+    reference's 0-started graded grid of ellipsoidal radii when not
+    supplied directly.
+    """
+    from scipy.optimize import minimize
+
+    if len(r_centers) != len(rho_vals) or len(rho_vals) < 2:
+        if pos is None or len(np.asarray(pos)) == 0:
+            raise ValueError(
+                "Either supply r_centers & rho_vals, or pos & mass.")
+        pos = np.asarray(pos, float)
+        if pos.ndim != 2 or pos.shape[1] != 3:
+            raise ValueError(f"pos must be (N, 3), got {pos.shape}")
+        m = np.broadcast_to(np.asarray(mass, float), (pos.shape[0],))
+        x, y, z = pos.T
+        r_t = np.sqrt(x**2 + (y / axis_y)**2 + (z / axis_z)**2)
+        edges = make_uneven_grid(0.1, float(np.percentile(r_t, 90)),
+                                 nbins=int(bins) + 1)
+        r_centers = 0.5 * (edges[:-1] + edges[1:])
+        vol = (4.0 / 3.0 * np.pi * axis_y * axis_z
+               * (edges[1:]**3 - edges[:-1]**3))
+        msum, _ = np.histogram(r_t, bins=edges, weights=m)
+        rho_vals = msum / np.maximum(vol, 1e-18)
+        m_total = float(m.sum())
+    else:
+        # total mass from the trapezoidal integral of rho r^3 dln r
+        m_total = float(4.0 * np.pi * np.trapezoid(
+            rho_vals * r_centers**3, x=np.log(r_centers)))
+
+    if isinstance(weighting, str):
+        schemes = {
+            "uniform": np.ones_like(r_centers),
+            "inner": 1.0 / np.maximum(r_centers**2, 1e-18),
+            "outer": r_centers**2,
+            "sqrt": np.sqrt(np.maximum(r_centers, 1e-18)),
+            "inverse_sqrt": 1.0 / np.sqrt(np.maximum(r_centers, 1e-18)),
+        }
+        weights = schemes.get(weighting, np.ones_like(r_centers))
+    else:
+        weights = np.asarray(weighting, float)
+        if len(weights) != len(r_centers):
+            raise ValueError("weighting array length must match the "
+                             "number of profile points")
+
+    log_rho_data = np.log10(np.maximum(rho_vals, 1e-12))
+
+    def model_rho(params):
+        log_m, log_a, alpha, beta, gamma = params
+        rho_fn = double_power_law_density(
+            mass=10**log_m, scaleradius=10**log_a, alpha=alpha,
+            beta=beta, gamma=gamma, rcut=rcut,
+            cutoffstrength=cutoff_strength)
+        return rho_fn(r_centers)
+
+    def objective(params):
+        try:
+            log_model = np.log10(np.maximum(model_rho(params), 1e-12))
+            return float(np.sum(weights * (log_model - log_rho_data)**2))
+        except Exception:
+            return 1e10
+
+    p0 = [np.log10(m_total), np.log10(5.0), 1.0, 3.0, 1.0]
+    bounds = [(np.log10(m_total * 0.8), np.log10(m_total * 1.2)),
+              (np.log10(0.1), np.log10(r_centers[-1])),
+              (0.1, np.inf), (1.0, np.inf), (0.0, np.inf)]
+    res = minimize(objective, p0, method="L-BFGS-B", bounds=bounds)
+    log_m, log_a, alpha_f, beta_f, gamma_f = res.x
+    params = (10**log_m, 10**log_a, float(alpha_f), float(beta_f),
+              float(gamma_f))
+
+    if plot_results:  # diagnostic only; the fit itself is headless
+        import matplotlib.pyplot as plt
+
+        fig, ax = plt.subplots()
+        ax.loglog(r_centers, rho_vals, "o", label="data")
+        ax.loglog(r_centers, model_rho(res.x), "-", label="fit")
+        ax.set_xlabel("r")
+        ax.set_ylabel("rho")
+        ax.legend()
+    if return_profiles:
+        rho_model = model_rho(res.x)
+        return params, (r_centers, rho_vals, rho_vals - rho_model,
+                        r_centers**2 * rho_vals)
+    return params
+
+
+def fit_dehnen_profile(r, rho=None, p0=None, *, axis_y: float = 1.0,
+                       axis_z: float = 1.0, bins: int = 50):
     """Fit a Dehnen (1993) profile rho = (3-g) M a / (4 pi r^g (r+a)^(4-g));
-    returns ({'mass','scaleRadius','gamma'}, errors)."""
+    returns ({'mass','scaleRadius','gamma'}, errors).
+
+    The reference particle form (reference utils/main.py:801:
+    ``fit_dehnen_profile(pos (N,3), mass, axis_y=, axis_z=, bins=)``,
+    detected by a 2-D first argument) bins on the ellipsoidal radius
+    and returns the reference contract
+    ``(M_fit, a_fit, gamma_fit, r_centers, rho_vals)``.
+    """
     r = np.asarray(r, float)
+    if r.ndim == 2:
+        centers, rho_vals = _ellipsoidal_density_profile(
+            r, rho if rho is not None else 1.0, bins, axis_y, axis_z)
+        vals, _ = fit_dehnen_profile(centers, rho_vals, p0)
+        return (vals["mass"], vals["scaleRadius"], vals["gamma"],
+                centers, rho_vals)
     rho = np.asarray(rho, float)
 
     def model(rr, logm, loga, gamma):
@@ -239,9 +668,20 @@ def fit_dehnen_profile(r, rho, p0=None):
     return vals, errs
 
 
-def fit_plummer_profile(r, rho, p0=None):
-    """Fit a Plummer sphere; returns ({'mass','scaleRadius'}, errors)."""
+def fit_plummer_profile(r, rho=None, p0=None, *, bins: int = 30):
+    """Fit a Plummer sphere; returns ({'mass','scaleRadius'}, errors).
+
+    The reference particle form (reference utils/main.py:872:
+    ``fit_plummer_profile(pos (N,3), mass, bins=)``, detected by a 2-D
+    first argument) returns the reference contract
+    ``(M_fit, b_fit, r_centers, rho_vals)``.
+    """
     r = np.asarray(r, float)
+    if r.ndim == 2:
+        centers, rho_vals = _ellipsoidal_density_profile(
+            r, rho if rho is not None else 1.0, bins)
+        vals, _ = fit_plummer_profile(centers, rho_vals, p0)
+        return vals["mass"], vals["scaleRadius"], centers, rho_vals
     rho = np.asarray(rho, float)
 
     def model(rr, logm, logb):
@@ -264,15 +704,34 @@ def fit_plummer_profile(r, rho, p0=None):
 # Shape
 # ---------------------------------------------------------------------------
 
+_REF_ELLIPSOID_KWARGS = frozenset((
+    "vel", "Rmin", "Rmax", "reduced_structure", "orient_with_momentum",
+    "max_iter", "verbose", "return_ellip_triax"))
+
+
 def fit_iterative_ellipsoid(pos, mass=None, center=None, r_max=None,
                             n_iter: int = 20, tol: float = 1e-4,
-                            reduced: bool = True):
+                            reduced: bool = True, **ref_kw):
     """Iterative ellipsoidal shape fit via the (reduced) inertia tensor.
 
     Returns dict with axis ratios b/a, c/a, the rotation matrix (rows =
     principal axes, descending), and convergence info (reference:
     utils/main.py:1025-1326).
+
+    The reference call form (detected by its keywords ``Rmax=``/
+    ``Rmin=``/``vel=``/``orient_with_momentum=``/... or an (N, 3) third
+    positional = velocities) returns the reference contract
+    ``(abc [1, b/a, c/a], transform rows [e_a, e_b, e_c][, ellip,
+    triax])``.
     """
+    if center is not None and np.ndim(center) == 2:
+        ref_kw.setdefault("vel", center)
+        center = None
+    if ref_kw:
+        unknown = set(ref_kw) - _REF_ELLIPSOID_KWARGS
+        if unknown:
+            raise TypeError(f"unexpected kwargs: {sorted(unknown)}")
+        return _ellipsoid_reference_form(pos, mass, tol=tol, **ref_kw)
     pos = np.asarray(pos, float)
     n = pos.shape[0]
     w = (np.ones(n) if mass is None
@@ -315,6 +774,79 @@ def fit_iterative_ellipsoid(pos, mass=None, center=None, r_max=None,
             "converged": converged, "iterations": it + 1}
 
 
+def _ellipsoid_reference_form(pos, mass=None, vel=None,
+                              Rmin: float = 0.0, Rmax: float = 1.0,
+                              reduced_structure: bool = True,
+                              orient_with_momentum: bool = True,
+                              tol: float = 1e-4, max_iter: int = 50,
+                              verbose: bool = False,
+                              return_ellip_triax: bool = False):
+    """Reference-contract adaptive-ellipsoid fit (reference
+    utils/main.py:1025-1326): iterate the (reduced) structure tensor
+    inside an adaptive ellipsoidal shell [Rmin, Rmax], optionally
+    re-orienting the minor axis along the selection's angular momentum,
+    and return ``(abc, transform[, ellip, triax])``."""
+    pos = np.asarray(pos, float)
+    n = pos.shape[0]
+    m = (np.ones(n) if mass is None
+         else np.broadcast_to(np.asarray(mass, float), (n,)))
+    if not (Rmin >= 0 and Rmax > 0 and Rmax > Rmin):
+        raise ValueError("Need Rmin >= 0, Rmax > 0, and Rmax > Rmin.")
+    use_momentum = orient_with_momentum and vel is not None
+    if orient_with_momentum and vel is None and verbose:
+        print("Warning: orient_with_momentum=True but vel not "
+              "provided. Disabling momentum orientation.")
+    v = None if vel is None else np.asarray(vel, float)
+
+    def nan_result():
+        out = (np.full(3, np.nan), np.full((3, 3), np.nan))
+        return out + (np.nan, np.nan) if return_ellip_triax else out
+
+    axes = np.eye(3)
+    q = s = 1.0
+    for it in range(max_iter):
+        y = pos @ axes.T
+        r_ell2 = y[:, 0]**2 + (y[:, 1] / q)**2 + (y[:, 2] / s)**2
+        sel = (r_ell2 < Rmax**2) & (r_ell2 >= Rmin**2)
+        if sel.sum() < 10:
+            return nan_result()
+        ww = m[sel]
+        if reduced_structure:
+            ww = ww / np.maximum(np.sum(pos[sel]**2, axis=1), 1e-12)
+        x = pos[sel]
+        tensor = (x * ww[:, None]).T @ x / ww.sum()
+        evals, evecs = np.linalg.eigh(tensor)
+        order = np.argsort(evals)[::-1]
+        evals = np.maximum(evals[order], 0.0)
+        axes_new = evecs[:, order].T          # rows e_a, e_b, e_c
+        if use_momentum:
+            # minor axis along the selection's angular momentum;
+            # major/intermediate re-orthogonalised against it
+            L = np.sum(m[sel, None] * np.cross(x, v[sel]), axis=0)
+            if np.linalg.norm(L) > 0:
+                e_c = L / np.linalg.norm(L)
+                e_a = axes_new[0] - np.dot(axes_new[0], e_c) * e_c
+                if np.linalg.norm(e_a) < 1e-12:
+                    e_a = axes_new[1] - np.dot(axes_new[1], e_c) * e_c
+                e_a = e_a / np.linalg.norm(e_a)
+                axes_new = np.vstack([e_a, np.cross(e_c, e_a), e_c])
+        q_new = np.sqrt(evals[1] / max(evals[0], 1e-300))
+        s_new = np.sqrt(evals[2] / max(evals[0], 1e-300))
+        dq, ds = abs(q_new - q), abs(s_new - s)
+        q, s, axes = q_new, s_new, axes_new
+        if verbose:
+            print(f"  ellipsoid iter {it}: q={q:.5f} s={s:.5f}")
+        if dq < tol and ds < tol:
+            break
+    abc = np.array([1.0, q, s])
+    if not return_ellip_triax:
+        return abc, axes
+    ellip = 1.0 - s
+    denom = 1.0 - s**2
+    triax = (1.0 - q**2) / denom if denom > 0 else np.nan
+    return abc, axes, ellip, triax
+
+
 # ---------------------------------------------------------------------------
 # Centering
 # ---------------------------------------------------------------------------
@@ -332,38 +864,78 @@ def _shrinking_sphere(pos, mass, n_iter=12, frac=0.7, min_particles=50):
     return com
 
 
-def find_center(pos, vel=None, mass=None, method: str = "density_peak",
+def find_center(pos, *args, vel=None, mass=None,
+                method: str = "density_peak",
                 potential_solver=None, vel_aperture: float | None = None,
-                G: float = G_DEFAULT, **solver_kwargs):
+                G: float = G_DEFAULT, return_velocity=None,
+                top_fraction: float = 0.01, **solver_kwargs):
     """Locate the density/potential centre of a particle set.
 
-    method='density_peak': centre of the 1% most-bound particles by
-    self-potential (solver from :func:`iterative_unbinding`'s menu);
-    method='shrinking_sphere': geometric shrinking sphere.
+    method='density_peak': centre of the ``top_fraction`` most-bound
+    particles by self-potential (solver from
+    :func:`iterative_unbinding`'s menu); method='shrinking_sphere':
+    geometric shrinking sphere; method='kde': Gaussian-KDE density peak.
     Returns centre (3,), or (centre, v_centre) when ``vel`` is given
     (v from particles within ``vel_aperture`` of the centre).
-    (reference: utils/main.py:1460-1713)
+
+    Positional layout: both the native ``(pos, vel, mass, method)`` and
+    the reference's ``(pos, mass, vel, method)`` (reference
+    utils/main.py:1580) are accepted — extra positionals are classified
+    by shape ((N, 3) -> vel, (N,)/scalar -> mass, str -> method).
+    ``return_velocity=`` is honoured when passed explicitly (True
+    requires ``vel``; False returns the centre only even if ``vel`` was
+    given); ``theta=`` (tree opening angle) is accepted and ignored —
+    the direct solver is exact.
     """
     pos = np.asarray(pos, float)
     n = pos.shape[0]
+    for a in args:
+        if a is None:
+            continue
+        if isinstance(a, str):
+            method = a
+        elif np.ndim(a) == 2:
+            if vel is not None:
+                raise TypeError("vel passed twice")
+            vel = a
+        else:
+            if mass is not None:
+                raise TypeError("mass passed twice")
+            mass = a
+    solver_kwargs.pop("theta", None)
     mass_arr = (np.ones(n) if mass is None
                 else np.broadcast_to(np.asarray(mass, float), (n,)))
 
     if method == "shrinking_sphere":
         center = _shrinking_sphere(pos, mass_arr)
+    elif method == "kde":
+        # Gaussian-KDE density peak (reference method='kde'): evaluate
+        # the KDE at (a subsample of) the particles, take the
+        # mass-weighted centroid of the top-density few
+        from scipy.stats import gaussian_kde
+
+        sub = pos if n <= 20000 else pos[
+            np.random.default_rng(0).choice(n, 20000, replace=False)]
+        dens = gaussian_kde(sub.T, weights=None)(pos.T)
+        k = max(1, int(n * top_fraction))
+        sel = np.argpartition(-dens, k - 1)[:k]
+        center = (pos[sel] * mass_arr[sel, None]).sum(0) \
+            / mass_arr[sel].sum()
     elif method == "density_peak":
         phi = _self_potential(pos, mass_arr,
                               solver=potential_solver or "direct",
                               G=G, **solver_kwargs)
-        k = max(1, n // 100)
-        sel = np.argpartition(phi, k)[:k]
+        k = max(1, int(n * top_fraction))
+        sel = np.argpartition(phi, k - 1)[:k]
         center = (pos[sel] * mass_arr[sel, None]).sum(0) \
             / mass_arr[sel].sum()
     else:
         raise ValueError(f"unknown centering method {method!r}")
 
-    if vel is None:
+    if return_velocity is False or vel is None and not return_velocity:
         return center
+    if vel is None:
+        raise ValueError("return_velocity=True requires vel")
     vel = np.asarray(vel, float)
     d = np.linalg.norm(pos - center, axis=1)
     ap = np.percentile(d, 10) if vel_aperture is None else vel_aperture
@@ -377,9 +949,16 @@ def find_center(pos, vel=None, mass=None, method: str = "density_peak",
     return center, v_center
 
 
-def find_center_position(*args, **kwargs):
-    """Position-only alias (reference deprecated alias, main.py:1692)."""
-    out = find_center(*args, **kwargs)
+def find_center_position(pos, mass=None, method: str = "density_peak",
+                         **kwargs):
+    """Position-only deprecated alias (reference main.py:1692-1709:
+    positional layout (pos, mass, method))."""
+    import warnings
+
+    warnings.warn("find_center_position is deprecated; use find_center "
+                  "instead.", DeprecationWarning, stacklevel=2)
+    out = find_center(pos, mass=mass, method=method,
+                      return_velocity=False, **kwargs)
     return out[0] if isinstance(out, tuple) else out
 
 

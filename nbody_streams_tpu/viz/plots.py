@@ -164,7 +164,8 @@ def plot_mollweide(pos, weights=None, initial_nside: int = 60, ax=None,
                    log_scale: bool | None = None, normalize: bool = False,
                    filter_radius=(0, 0), smooth_fwhm_deg=None,
                    density_threshold: float = 1e5, add_traj=None,
-                   add_end_pt: bool = False, return_map: bool = False,
+                   add_end_pt: bool = False, add_traj_dist: bool = False,
+                   return_map: bool = False,
                    nside_bins: int | None = None, verbose: bool = False):
     """All-sky Mollweide map of a 3-D particle field on a native HEALPix
     (ring-scheme) pixelisation — no healpy needed.
@@ -181,6 +182,7 @@ def plot_mollweide(pos, weights=None, initial_nside: int = 60, ax=None,
 
     Returns (ax, smoothed HEALPix map (npix,)).
     """
+    del add_traj_dist       # declared-but-unused in the reference too
     from scipy.ndimage import gaussian_filter1d
 
     from .healpix import (ang2pix_ring, healpix_map, nside2npix,

@@ -22,6 +22,7 @@ that the native API exposes under a different name or call form:
 """
 import types
 import warnings
+from pathlib import Path
 
 import numpy as np
 import pytest
@@ -194,7 +195,8 @@ def test_load_agama_potential_negative_m_expansion(quad_coefs):
     v_without = float(without.potential(xyz))
     oracle_with = P.load_potential(
         quad_coefs.zeroed([(0, 0), (2, 1), (2, -1)]))
-    oracle_without = P.load_potential(quad_coefs.zeroed([(0, 0), (2, 1)]))
+    oracle_without = P.load_potential(
+        quad_coefs.zeroed([(0, 0), (2, 1)], include_negative=False))
     np.testing.assert_allclose(v_with,
                                float(oracle_with.potential(xyz)),
                                rtol=1e-6)
@@ -423,6 +425,476 @@ def test_unbinding_unknown_solver_raises(bound_cluster):
     with pytest.raises(ValueError, match="potential_compute_method"):
         iterative_unbinding(pos, vel, mass,
                             potential_compute_method="fmm")
+
+
+# ---------------------------------------------------------------------------
+# utils reference call forms (profiles, fits, grids, centering)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def plummer_cloud(rng):
+    """~Plummer-distributed particles (M=1e10, b=2) via inverse CDF."""
+    n = 40000
+    u = rng.uniform(0.001, 0.999, n)
+    r = 2.0 / np.sqrt(u ** (-2.0 / 3.0) - 1.0)
+    pos = r[:, None] * uniform_dirs(rng, n)
+    mass = np.full(n, 1e10 / n)
+    return pos, mass
+
+
+def uniform_dirs(rng, n):
+    v = rng.normal(size=(n, 3))
+    return v / np.linalg.norm(v, axis=1, keepdims=True)
+
+
+def test_empirical_profiles_reference_form(plummer_cloud):
+    from nbody_streams_tpu.utils import (
+        empirical_density_profile, empirical_circular_velocity_profile,
+        empirical_velocity_dispersion_profile,
+        empirical_velocity_rms_profile,
+        empirical_velocity_anisotropy_profile)
+
+    pos, mass = plummer_cloud
+    # reference 2-tuple contract, selected by nbins=/rmin=/rmax=
+    r, rho = empirical_density_profile(pos, mass, nbins=30, rmin=0.2,
+                                       rmax=15.0)
+    assert r.shape == rho.shape == (30,)
+    assert r[0] < 0.2                 # arithmetic centres on 0-start grid
+    # matches the analytic Plummer density mid-profile
+    b = 2.0
+    rho_true = 3e10 / (4 * np.pi * b**3) * (1 + (r / b) ** 2) ** -2.5
+    mid = (r > 1.0) & (r < 6.0)
+    np.testing.assert_allclose(rho[mid], rho_true[mid], rtol=0.25)
+    # int third positional = nbins (reference positional layout)
+    r2, rho2 = empirical_density_profile(pos, mass, 30, rmin=0.2,
+                                         rmax=15.0)
+    np.testing.assert_array_equal(r, r2)
+    # native 3-tuple contract unchanged
+    out = empirical_density_profile(pos, mass, bins=25)
+    assert len(out) == 3
+    # circular velocity: v_c(b) for Plummer = sqrt(G M b^2/(b^2+b^2)^1.5)
+    rv, vc = empirical_circular_velocity_profile(pos, mass, nbins=40,
+                                                 rmin=0.2, rmax=15.0)
+    from nbody_streams_tpu import G_DEFAULT
+    vc_true = np.sqrt(G_DEFAULT * 1e10 * rv**2
+                      / (rv**2 + b**2) ** 1.5)
+    sel = (rv > 1.0) & (rv < 8.0)
+    np.testing.assert_allclose(vc[sel], vc_true[sel], rtol=0.05)
+    # velocity profiles: reference statistic = std / rms of |v|
+    vel = np.tile([1.0, 2.0, 2.0], (len(pos), 1))      # |v| = 3 exactly
+    rr, disp = empirical_velocity_dispersion_profile(pos, vel, nbins=10,
+                                                     rmin=0.5, rmax=10.0)
+    good = ~np.isnan(disp)
+    np.testing.assert_allclose(disp[good], 0.0, atol=1e-10)
+    rr, rms = empirical_velocity_rms_profile(pos, vel, nbins=10,
+                                             rmin=0.5, rmax=10.0)
+    np.testing.assert_allclose(rms[~np.isnan(rms)], 3.0, rtol=1e-12)
+
+
+def test_anisotropy_reference_form(rng, plummer_cloud):
+    from nbody_streams_tpu.utils import (
+        empirical_velocity_anisotropy_profile)
+
+    pos, mass = plummer_cloud
+    # purely radial orbits -> beta = 1; purely tangential -> beta < 0
+    rhat = pos / np.linalg.norm(pos, axis=1, keepdims=True)
+    vel_rad = 100.0 * rhat * rng.choice([-1, 1], len(pos))[:, None]
+    r, beta = empirical_velocity_anisotropy_profile(
+        pos, vel_rad, mass, nbins=12, rmin=0.5)
+    good = ~np.isnan(beta)
+    assert good.any()
+    np.testing.assert_allclose(beta[good], 1.0, atol=1e-6)
+    # native form still works (center third positional is (3,))
+    r_n, beta_n = empirical_velocity_anisotropy_profile(
+        pos, vel_rad, np.zeros(3), bins=10)
+    assert np.nanmax(np.abs(beta_n - 1.0)) < 0.2
+
+
+def test_double_power_law_factory():
+    from nbody_streams_tpu.utils import double_power_law_density
+    from scipy.integrate import quad
+
+    # reference factory form: normalised to total mass
+    rho = double_power_law_density(1e11, 5.0, 1.0, 4.0, 1.0)
+    # beta=4 tail converges as 1/R: integrating to 5e3 misses ~0.2%
+    total, _ = quad(lambda r: 4 * np.pi * r**2 * rho(r), 0, 5000.0,
+                    limit=200)
+    np.testing.assert_allclose(total, 1e11, rtol=5e-3)
+    # beta <= 3 without rcut is non-normalisable
+    with pytest.raises(ValueError, match="rcut"):
+        double_power_law_density(1e11, 5.0, 1.0, 2.5, 1.0)
+    # with rcut it normalises including the cutoff
+    rho_c = double_power_law_density(1e11, 5.0, 1.0, 2.5, 1.0,
+                                     rcut=50.0, cutoffstrength=2.0)
+    total_c, _ = quad(lambda r: 4 * np.pi * r**2 * rho_c(r), 0, 400.0,
+                      limit=200)
+    np.testing.assert_allclose(total_c, 1e11, rtol=1e-3)
+    # native 6-arg evaluator form unchanged
+    v = double_power_law_density(5.0, 2.0, 5.0, 1.0, 4.0, 1.0)
+    assert np.isscalar(v) or np.ndim(v) == 0
+
+
+def test_fit_profiles_reference_particle_forms(plummer_cloud):
+    from nbody_streams_tpu.utils import (fit_plummer_profile,
+                                         fit_dehnen_profile,
+                                         fit_double_spheroid_profile)
+
+    pos, mass = plummer_cloud
+    M, bfit, r_c, rho_v = fit_plummer_profile(pos, mass, bins=30)
+    np.testing.assert_allclose(M, 1e10, rtol=0.1)
+    np.testing.assert_allclose(bfit, 2.0, rtol=0.1)
+    assert r_c.shape == rho_v.shape
+    out = fit_dehnen_profile(pos, mass, bins=40)
+    assert len(out) == 5              # (M, a, gamma, r_centers, rho_vals)
+    # reference-form spheroid fit from particles
+    params = fit_double_spheroid_profile(pos=pos, mass=mass, bins=25)
+    M_s, a_s, alpha_s, beta_s, gamma_s = params
+    np.testing.assert_allclose(M_s, 1e10, rtol=0.25)
+    assert 0.0 <= gamma_s < 2.0       # Plummer: shallow inner slope
+    assert beta_s > 3.0               # steep outer slope
+    # return_profiles contract
+    params2, profiles = fit_double_spheroid_profile(
+        pos=pos, mass=mass, bins=25, return_profiles=True)
+    assert len(profiles) == 4
+    # native (r, rho) form unchanged
+    vals, errs = fit_plummer_profile(r_c[rho_v > 0], rho_v[rho_v > 0])
+    assert set(vals) == {"mass", "scaleRadius"}
+
+
+def test_find_center_reference_layout(rng):
+    from nbody_streams_tpu.utils import find_center, find_center_position
+
+    pos = rng.normal(0, 0.3, (3000, 3)) + np.array([5.0, -2.0, 1.0])
+    mass = np.full(3000, 1.0)
+    vel = rng.normal(0, 1.0, (3000, 3)) + np.array([10.0, 0.0, 0.0])
+    # reference positional layout: (pos, mass)
+    c = find_center(pos, mass, method="shrinking_sphere")
+    np.testing.assert_allclose(c, [5.0, -2.0, 1.0], atol=0.1)
+    # return_velocity=True with vel=
+    c2, v2 = find_center(pos, mass, vel=vel, method="shrinking_sphere",
+                         return_velocity=True, vel_aperture=1.0)
+    np.testing.assert_allclose(v2[0], 10.0, atol=0.3)
+    # return_velocity=False suppresses the tuple even with vel given
+    c3 = find_center(pos, vel=vel, method="shrinking_sphere",
+                     return_velocity=False)
+    assert np.shape(c3) == (3,)
+    # method='kde' (reference method set)
+    c4 = find_center(pos, mass, method="kde")
+    np.testing.assert_allclose(c4, [5.0, -2.0, 1.0], atol=0.2)
+    # deprecated positional alias (pos, mass, method)
+    with pytest.warns(DeprecationWarning):
+        c5 = find_center_position(pos, mass, "shrinking_sphere")
+    np.testing.assert_allclose(c5, c, atol=1e-12)
+
+
+def test_fit_iterative_ellipsoid_reference_form(rng):
+    from nbody_streams_tpu.utils import fit_iterative_ellipsoid
+
+    # triaxial Gaussian blob, axis ratios 1 : 0.6 : 0.3
+    n = 20000
+    pos = rng.normal(size=(n, 3)) * np.array([1.0, 0.6, 0.3])
+    abc, T = fit_iterative_ellipsoid(pos, Rmax=3.0,
+                                     reduced_structure=False,
+                                     orient_with_momentum=False)
+    assert abc.shape == (3,) and T.shape == (3, 3)
+    assert abc[0] == 1.0
+    np.testing.assert_allclose(abc[1], 0.6, atol=0.1)
+    np.testing.assert_allclose(abc[2], 0.3, atol=0.1)
+    # rows are orthonormal
+    np.testing.assert_allclose(T @ T.T, np.eye(3), atol=1e-8)
+    # return_ellip_triax contract
+    abc2, T2, ellip, triax = fit_iterative_ellipsoid(
+        pos, Rmax=3.0, reduced_structure=False,
+        orient_with_momentum=False, return_ellip_triax=True)
+    np.testing.assert_allclose(ellip, 1.0 - abc2[2], rtol=1e-12)
+    # momentum orientation: minor axis along L for a thin rotating disk
+    disk = rng.normal(size=(n, 3)) * np.array([1.0, 1.0, 0.05])
+    vphi = np.column_stack([-disk[:, 1], disk[:, 0],
+                            np.zeros(n)]) * 10.0
+    abc3, T3 = fit_iterative_ellipsoid(disk, None, vphi, 0.0, 4.0)
+    np.testing.assert_allclose(np.abs(T3[2]), [0, 0, 1], atol=0.05)
+    # native dict contract unchanged
+    out = fit_iterative_ellipsoid(pos, r_max=3.0, reduced=False)
+    assert isinstance(out, dict) and "b_over_a" in out
+
+
+# ---------------------------------------------------------------------------
+# io / fire / coefs / spray / reader reference call forms
+# ---------------------------------------------------------------------------
+
+def test_coefs_methods_reference_contracts(quad_coefs):
+    # zeroed: bare-int l shorthand + auto negative-m (reference
+    # _coefs.py:213); include_negative=False gives exact pairs
+    z_int = quad_coefs.zeroed([0, 2])
+    np.testing.assert_allclose(z_int.phi, quad_coefs.phi)
+    z_pair = quad_coefs.zeroed([(2, 1)])
+    kept = [i for i, lm in enumerate(quad_coefs.lm_labels)
+            if tuple(lm) in {(2, 1), (2, -1)}]
+    dropped = [i for i in range(len(quad_coefs.lm_labels))
+               if i not in kept]
+    assert (z_pair.phi[:, kept] != 0).any()
+    assert (z_pair.phi[:, dropped] == 0).all()
+    z_exact = quad_coefs.zeroed([(2, 1)], include_negative=False)
+    i_neg = quad_coefs.lm_labels.index((2, -1))
+    assert (z_exact.phi[:, i_neg] == 0).all()
+    # total_power(l) -> float (reference); total_power() -> native dict
+    tp = quad_coefs.total_power(2)
+    assert isinstance(tp, float) and tp > 0
+    assert isinstance(quad_coefs.total_power(), dict)
+    # radial_power use_quadrature=False -> sum |phi|
+    rp2 = quad_coefs.radial_power(2, use_quadrature=False)
+    np.testing.assert_allclose(
+        rp2, np.abs(quad_coefs.phi[:, [1, 2, 3]]).sum(axis=1))
+
+
+def test_write_snapshot_coefs_reference_batch_form(tmp_path, mult_coefs):
+    # lay out per-snapshot coefficient files
+    for s in (90, 91, 92):
+        (tmp_path / f"{s:03d}.coef_mult").write_text(
+            mult_coefs.to_coef_string())
+    out = tmp_path / "arch_mult.h5"
+    P.write_snapshot_coefs_to_h5(
+        snapshot_ids=range(90, 93),
+        coef_file_patterns=[str(tmp_path / "{snap:03d}.coef_mult")],
+        h5_output_paths=[out],
+        times=[0.0, 0.5, 1.0])
+    pot = P.load_agama_evolving_potential(out,
+                                          group_names=["snap_091"],
+                                          times=[0.5])
+    xyz = np.array([3.0, 0.0, 4.0])
+    ref = P.load_potential(mult_coefs)
+    np.testing.assert_allclose(float(pot.potential(xyz, t=0.5)),
+                               float(ref.potential(xyz)), rtol=1e-6)
+    # positional reference layout works too
+    out2 = tmp_path / "arch2.h5"
+    P.write_snapshot_coefs_to_h5(
+        range(90, 93), [str(tmp_path / "{snap:03d}.coef_mult")], [out2])
+    assert out2.exists()
+    with pytest.raises(FileNotFoundError):
+        P.write_snapshot_coefs_to_h5(
+            snapshot_ids=[1], coef_file_patterns=["{snap}.nope"],
+            h5_output_paths=[tmp_path / "x.h5"])
+
+
+@pytest.fixture()
+def fire_dir(tmp_path, mult_coefs):
+    """Minimal FIRE-layout directory with snapshot_times + coef files."""
+    (tmp_path / "snapshot_times.txt").write_text(
+        "# snap scale-factor redshift time[Gyr] time_width[Myr]\n"
+        "90 0.9 0.11 12.0 25.0\n"
+        "91 0.95 0.05 12.5 25.0\n"
+        "92 1.0 0.0 13.0 25.0\n")
+    pot_dir = tmp_path / "potential" / "10kpc"
+    pot_dir.mkdir(parents=True)
+    for s in (90, 91, 92):
+        (pot_dir / f"{s}.dark.none_4.coef_mul_spl").write_text(
+            mult_coefs.to_coef_string())
+    return tmp_path
+
+
+def test_read_snapshot_times_reference_form(fire_dir):
+    # directory argument + pandas-style column names + sep= ignored
+    df = P.read_snapshot_times(fire_dir, sep=r"\s+")
+    np.testing.assert_array_equal(df["snap"], [90, 91, 92])
+    np.testing.assert_allclose(df["time[Gyr]"], [12.0, 12.5, 13.0])
+    np.testing.assert_allclose(df["time_width[Myr]"], [25.0] * 3)
+
+
+def test_create_fire_evolving_ini_reference_form(fire_dir, capsys):
+    out = P.create_fire_evolving_ini(
+        fire_dir, "*.dark.none_4.coef_mul_spl", "evolv.ini",
+        snap_range=(90, 91), verbose=True)
+    assert isinstance(out, str)
+    assert out.endswith("evolv.ini")
+    text = Path(out).read_text()
+    assert "90.dark.none_4.coef_mul_spl" in text
+    assert "92.dark" not in text                # snap_range respected
+    assert "12.5" in text                        # times from the listing
+    assert "Written:" in capsys.readouterr().out
+    with pytest.raises(FileNotFoundError, match="Missing"):
+        P.create_fire_evolving_ini(fire_dir, "*.absent", "x.ini")
+
+
+def test_create_evolving_ini_reference_order(tmp_path):
+    # reference positional order: (times, coef_paths, output_path)
+    ini = tmp_path / "ref_order.ini"
+    out = P.create_evolving_ini([0.0, 1.0], ["a.coef", "b.coef"], ini)
+    assert out == ini and "a.coef" in ini.read_text()
+    # reference keyword names
+    ini2 = tmp_path / "kw.ini"
+    P.create_evolving_ini(times=[0.0], coef_paths=["c.coef"],
+                          output_path=ini2)
+    assert "c.coef" in ini2.read_text()
+
+
+def test_spray_R_keyword(rng):
+    from nbody_streams_tpu.fast_sims import (
+        create_ic_particle_spray_chen2025,
+        create_ic_particle_spray_fardal2015)
+
+    n = 16
+    orbit = np.hstack([rng.normal(0, 20, (n, 3)),
+                       rng.normal(0, 100, (n, 3))])
+    rj = np.full(n, 2.0)
+    rots = np.tile(np.eye(3), (n, 1, 1))
+    a = create_ic_particle_spray_chen2025(orbit, 1e9, rj, rots, seed=1)
+    b = create_ic_particle_spray_chen2025(orbit, 1e9, rj, R=rots,
+                                          G=None, seed=1)
+    np.testing.assert_array_equal(a, b)
+    vj = np.full(n, 5.0)
+    c = create_ic_particle_spray_fardal2015(orbit, rj, vj, rots, seed=2)
+    d = create_ic_particle_spray_fardal2015(orbit, rj, vj, R=rots, seed=2)
+    np.testing.assert_array_equal(c, d)
+    with pytest.raises(TypeError, match="not both"):
+        create_ic_particle_spray_fardal2015(orbit, rj, vj, rots, R=rots)
+
+
+def test_extract_orbits_reference_contract(tmp_path):
+    from nbody_streams_tpu import Species, run_simulation, ParticleReader
+
+    xv = np.random.default_rng(0).normal(0, 1, (64, 6))
+    sp = [Species(name="dark", N=40, mass=1e6),
+          Species(name="star", N=24, mass=1e5)]
+    run_simulation(xv, sp, 0.0, 2e-4, 1e-4, output_dir=tmp_path,
+                   save_snapshots=True, snapshots=2, verbose=False,
+                   architecture="cpu")
+    reader = ParticleReader(str(tmp_path / "snapshot.h5"))
+    orb = reader.extract_orbits("star", min_parallel_workers=1)
+    assert orb.species["star"] is orb.posvel    # reference attrs
+    assert orb.star is orb.posvel
+    assert orb.Times is orb.times
+    both = reader.extract_orbits("all")
+    assert set(both.species) == {"dark", "star"}
+    assert both.dark.shape[1] == 40 and both.star.shape[1] == 24
+    assert reader.extract_orbits(False) is None
+
+
+# ---------------------------------------------------------------------------
+# coords reference call forms
+# ---------------------------------------------------------------------------
+
+def test_convert_coords_data_kwarg(rng):
+    from nbody_streams_tpu.coords import convert_coords
+
+    pts = rng.normal(0, 5, (20, 3))
+    a = convert_coords(pts, "cart", "sph")
+    b = convert_coords(data=pts, from_sys="cart", to_sys="sph")
+    np.testing.assert_array_equal(a, b)
+    with pytest.raises(TypeError, match="not both"):
+        convert_coords(pts, "cart", "sph", data=pts)
+
+
+def test_convert_vectors_reference_contract(rng):
+    """Positional call = reference form (pos, vec, from, to) ->
+    (pos_new, vec_new) (reference coords/transforms.py:265)."""
+    from nbody_streams_tpu.coords import convert_coords, convert_vectors
+
+    pos = rng.normal(0, 5, (40, 3))
+    r = np.linalg.norm(pos, axis=1, keepdims=True)
+    vel = 7.0 * pos / r                     # purely radial
+    pos_sph, v_sph = convert_vectors(pos, vel, "cart", "sph")
+    np.testing.assert_allclose(pos_sph,
+                               convert_coords(pos, "cart", "sph"),
+                               atol=1e-12)
+    np.testing.assert_allclose(v_sph[:, 0], 7.0, atol=1e-10)
+    np.testing.assert_allclose(v_sph[:, 1:], 0.0, atol=1e-10)
+    # round trip through the reference form
+    pos_back, v_back = convert_vectors(pos_sph, v_sph, "sph", "cart")
+    np.testing.assert_allclose(pos_back, pos, atol=1e-10)
+    np.testing.assert_allclose(v_back, vel, atol=1e-10)
+
+
+def test_convert_to_vel_los_reference_form(rng):
+    from nbody_streams_tpu.coords import convert_to_vel_los
+
+    # (6,) -> scalar; v_los of a tangential orbit is 0
+    assert convert_to_vel_los(
+        np.array([8.0, 0.0, 0.0, 0.0, 220.0, 0.0])) == pytest.approx(0.0)
+    # (N, 6) batch + broadcastable reference subtraction
+    xv = rng.normal(0, 1, (5, 100, 6))
+    ref = rng.normal(0, 1, (5, 1, 6))
+    v = convert_to_vel_los(xv, ref)
+    assert v.shape == (5, 100)
+    d = xv - ref
+    expect = np.sum(d[..., :3] * d[..., 3:], -1) \
+        / np.linalg.norm(d[..., :3], axis=-1)
+    np.testing.assert_allclose(v, expect, rtol=1e-12)
+
+
+def test_to_stream_coords_reference_contract():
+    from nbody_streams_tpu.coords import (generate_stream_coords,
+                                          to_stream_coords)
+
+    ang = np.linspace(-0.4, 0.4, 40)
+    pos = 15.0 * np.column_stack([np.cos(ang), np.sin(ang), 0 * ang])
+    vel = 120.0 * np.column_stack([-np.sin(ang), np.cos(ang), 0 * ang])
+    xv = np.hstack([pos, vel])
+    phi1, phi2, R = generate_stream_coords(xv, xv[20],
+                                           return_rotation=True)
+    # R columns are unit basis vectors (reference convention)
+    np.testing.assert_allclose(R.T @ R, np.eye(3), atol=1e-10)
+    p1, p2 = to_stream_coords(xv, R)
+    np.testing.assert_allclose(p1, phi1, atol=1e-10)
+    # rotation= is the native keyword alias
+    p1b, _ = to_stream_coords(xv, rotation=R)
+    np.testing.assert_array_equal(p1, p1b)
+    # proper motions: circular orbit in the stream plane ->
+    # mu_phi2 = 0 and mu_phi1*cos(phi2) = v/r (in km/s/kpc)
+    p1, p2, mu1, mu2 = to_stream_coords(xv, R,
+                                        return_proper_motions=True,
+                                        mas_yr=False)
+    np.testing.assert_allclose(mu2, 0.0, atol=1e-10)
+    np.testing.assert_allclose(np.abs(mu1), 120.0 / 15.0, rtol=1e-10)
+    # mas/yr conversion = / 4.740470446
+    *_, mu1_mas, _ = to_stream_coords(xv, R, return_proper_motions=True,
+                                      mas_yr=True)
+    np.testing.assert_allclose(mu1_mas, mu1 / 4.740470446, rtol=1e-12)
+    # positions-only input refuses proper motions
+    with pytest.raises(ValueError, match="6-column"):
+        to_stream_coords(pos, R, return_proper_motions=True)
+
+
+def test_get_observed_stream_coords_reference_form():
+    from nbody_streams_tpu.coords import get_observed_stream_coords
+
+    d_sun, z_sun = 8.122, 0.0208
+    # anchor 1: particles at the Galactic centre appear toward the GC's
+    # ICRS direction (ra 266.4051, dec -28.936175)
+    ang = np.linspace(-0.2, 0.2, 20)
+    tiny = 1e-6 * np.column_stack([np.cos(ang), np.sin(ang), 0 * ang])
+    xv_gc = np.hstack([tiny, 100.0 * np.column_stack(
+        [-np.sin(ang), np.cos(ang), 0 * ang])])
+    ra, dec, v_los, phi1, phi2 = get_observed_stream_coords(
+        xv_gc, xv_gc[10], galcen_distance=d_sun, z_sun=z_sun)
+    np.testing.assert_allclose(ra, 266.4051, atol=1e-3)
+    np.testing.assert_allclose(dec, -28.936175, atol=1e-3)
+    assert phi1.shape == (20,)
+    # anchor 2: a point toward the heliocentric-galactic z-axis looks at
+    # the North Galactic Pole (ICRS ra 192.859, dec 27.128).  The
+    # galactocentric frame is tilted by asin(z_sun/d) w.r.t. the
+    # heliocentric galactic frame, so the test point carries that tilt.
+    x_sun = -np.sqrt(d_sun**2 - z_sun**2)
+    th = np.arcsin(z_sun / d_sun)
+    L = 1e7
+    far = np.array([[x_sun + L * np.sin(th), 0.0,
+                     z_sun + L * np.cos(th), 0.0, 0.0, 0.0]])
+    ra2, dec2, *_ = get_observed_stream_coords(
+        far, far[0] + [0, 0, 0, 0, 1.0, 0], galcen_distance=d_sun,
+        z_sun=z_sun)
+    np.testing.assert_allclose(ra2, 192.859, atol=0.01)
+    np.testing.assert_allclose(dec2, 27.128, atol=0.01)
+    # anchor 3: co-moving with the Sun at the GC -> v_los ~ -|v_sun
+    # projected| ... use a particle moving WITH the solar velocity: the
+    # relative velocity is zero, so v_los = 0 exactly
+    v_sun = (12.9, 245.6, 7.78)
+    xv_rest = np.vstack([xv_gc[:, :3].T, *np.broadcast_to(
+        np.array(v_sun)[:, None], (3, 20))]).T
+    _, _, v0, _, _ = get_observed_stream_coords(
+        xv_rest, xv_rest[10], galcen_v_sun=v_sun)
+    np.testing.assert_allclose(v0, 0.0, atol=1e-9)
+    # native dict form unchanged
+    out = get_observed_stream_coords(xv_gc, xv_gc[10])
+    assert isinstance(out, dict) and "pm_phi1" in out
 
 
 # ---------------------------------------------------------------------------

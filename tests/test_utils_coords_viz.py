@@ -126,13 +126,44 @@ def test_iterative_unbinding(plummer):
 
 
 def test_grids():
+    # reference contract (reference utils/main.py:107-164): node 0 at 0,
+    # node 1 at xmin, last node at xmax, geometric growth
     g = make_uneven_grid(0.1, 100.0, 20)
-    assert g[0] == pytest.approx(0.1) and g[-1] == pytest.approx(100.0)
+    assert g.shape == (20,)
+    assert g[0] == 0.0
+    assert g[1] == pytest.approx(0.1, rel=1e-9)
+    assert g[-1] == pytest.approx(100.0, rel=1e-9)
+    assert np.all(np.diff(np.diff(g)) > 0)     # growing spacing
+    # xmax=None -> uniform spacing xmin; infeasible grading -> uniform
+    np.testing.assert_allclose(make_uneven_grid(0.5, nbins=4),
+                               [0.0, 0.5, 1.0, 1.5])
+    np.testing.assert_allclose(make_uneven_grid(1.0, 2.5, nbins=4),
+                               np.linspace(0, 2.5, 4))
     pts = fibonacci_sphere_grid(500)
     np.testing.assert_allclose(np.linalg.norm(pts, axis=1), 1.0,
                                rtol=1e-12)
     # near-uniform: mean position ~ 0
     assert np.abs(pts.mean(0)).max() < 0.01
+    # radius / proj / jittered knobs (reference utils/main.py:1384)
+    pts_r = fibonacci_sphere_grid(100, radius=3.0)
+    np.testing.assert_allclose(np.linalg.norm(pts_r, axis=1), 3.0,
+                               rtol=1e-12)
+    sph = fibonacci_sphere_grid(100, radius=2.0, proj="sph")
+    np.testing.assert_allclose(sph[:, 0], 2.0)
+    assert np.all(sph[:, 1] >= 0) and np.all(sph[:, 1] <= np.pi)
+    jit = fibonacci_sphere_grid(100, jittered=True, seed=1)
+    assert not np.allclose(jit, fibonacci_sphere_grid(100))
+    # uniform_spherical_grid: reference contract = random points on the
+    # sphere SURFACE (utils/main.py:1327)
+    from nbody_streams_tpu.utils import uniform_spherical_grid
+
+    u = uniform_spherical_grid(400, radius=1.5, seed=3)
+    assert u.shape == (400, 3)
+    np.testing.assert_allclose(np.linalg.norm(u, axis=1), 1.5,
+                               rtol=1e-12)
+    cyl = uniform_spherical_grid(50, proj="cyl", seed=3)
+    np.testing.assert_allclose(np.hypot(cyl[:, 0], 0) ** 2 + cyl[:, 2]**2,
+                               1.0, rtol=1e-9)
 
 
 # ---------------------------------------------------------------------------
@@ -162,11 +193,13 @@ def test_vector_conversion_radial(rng):
     pos = rng.normal(0, 5, (50, 3))
     r = np.linalg.norm(pos, axis=1, keepdims=True)
     vel = 42.0 * pos / r
-    v_sph = convert_vectors(vel, pos, "cart", "sph")
+    v_sph = convert_vectors(vectors=vel, positions=pos,
+                            from_sys="cart", to_sys="sph")
     np.testing.assert_allclose(v_sph[:, 0], 42.0, atol=1e-10)
     np.testing.assert_allclose(v_sph[:, 1:], 0.0, atol=1e-10)
     # round trip
-    back = convert_vectors(v_sph, pos, "sph", "cart")
+    back = convert_vectors(vectors=v_sph, positions=pos,
+                           from_sys="sph", to_sys="cart")
     np.testing.assert_allclose(back, vel, atol=1e-10)
 
 
@@ -187,9 +220,9 @@ def test_stream_coords_planar_orbit():
                                              return_rotation=True)
     np.testing.assert_allclose(phi2, 0.0, atol=1e-8)
     assert phi1.max() - phi1.min() > 50.0  # degrees
-    p1, p2, r = to_stream_coords(xv, rot)
+    p1, p2 = to_stream_coords(xv, rot)
     np.testing.assert_allclose(p1, phi1, atol=1e-10)
-    np.testing.assert_allclose(r, 20.0, rtol=1e-12)
+    np.testing.assert_allclose(p2, phi2, atol=1e-10)
 
 
 def test_observed_stream_coords():
@@ -298,8 +331,8 @@ def test_observed_pm_is_rate_of_returned_angles():
     dt = 1e-6
     xv2 = xv.copy()
     xv2[:, :3] += xv[:, 3:] * dt
-    p1a, p2a, _ = to_stream_coords(xv, out["rotation"])
-    p1b, p2b, _ = to_stream_coords(xv2, out["rotation"])
+    p1a, p2a = to_stream_coords(xv, out["rotation"])
+    p1b, p2b = to_stream_coords(xv2, out["rotation"])
     # degrees=True default: pm must be in deg/time, the rate of the
     # RETURNED (degree) angles (r3 review: was rad/time regardless)
     np.testing.assert_allclose(out["pm_phi1"], (p1b - p1a) / dt,
@@ -319,7 +352,8 @@ def test_convert_vectors_nan_position_propagates():
     (r2 review: the check was a no-op over positions)."""
     v = np.array([[1.0, 0.0, 0.0], [1.0, 0.0, 0.0]])
     p = np.array([[1.0, 2.0, 3.0], [1.0, 2.0, np.nan]])
-    out = convert_vectors(v, p, "cart", "cyl")
+    out = convert_vectors(vectors=v, positions=p,
+                          from_sys="cart", to_sys="cyl")
     assert np.isfinite(out[0]).all()
     assert np.isnan(out[1]).all()
 
@@ -363,10 +397,15 @@ def test_convert_coords_batched_leading_shape():
     np.testing.assert_allclose(convert_coords(s, "sph", "cart"), x,
                                atol=1e-12)
     np.testing.assert_allclose(s[1], convert_coords(x[1], "cart", "sph"))
-    v = convert_vectors(x, x, "cart", "cyl")
-    assert v.shape == (2, 5, 3)
-    np.testing.assert_allclose(v[0], convert_vectors(x[0], x[0],
-                                                     "cart", "cyl"))
+    # reference contract: positional call returns (pos_new, vec_new)
+    p_new, v = convert_vectors(x, x, "cart", "cyl")
+    assert p_new.shape == v.shape == (2, 5, 3)
+    _, v0 = convert_vectors(x[0], x[0], "cart", "cyl")
+    np.testing.assert_allclose(v[0], v0)
+    # native keyword form returns the vectors only
+    v_nat = convert_vectors(vectors=x, positions=x, from_sys="cart",
+                            to_sys="cyl", position_system="cart")
+    np.testing.assert_allclose(v_nat, v)
     los = convert_to_vel_los(x, x)
     assert los.shape == (2, 5)
     import pytest
@@ -380,10 +419,10 @@ def test_to_stream_coords_single_row():
     (r3 review: IndexError)."""
     xv = np.random.default_rng(4).normal(size=(7, 6)) * 10
     rot = np.eye(3)
-    p1, p2, r = to_stream_coords(xv[0], rot)
-    P1, P2, R = to_stream_coords(xv, rot)
+    p1, p2 = to_stream_coords(xv[0], rot)
+    P1, P2 = to_stream_coords(xv, rot)
     assert np.ndim(p1) == 0
-    np.testing.assert_allclose([p1, p2, r], [P1[0], P2[0], R[0]])
+    np.testing.assert_allclose([p1, p2], [P1[0], P2[0]])
 
 
 def test_find_center_empty_velocity_aperture_raises(plummer):
