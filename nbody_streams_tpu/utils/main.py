@@ -630,7 +630,8 @@ def _fit_spheroid_reference_form(
     return params
 
 
-def fit_dehnen_profile(r, rho=None, p0=None, *, axis_y: float = 1.0,
+def fit_dehnen_profile(r, rho=None, p0=None, *, mass=None,
+                       axis_y: float = 1.0,
                        axis_z: float = 1.0, bins: int = 50):
     """Fit a Dehnen (1993) profile rho = (3-g) M a / (4 pi r^g (r+a)^(4-g));
     returns ({'mass','scaleRadius','gamma'}, errors).
@@ -643,8 +644,10 @@ def fit_dehnen_profile(r, rho=None, p0=None, *, axis_y: float = 1.0,
     """
     r = np.asarray(r, float)
     if r.ndim == 2:
+        m = mass if mass is not None else (
+            rho if rho is not None else 1.0)
         centers, rho_vals = _ellipsoidal_density_profile(
-            r, rho if rho is not None else 1.0, bins, axis_y, axis_z)
+            r, m, bins, axis_y, axis_z)
         vals, _ = fit_dehnen_profile(centers, rho_vals, p0)
         return (vals["mass"], vals["scaleRadius"], vals["gamma"],
                 centers, rho_vals)
@@ -668,7 +671,8 @@ def fit_dehnen_profile(r, rho=None, p0=None, *, axis_y: float = 1.0,
     return vals, errs
 
 
-def fit_plummer_profile(r, rho=None, p0=None, *, bins: int = 30):
+def fit_plummer_profile(r, rho=None, p0=None, *, mass=None,
+                        bins: int = 30):
     """Fit a Plummer sphere; returns ({'mass','scaleRadius'}, errors).
 
     The reference particle form (reference utils/main.py:872:
@@ -678,8 +682,9 @@ def fit_plummer_profile(r, rho=None, p0=None, *, bins: int = 30):
     """
     r = np.asarray(r, float)
     if r.ndim == 2:
-        centers, rho_vals = _ellipsoidal_density_profile(
-            r, rho if rho is not None else 1.0, bins)
+        m = mass if mass is not None else (
+            rho if rho is not None else 1.0)
+        centers, rho_vals = _ellipsoidal_density_profile(r, m, bins)
         vals, _ = fit_plummer_profile(centers, rho_vals, p0)
         return vals["mass"], vals["scaleRadius"], centers, rho_vals
     rho = np.asarray(rho, float)
