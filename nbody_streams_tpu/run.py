@@ -735,7 +735,20 @@ def run_nbody_tpu(*args, **kwargs):
 
 
 def run_nbody_cpu(*args, **kwargs):
-    """CPU-pinned driver (reference run_nbody_cpu equivalent)."""
+    """CPU-pinned driver (reference run_nbody_cpu equivalent).
+
+    The reference's CPU-only knobs are accepted: ``method`` ('direct' or
+    'tree' — the reference's pyfalcon tree runs here as the exact direct
+    sum), ``theta`` (tree opening angle: exact here) and ``nthreads``
+    (XLA manages its own CPU thread pool) are validated and ignored
+    (reference run.py run_nbody_cpu).
+    """
+    method = kwargs.pop("method", "direct")
+    if method not in ("direct", "tree"):
+        raise ValueError(f"unknown method {method!r} (use 'direct' or "
+                         "'tree')")
+    kwargs.pop("theta", None)
+    kwargs.pop("nthreads", None)
     kwargs.setdefault("architecture", "cpu")
     kwargs.setdefault("impl", "jnp")
     return run_nbody(*args, **kwargs)

@@ -749,6 +749,20 @@ def test_spray_R_keyword(rng):
         create_ic_particle_spray_fardal2015(orbit, rj, vj, rots, R=rots)
 
 
+def test_run_nbody_cpu_reference_kwargs(tmp_path):
+    """The reference's CPU-only knobs (method/theta/nthreads,
+    reference run.py run_nbody_cpu) are accepted and validated."""
+    import nbody_streams_tpu as nst
+
+    xv, m = nst.make_plummer_sphere(128, M_total=1e8, a=0.5, seed=1)
+    out = nst.run_nbody_cpu(xv, m, 0.0, 2e-4, 1e-4, softening=0.05,
+                            method="tree", theta=0.5, nthreads=4,
+                            save_snapshots=False, verbose=False)
+    assert np.asarray(out).shape == (128, 6)
+    with pytest.raises(ValueError, match="unknown method"):
+        nst.run_nbody_cpu(xv, m, 0.0, 2e-4, 1e-4, method="fmm")
+
+
 def test_extract_orbits_reference_contract(tmp_path):
     from nbody_streams_tpu import Species, run_simulation, ParticleReader
 
