@@ -40,6 +40,11 @@ __all__ = ["DirectGravity"]
 # benchmarks/impl_compare.py: 64k XLA 133 vs Pallas 113 Gint/s;
 # 256k XLA 161 vs Pallas 109; but 1M Pallas 184 vs XLA 157 — the
 # throttle fades with kernel size while the XLA band fraction grows.
+# That premise is allocation-class-dependent (a later session measured
+# 1M Pallas at 112 on a same-reading probe); for LONG auto-impl runs
+# above this cutoff the driver time-trials both backends on the actual
+# ICs and keeps the winner (run.py::_timed_impl_trial) — this constant
+# only decides the cheap static case.
 _XLA_AUTO_MAX_N = 400_000
 
 

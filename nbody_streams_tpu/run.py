@@ -81,6 +81,109 @@ def _dispatch_cap(limit, est_step_s, budget_s=_DISPATCH_BUDGET_S,
     return 1
 
 
+# Timed large-N backend trial (Mosaic-degraded allocations only).  The
+# fixed crossover in ops/dispatch (_XLA_AUTO_MAX_N) assumes the
+# session's Mosaic throttle fades with kernel size, but that premise is
+# itself allocation-class-dependent: a 2026-08-19 session measured 1M
+# Pallas stepping at 112 vs XLA 157 Gint/s (docs/performance.md,
+# crossover caveat) — 29% lost to the cutoff — and the fma probe reads
+# the two classes identically (0.78 vs 1.06 Top/s, both "degraded").
+# A timed mini-chunk of each backend on the run's actual ICs is the
+# direct discriminator; the driver pays it only when the modeled run is
+# long enough that the ~2-3 min trial is noise.
+_TRIAL_MIN_MODELED_S = 1800.0  # modeled remaining run cost worth a trial
+_TRIAL_MODEL_RATE = 150e9      # optimistic int/s for the modeled-cost gate
+_TRIAL_WINDOWS = 2
+_TRIAL_MARGIN = 0.95           # xla must beat pallas by >5% to switch
+
+
+def _should_trial_impl(solver, impl_arg, solver_factory, n, remaining_steps,
+                       on_tunnel, scale_fn=None):
+    """Whether to time-trial ``impl='xla'`` against the auto-resolved
+    Pallas backend before a long large-N run (see block comment above).
+
+    Fires only when every one of these holds: the user asked for
+    ``impl='auto'`` (an explicit backend choice is respected), the auto
+    resolution picked the single-device Pallas path on a tunnelled TPU,
+    N is above the probe-driven crossover's ceiling, the sorted two-pass
+    path is active (the only regime the XLA backend competes in), the
+    precision tier exists on both backends, the modeled remaining run is
+    long enough to amortise the trial, and the session's Pallas capacity
+    probe reads degraded."""
+    from .ops.dispatch import _XLA_AUTO_MAX_N
+
+    if solver_factory is not None or impl_arg != "auto" or not on_tunnel:
+        return False
+    if solver.impl != "pallas" or solver.precision not in (
+            "float32", "float32_kahan"):
+        return False
+    if n < _XLA_AUTO_MAX_N or not solver.spatial_sort_active:
+        return False
+    if remaining_steps * n * n / _TRIAL_MODEL_RATE < _TRIAL_MIN_MODELED_S:
+        return False
+    if scale_fn is None:
+        from .ops.probe import rate_scale as scale_fn
+    return scale_fn() < 0.5
+
+
+def _time_solver_steps(solver, xv0, dt, trial_steps):
+    """Best-of-``_TRIAL_WINDOWS`` per-step wall seconds for one backend:
+    scan-amortised mini-chunks through the real integrator pieces on a
+    throwaway copy of the ICs.  Also returns output finiteness — the XLA
+    backend's in-scan guard poisons to NaN on a band-coverage violation,
+    and a poisoned trial must never win."""
+    accel_fn = make_accel_fn(solver, solver.mass)
+    step_fn = make_kdk_step(accel_fn, dt, 0.0)
+    presort = solver.spatial_sort_active
+    state = init_state(xv0[:, :3], xv0[:, 3:], accel_fn, solver.mass, 0.0,
+                       sort_fn=solver.sort_key if presort else None)
+    state = run_chunk(step_fn, state, trial_steps, presort=presort,
+                      presort_every=solver.presort_interval)
+    jax.device_get(state.step)  # compile + warm (axon: real sync)
+    best = float("inf")
+    for _ in range(_TRIAL_WINDOWS):
+        t0 = pytime.perf_counter()
+        state = run_chunk(step_fn, state, trial_steps, presort=presort,
+                          presort_every=solver.presort_interval)
+        jax.device_get(state.step)
+        best = min(best, (pytime.perf_counter() - t0) / trial_steps)
+    finite = bool(np.isfinite(np.asarray(jax.device_get(state.pos))).all())
+    return best, finite
+
+
+def _timed_impl_trial(solver, build_fn, xv0, dt, verbose,
+                      timer_fn=_time_solver_steps, scale_fn=None):
+    """Time the resolved Pallas solver against ``impl='xla'`` on the
+    run's ICs; return the faster one (keeping Pallas on ties, errors, or
+    a NaN-poisoned XLA window)."""
+    n = solver.n
+    # mini-chunks sized by the same dispatch-cap model as the run loop,
+    # so a degraded-allocation 1M-2M trial dispatch stays under the
+    # remote worker's execution budget
+    est = _scale_for_allocation(n * n / 100e9, "pallas", True,
+                                scale_fn=scale_fn)
+    trial_steps = _dispatch_cap(5, est)
+    try:
+        xla_solver = build_fn("xla")
+    except Exception as e:  # pragma: no cover - defensive
+        if verbose:
+            print(f"impl trial: xla backend unavailable ({e}) — "
+                  "keeping pallas")
+        return solver
+    t_pal, _ = timer_fn(solver, xv0, dt, trial_steps)
+    t_xla, xla_finite = timer_fn(xla_solver, xv0, dt, trial_steps)
+    if verbose:
+        print(f"impl trial at N={n:,} ({trial_steps}-step windows): "
+              f"pallas {t_pal:.2f} s/step ({n * n / t_pal / 1e9:.1f} "
+              f"Gint/s) vs xla {t_xla:.2f} s/step "
+              f"({n * n / t_xla / 1e9:.1f} Gint/s"
+              f"{'' if xla_finite else ', POISONED'}) — using "
+              f"{'xla' if xla_finite and t_xla < _TRIAL_MARGIN * t_pal else 'pallas'}")
+    if xla_finite and t_xla < _TRIAL_MARGIN * t_pal:
+        return xla_solver
+    return solver
+
+
 def _scale_for_allocation(est_step_s, impl, on_tunnel,
                           threshold_s: float = 2.0, scale_fn=None):
     """Rescale the dispatch-cap step estimate by the session's measured
@@ -247,7 +350,10 @@ def run_nbody(
       ~1e-3 force error — see docs/forces.md).
     * ``impl``: force backend — 'auto' | 'jnp' | 'pallas' | 'xla' |
       'sharded' ('xla' is the pure-XLA two-pass split for tunnel
-      allocations that penalise Mosaic-compiled kernels).
+      allocations that penalise Mosaic-compiled kernels).  For long
+      large-N 'auto' runs on a degraded allocation the driver
+      time-trials pallas vs xla on the actual ICs and keeps the winner
+      (see ``_timed_impl_trial``).
     * ``devices``: device list for the sharded backend (defaults to all).
     * ``solver_factory``: optional ``(mass_arr, soft_arr) -> solver``
       called on the target device in place of the DirectGravity
@@ -364,6 +470,16 @@ def run_nbody(
                 masses, soft_arr, G=G, kernel=kernel, precision=precision,
                 impl=impl, block_size=block_size, devices=devices,
             )
+            on_tunnel_trial = (device.platform if device is not None
+                               else jax.default_backend()) in ("tpu", "axon")
+            if _should_trial_impl(solver, impl, solver_factory, n,
+                                  total_steps - start_step, on_tunnel_trial):
+                solver = _timed_impl_trial(
+                    solver,
+                    lambda i: DirectGravity(
+                        masses, soft_arr, G=G, kernel=kernel,
+                        precision=precision, impl=i, block_size=block_size),
+                    xv, dt, verbose)
         # Ghost padding (sharded backend, N not divisible by the device
         # count): integrate N + pad rows so the state block-shards
         # evenly — no per-step reshard.  Ghosts are zero-mass (invisible

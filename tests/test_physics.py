@@ -524,6 +524,104 @@ def test_dispatch_cap_allocation_rescale():
                                  scale_fn=scale) == 0.04
 
 
+def test_timed_impl_trial_gating():
+    """_should_trial_impl: the driver time-trials impl='xla' against the
+    auto-resolved Pallas backend only for long, large-N, auto-impl runs
+    on a degraded tunnel allocation (docs/performance.md crossover
+    caveat: the fma probe cannot separate the allocation class where 1M
+    Pallas loses 29% to the fixed cutoff)."""
+    from types import SimpleNamespace
+
+    from nbody_streams_tpu.ops.dispatch import _XLA_AUTO_MAX_N
+    from nbody_streams_tpu.run import _should_trial_impl
+
+    sol = SimpleNamespace(impl="pallas", precision="float32_kahan",
+                          spatial_sort_active=True)
+    n = 1_048_576
+    assert n >= _XLA_AUTO_MAX_N
+    degraded = lambda: 0.35  # noqa: E731
+    healthy = lambda: 1.0    # noqa: E731
+
+    assert _should_trial_impl(sol, "auto", None, n, 1000, True, degraded)
+    # healthy allocation: Pallas wins everywhere, no trial
+    assert not _should_trial_impl(sol, "auto", None, n, 1000, True, healthy)
+    # explicit impl choice is respected
+    assert not _should_trial_impl(sol, "pallas", None, n, 1000, True,
+                                  degraded)
+    # custom solver factory: not a DirectGravity population
+    assert not _should_trial_impl(sol, "auto", object(), n, 1000, True,
+                                  degraded)
+    # off-tunnel backends have no Mosaic throttle
+    assert not _should_trial_impl(sol, "auto", None, n, 1000, False,
+                                  degraded)
+    # below the crossover ceiling the probe-driven auto already switched
+    assert not _should_trial_impl(sol, "auto", None, _XLA_AUTO_MAX_N - 1,
+                                  1000, True, degraded)
+    # short run: ~2-3 min of trial is not amortised (1M x 100 steps
+    # models ~730 s of work, under the 1800 s gate)
+    assert not _should_trial_impl(sol, "auto", None, n, 100, True, degraded)
+    # auto resolved to something other than single-device Pallas
+    for impl in ("xla", "jnp", "sharded"):
+        s2 = SimpleNamespace(impl=impl, precision="float32_kahan",
+                             spatial_sort_active=True)
+        assert not _should_trial_impl(s2, "auto", None, n, 1000, True,
+                                      degraded)
+    # precision tiers that exist only on one backend never switch
+    for prec in ("float32_fast", "float64"):
+        s2 = SimpleNamespace(impl="pallas", precision=prec,
+                             spatial_sort_active=True)
+        assert not _should_trial_impl(s2, "auto", None, n, 1000, True,
+                                      degraded)
+    # unsorted populations: the XLA two-pass backend does not compete
+    s2 = SimpleNamespace(impl="pallas", precision="float32",
+                         spatial_sort_active=False)
+    assert not _should_trial_impl(s2, "auto", None, n, 1000, True, degraded)
+
+
+def test_timed_impl_trial_decision():
+    """_timed_impl_trial picks the measured winner, keeps Pallas inside
+    the 5% margin, and never selects a NaN-poisoned XLA window."""
+    from types import SimpleNamespace
+
+    from nbody_streams_tpu.run import _timed_impl_trial
+
+    pal = SimpleNamespace(n=1_048_576, impl="pallas")
+    xla = SimpleNamespace(n=1_048_576, impl="xla")
+    one = lambda: 1.0  # noqa: E731 — keep the trial-steps model probe-free
+
+    def timer_from(times, poisoned=()):
+        def timer(solver, xv0, dt, steps):
+            assert steps >= 1
+            return times[solver.impl], solver.impl not in poisoned
+        return timer
+
+    # clear xla win -> switch
+    got = _timed_impl_trial(pal, lambda i: xla, None, 2e-5, False,
+                            timer_fn=timer_from({"pallas": 10.0,
+                                                 "xla": 6.4}),
+                            scale_fn=one)
+    assert got is xla
+    # xla faster but its guard poisoned the window -> keep pallas
+    got = _timed_impl_trial(pal, lambda i: xla, None, 2e-5, False,
+                            timer_fn=timer_from({"pallas": 10.0,
+                                                 "xla": 6.4},
+                                                poisoned={"xla"}),
+                            scale_fn=one)
+    assert got is pal
+    # within the switch margin (tunnel jitter) -> keep pallas
+    got = _timed_impl_trial(pal, lambda i: xla, None, 2e-5, False,
+                            timer_fn=timer_from({"pallas": 10.0,
+                                                 "xla": 9.7}),
+                            scale_fn=one)
+    assert got is pal
+    # plain slower -> keep pallas
+    got = _timed_impl_trial(pal, lambda i: xla, None, 2e-5, False,
+                            timer_fn=timer_from({"pallas": 10.0,
+                                                 "xla": 12.0}),
+                            scale_fn=one)
+    assert got is pal
+
+
 def test_probe_rate_scale_clamps_and_caches(monkeypatch):
     """ops.probe.rate_scale: clamped to [floor, 1], cached per process,
     and a failing probe falls back to 1.0 (never blocks a run)."""
