@@ -81,43 +81,46 @@ def _dispatch_cap(limit, est_step_s, budget_s=_DISPATCH_BUDGET_S,
     return 1
 
 
-# Timed large-N backend trial (Mosaic-degraded allocations only).  The
-# fixed crossover in ops/dispatch (_XLA_AUTO_MAX_N) assumes the
-# session's Mosaic throttle fades with kernel size, but that premise is
-# itself allocation-class-dependent: a 2026-08-19 session measured 1M
-# Pallas stepping at 112 vs XLA 157 Gint/s (docs/performance.md,
-# crossover caveat) — 29% lost to the cutoff — and the fma probe reads
-# the two classes identically (0.78 vs 1.06 Top/s, both "degraded").
-# A timed mini-chunk of each backend on the run's actual ICs is the
-# direct discriminator; the driver pays it only when the modeled run is
-# long enough that the ~2-3 min trial is noise.
-_TRIAL_MIN_MODELED_S = 1800.0  # modeled remaining run cost worth a trial
+# Timed backend trial (Mosaic-degraded allocations only).  The static
+# crossover in ops/dispatch (probe below _XLA_AUTO_MAX_N, Pallas above)
+# assumes the session's Mosaic throttle fades with kernel size, but that
+# premise is itself allocation-class-dependent: a 2026-08-19 session
+# measured 1M Pallas stepping at 112 vs XLA 157 Gint/s
+# (docs/performance.md, crossover caveat) — 29% lost to the cutoff —
+# and the fma probe reads the two classes identically (0.78 vs 1.06
+# Top/s, both "degraded").  A timed mini-chunk of each backend on the
+# run's actual ICs is the direct discriminator, so on a degraded-probe
+# session the driver trials BOTH directions (whatever auto resolved,
+# the other sorted fp32 backend is the candidate) whenever the modeled
+# remaining run is long enough to amortise the trial's ~2 extra
+# compiles + mini-chunks (~1-2 min cold, seconds when the compilation
+# cache is warm).
+_TRIAL_MIN_MODELED_S = 300.0   # modeled remaining run cost worth a trial
 _TRIAL_MODEL_RATE = 150e9      # optimistic int/s for the modeled-cost gate
 _TRIAL_WINDOWS = 2
-_TRIAL_MARGIN = 0.95           # xla must beat pallas by >5% to switch
+_TRIAL_MARGIN = 0.95           # challenger must win by >5% to switch
 
 
 def _should_trial_impl(solver, impl_arg, solver_factory, n, remaining_steps,
                        on_tunnel, scale_fn=None):
-    """Whether to time-trial ``impl='xla'`` against the auto-resolved
-    Pallas backend before a long large-N run (see block comment above).
+    """Whether to time-trial the auto-resolved sorted backend against
+    the other one before a long run (see block comment above).
 
     Fires only when every one of these holds: the user asked for
     ``impl='auto'`` (an explicit backend choice is respected), the auto
-    resolution picked the single-device Pallas path on a tunnelled TPU,
-    N is above the probe-driven crossover's ceiling, the sorted two-pass
-    path is active (the only regime the XLA backend competes in), the
-    precision tier exists on both backends, the modeled remaining run is
-    long enough to amortise the trial, and the session's Pallas capacity
-    probe reads degraded."""
-    from .ops.dispatch import _XLA_AUTO_MAX_N
-
+    resolution picked a single-device sorted fp32 backend (pallas or
+    xla) on a tunnelled TPU, the sorted two-pass path is active (the
+    only regime where the two backends compete), the precision tier
+    exists on both backends, the modeled remaining run is long enough
+    to amortise the trial, and the session's Pallas capacity probe
+    reads degraded (on a healthy allocation Pallas wins everywhere —
+    measured, docs/performance.md)."""
     if solver_factory is not None or impl_arg != "auto" or not on_tunnel:
         return False
-    if solver.impl != "pallas" or solver.precision not in (
+    if solver.impl not in ("pallas", "xla") or solver.precision not in (
             "float32", "float32_kahan"):
         return False
-    if n < _XLA_AUTO_MAX_N or not solver.spatial_sort_active:
+    if not solver.spatial_sort_active:
         return False
     if remaining_steps * n * n / _TRIAL_MODEL_RATE < _TRIAL_MIN_MODELED_S:
         return False
@@ -131,32 +134,56 @@ def _time_solver_steps(solver, xv0, dt, trial_steps):
     scan-amortised mini-chunks through the real integrator pieces on a
     throwaway copy of the ICs.  Also returns output finiteness — the XLA
     backend's in-scan guard poisons to NaN on a band-coverage violation,
-    and a poisoned trial must never win."""
+    and a poisoned trial must never win.
+
+    Measurement fidelity: the step carries the run's actual precision
+    (compensated state updates only for 'float32_kahan'), and the
+    presort policy mirrors the run loop — Pallas sorts only at
+    boundary-chunk start (the warm-up here), while the XLA backend
+    sorts whenever order staleness would exceed its in-scan cadence,
+    exactly as the driver's sub-chunk loop decides it."""
     accel_fn = make_accel_fn(solver, solver.mass)
-    step_fn = make_kdk_step(accel_fn, dt, 0.0)
+    step_fn = make_kdk_step(accel_fn, dt, 0.0,
+                            compensated=(solver.precision
+                                         == "float32_kahan"))
     presort = solver.spatial_sort_active
+    cadence = solver.presort_interval
     state = init_state(xv0[:, :3], xv0[:, 3:], accel_fn, solver.mass, 0.0,
                        sort_fn=solver.sort_key if presort else None)
     state = run_chunk(step_fn, state, trial_steps, presort=presort,
-                      presort_every=solver.presort_interval)
+                      presort_every=cadence)
     jax.device_get(state.step)  # compile + warm (axon: real sync)
     best = float("inf")
+    since_sort = trial_steps
     for _ in range(_TRIAL_WINDOWS):
+        if cadence:
+            do_presort = presort and since_sort + trial_steps > cadence
+        else:
+            do_presort = False   # Pallas: amortised over boundary chunks
         t0 = pytime.perf_counter()
-        state = run_chunk(step_fn, state, trial_steps, presort=presort,
-                          presort_every=solver.presort_interval)
+        state = run_chunk(step_fn, state, trial_steps, presort=do_presort,
+                          presort_every=cadence)
         jax.device_get(state.step)
         best = min(best, (pytime.perf_counter() - t0) / trial_steps)
+        if cadence and cadence < trial_steps:
+            since_sort = trial_steps % cadence or cadence
+        elif do_presort:
+            since_sort = trial_steps
+        else:
+            since_sort += trial_steps
     finite = bool(np.isfinite(np.asarray(jax.device_get(state.pos))).all())
     return best, finite
 
 
 def _timed_impl_trial(solver, build_fn, xv0, dt, verbose,
                       timer_fn=_time_solver_steps, scale_fn=None):
-    """Time the resolved Pallas solver against ``impl='xla'`` on the
-    run's ICs; return the faster one (keeping Pallas on ties, errors, or
-    a NaN-poisoned XLA window)."""
+    """Time the auto-resolved sorted backend against the other one
+    (pallas <-> xla) on the run's ICs; return the faster solver (keeping
+    the incumbent on ties, errors, or a NaN-poisoned challenger
+    window — the XLA backend's in-scan guard poisons on a band-coverage
+    violation)."""
     n = solver.n
+    other = "xla" if solver.impl == "pallas" else "pallas"
     # mini-chunks sized by the same dispatch-cap model as the run loop,
     # so a degraded-allocation 1M-2M trial dispatch stays under the
     # remote worker's execution budget
@@ -164,23 +191,32 @@ def _timed_impl_trial(solver, build_fn, xv0, dt, verbose,
                                 scale_fn=scale_fn)
     trial_steps = _dispatch_cap(5, est)
     try:
-        xla_solver = build_fn("xla")
+        challenger = build_fn(other)
     except Exception as e:  # pragma: no cover - defensive
         if verbose:
-            print(f"impl trial: xla backend unavailable ({e}) — "
-                  "keeping pallas")
+            print(f"impl trial: {other} backend unavailable ({e}) — "
+                  f"keeping {solver.impl}")
         return solver
-    t_pal, _ = timer_fn(solver, xv0, dt, trial_steps)
-    t_xla, xla_finite = timer_fn(xla_solver, xv0, dt, trial_steps)
+    t_inc, _ = timer_fn(solver, xv0, dt, trial_steps)
+    t_chl, chl_finite = timer_fn(challenger, xv0, dt, trial_steps)
+    use_chl = chl_finite and t_chl < _TRIAL_MARGIN * t_inc
+    decision = (f"impl trial at N={n:,} ({trial_steps}-step windows): "
+                f"{solver.impl} {t_inc:.2f} s/step "
+                f"({n * n / t_inc / 1e9:.1f} Gint/s) vs {other} "
+                f"{t_chl:.2f} s/step "
+                f"({n * n / t_chl / 1e9:.1f} Gint/s"
+                f"{'' if chl_finite else ', POISONED'}) — using "
+                f"{other if use_chl else solver.impl}")
+    # always on the record (not just under verbose): a long run may
+    # execute on a different backend than the static crossover implies,
+    # and the operator must be able to see which one actually ran
+    import logging
+
+    logging.getLogger(__name__).info(decision)
     if verbose:
-        print(f"impl trial at N={n:,} ({trial_steps}-step windows): "
-              f"pallas {t_pal:.2f} s/step ({n * n / t_pal / 1e9:.1f} "
-              f"Gint/s) vs xla {t_xla:.2f} s/step "
-              f"({n * n / t_xla / 1e9:.1f} Gint/s"
-              f"{'' if xla_finite else ', POISONED'}) — using "
-              f"{'xla' if xla_finite and t_xla < _TRIAL_MARGIN * t_pal else 'pallas'}")
-    if xla_finite and t_xla < _TRIAL_MARGIN * t_pal:
-        return xla_solver
+        print(decision)
+    if use_chl:
+        return challenger
     return solver
 
 
@@ -476,9 +512,15 @@ def run_nbody(
                                   total_steps - start_step, on_tunnel_trial):
                 solver = _timed_impl_trial(
                     solver,
+                    # devices= forwarded for construction parity with the
+                    # outer solver (the trial only fires when auto
+                    # resolved single-device Pallas, so it is None or
+                    # length-1 today — but a silent divergence if the
+                    # gate ever loosens)
                     lambda i: DirectGravity(
                         masses, soft_arr, G=G, kernel=kernel,
-                        precision=precision, impl=i, block_size=block_size),
+                        precision=precision, impl=i, block_size=block_size,
+                        devices=devices),
                     xv, dt, verbose)
         # Ghost padding (sharded backend, N not divisible by the device
         # count): integrate N + pad rows so the state block-shards
