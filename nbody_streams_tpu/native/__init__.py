@@ -19,12 +19,45 @@ __all__ = ["native_available", "build", "morton_argsort", "knn_radius"]
 _DIR = Path(__file__).resolve().parent
 _LIB_PATH = _DIR / "libnbody_host.so"
 _lib = None
+_autobuild_tried = False
+
+
+def _autobuild():
+    """Lazy one-shot ``make`` when the library is missing or older than
+    its source (reference analogue: tree_gpu/_build.py:27 builds
+    libtreeGPU.so on demand).  Without it the N>=500k kNN fast path in
+    viz/sph.py silently never fires for pip/checkout users.  Guarded by
+    NBODY_NO_NATIVE_BUILD=1 (containers without a toolchain lose ~a
+    subprocess attempt, nothing else — every caller has a NumPy/SciPy
+    fallback)."""
+    global _autobuild_tried
+    if _autobuild_tried:
+        return
+    _autobuild_tried = True
+    import os
+
+    if os.environ.get("NBODY_NO_NATIVE_BUILD"):
+        return
+    stale = False
+    if _LIB_PATH.exists():
+        try:
+            src = (_DIR / "host_ops.cpp").stat().st_mtime
+            stale = src > _LIB_PATH.stat().st_mtime
+        except OSError:
+            stale = False
+    if not _LIB_PATH.exists() or stale:
+        try:
+            subprocess.run(["make", "-C", str(_DIR)],
+                           capture_output=True, timeout=300)
+        except (OSError, subprocess.TimeoutExpired):
+            pass
 
 
 def _load():
     global _lib
     if _lib is not None:
         return _lib
+    _autobuild()   # one-shot; also refreshes a stale build
     if not _LIB_PATH.exists():
         return None
     try:

@@ -72,10 +72,41 @@ def test_knn_matches_kdtree(rng):
     np.testing.assert_allclose(h, d[:, -1], rtol=1e-10)
 
 
-@pytest.mark.skipif(not native_available(),
-                    reason="native lib not built (run make in native/)")
-def test_native_lib_loaded():
+def test_native_lib_builds_and_loads():
+    """The host-ops library must BUILD on any container with a C++
+    toolchain (the r4 verdict: two tests silently skipped on fresh
+    checkouts, so the N>=500k kNN fast path never fired for pip users).
+    native._load() now lazily makes the library; this asserts the full
+    build+load cycle works here rather than skipping."""
+    import shutil
+
+    from nbody_streams_tpu import native
+
+    if not (shutil.which("g++") and shutil.which("make")):
+        pytest.skip("no C++ toolchain on this machine")
+    assert native.build(verbose=True), "native host-ops build failed"
     assert native_available()
+
+
+def test_native_lazy_autobuild(tmp_path, monkeypatch):
+    """A missing .so triggers exactly one make attempt per process; the
+    NBODY_NO_NATIVE_BUILD gate suppresses it."""
+    from nbody_streams_tpu import native
+
+    calls = []
+    monkeypatch.setattr(native, "_autobuild_tried", False)
+    monkeypatch.setattr(native.subprocess, "run",
+                        lambda *a, **k: calls.append(a))
+    monkeypatch.setattr(native, "_lib", None)
+    monkeypatch.setattr(native, "_LIB_PATH", tmp_path / "nope.so")
+    assert native._load() is None
+    assert len(calls) == 1          # tried the build
+    assert native._load() is None
+    assert len(calls) == 1          # one-shot: no retry storm
+    monkeypatch.setattr(native, "_autobuild_tried", False)
+    monkeypatch.setenv("NBODY_NO_NATIVE_BUILD", "1")
+    assert native._load() is None
+    assert len(calls) == 1          # gated off
 
 
 def test_sph_smoothing_lengths_native_wiring():
