@@ -78,4 +78,10 @@ def main():
 
 
 if __name__ == "__main__":
+    # supervised child (utils/supervise): the axon tunnel can wedge
+    # mid-run — an unsupervised comparison then hangs forever
+    # (observed: 20+ min with no output on 2026-08-20)
+    from nbody_streams_tpu.utils.supervise import resupervise
+
+    resupervise(__file__)
     main()

@@ -194,6 +194,10 @@ def run_gate1m(n=1_048_576, steps=1000):
 
 
 if __name__ == "__main__":
+    # supervised child (utils/supervise): kill+retry tunnel wedges
+    from nbody_streams_tpu.utils.supervise import resupervise
+
+    resupervise(__file__)
     mode = sys.argv[1] if len(sys.argv) > 1 else "argsort"
     {"argsort": run_argsort, "gate2m": run_gate2m,
      "gate1m": run_gate1m}[mode]()

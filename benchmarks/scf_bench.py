@@ -178,6 +178,10 @@ def run_drift(n=1_048_576, steps=1000, nmax=8, lmax=4):
 
 
 if __name__ == "__main__":
+    # supervised child (utils/supervise): kill+retry tunnel wedges
+    from nbody_streams_tpu.utils.supervise import resupervise
+
+    resupervise(__file__)
     mode = sys.argv[1] if len(sys.argv) > 1 else "speed"
     {"speed": run_speed, "ladder": run_ladder,
      "drift": run_drift}[mode]()

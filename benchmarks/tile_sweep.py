@@ -220,6 +220,10 @@ def sol(kind="spline", tm=None, tn=None, n_sub=None, blocks=2048, iters=10,
 
 
 if __name__ == "__main__":
+    # supervised child (utils/supervise): kill+retry tunnel wedges
+    from nbody_streams_tpu.utils.supervise import resupervise
+
+    resupervise(__file__)
     mode = sys.argv[1] if len(sys.argv) > 1 else "all"
     if mode in ("roofline", "all"):
         roofline()
