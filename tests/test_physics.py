@@ -554,14 +554,20 @@ def test_timed_impl_trial_gating():
     # off-tunnel backends have no Mosaic throttle
     assert not _should_trial_impl(sol, "auto", None, n, 1000, False,
                                   degraded)
-    # below the crossover ceiling the probe-driven auto already switched
-    assert not _should_trial_impl(sol, "auto", None, _XLA_AUTO_MAX_N - 1,
-                                  1000, True, degraded)
-    # short run: ~2-3 min of trial is not amortised (1M x 100 steps
-    # models ~730 s of work, under the 1800 s gate)
-    assert not _should_trial_impl(sol, "auto", None, n, 100, True, degraded)
-    # auto resolved to something other than single-device Pallas
-    for impl in ("xla", "jnp", "sharded"):
+    # below the old static crossover the trial now fires too (both
+    # directions: the static probe choice there can also be wrong, r4
+    # verdict item 8) — provided the modeled run is long enough
+    assert _should_trial_impl(sol, "auto", None, _XLA_AUTO_MAX_N - 1,
+                              5000, True, degraded)
+    # short run: the trial's extra compiles are not amortised (1M x 40
+    # steps models ~290 s of work, under the 300 s gate)
+    assert not _should_trial_impl(sol, "auto", None, n, 40, True, degraded)
+    # an auto-resolved XLA incumbent is trialled against Pallas too
+    s2 = SimpleNamespace(impl="xla", precision="float32_kahan",
+                         spatial_sort_active=True)
+    assert _should_trial_impl(s2, "auto", None, n, 1000, True, degraded)
+    # auto resolved to a backend outside the sorted fp32 pair: no trial
+    for impl in ("jnp", "sharded"):
         s2 = SimpleNamespace(impl=impl, precision="float32_kahan",
                              spatial_sort_active=True)
         assert not _should_trial_impl(s2, "auto", None, n, 1000, True,
