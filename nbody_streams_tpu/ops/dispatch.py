@@ -47,6 +47,11 @@ __all__ = ["DirectGravity"]
 # only decides the cheap static case.
 _XLA_AUTO_MAX_N = 400_000
 
+# target_drift= below this |dE/E| class unfolds the mass from the MXU
+# moment matrices (see DirectGravity.__init__): measured 1M/1000-step
+# drift ~1e-8 pre-fold vs ~2.1e-7 folded (docs/performance.md gate1m).
+_FOLD_MASS_DRIFT = 1e-7
+
 
 def _default_impl(devices, kernel: str = "spline", n: int = 0) -> str:
     if devices is not None and len(devices) > 1:
@@ -97,6 +102,7 @@ class DirectGravity:
         sharded_opts: dict | None = None,
         tile_config: dict | None = None,
         band_rows: int | None = None,
+        target_drift: float | None = None,
     ):
         validate_kernel(kernel)
         validate_precision(precision)
@@ -143,14 +149,38 @@ class DirectGravity:
         # an explicit user block_size overrides it
         self._user_block_size = block_size
         # tile_config: sorted-Pallas-path tile geometry / moment-pass
-        # override (keys: tm, tn, max_sub, mxu) — the per-allocation
+        # override (keys: tm, tn, max_sub, mxu, fold_mass) — the
+        # per-allocation
         # optimum differs on tunnelled chips, so bench.py auto-tries a
         # small set.  Ignored by the jnp and sharded backends.
         if tile_config is not None:
-            bad = set(tile_config) - {"tm", "tn", "max_sub", "mxu"}
+            bad = set(tile_config) - {"tm", "tn", "max_sub", "mxu",
+                                      "fold_mass"}
             if bad:
                 raise ValueError(f"unknown tile_config keys: {sorted(bad)}")
         self.tile_config = tile_config
+        # target_drift: requested |dE/E| class for a ~1000-step run.
+        # Below _FOLD_MASS_DRIFT the mass is automatically unfolded from
+        # the MXU moment matrices (tile fold_mass=False): folding gm into
+        # the contraction vectors moves one rounding from the per-pair
+        # factor into the moment sum, which is harmless at the 1e-7
+        # class but was measured to cost ~2e-7 vs ~1e-8 per 1000 steps
+        # at N=1M (docs/performance.md 'gate1m'); the pre-fold VPU
+        # product restores the tighter behaviour at ~1/3 more VPU work
+        # per pair in the base pass.  Mirrors the reference's Kahan
+        # accuracy contract (reference: cuda_kernels.py:281-355).
+        if target_drift is not None:
+            target_drift = float(target_drift)
+            if not target_drift > 0.0:
+                raise ValueError("target_drift must be a positive |dE/E| "
+                                 f"bound (got {target_drift!r})")
+            if (target_drift < _FOLD_MASS_DRIFT
+                    and impl == "pallas" and not self.fast):
+                tc = dict(self.tile_config or {})
+                # an explicit user fold_mass wins over the automatic one
+                tc.setdefault("fold_mass", False)
+                self.tile_config = tc
+        self.target_drift = target_drift
         # band_rows: measured-width band provisioning for the XLA
         # two-pass backend (ops/xla_direct.py measure_band_rows) — an
         # expert knob the bench's measured-band trial configs use; the

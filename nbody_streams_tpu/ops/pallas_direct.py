@@ -171,7 +171,7 @@ def _mask_self_lanes(s, iglob, src_row0, tn):
 def _tile_sum(kind, mode, mask_self, eps2, tm, tn, n_sub,
               xt, yt, zt, ht, iglob,
               xs_ref, ys_ref, zs_ref, ms_ref, hs_ref, k, jb,
-              mxu=False, mxu_r2=None):
+              mxu=False, mxu_r2=None, fold_mass=True):
     """One (TM targets) x (TN sources) tile reduction: (tm, width).
 
     With ``mxu=True`` (acc mode) the tile returns the un-finalised
@@ -247,12 +247,22 @@ def _tile_sum(kind, mode, mask_self, eps2, tm, tn, n_sub,
             # the 4 per-source-lane multiplies amortise over the tm
             # targets of the tile (4/tm ops per pair).  Exact same sum,
             # one rounding moved from the pair factor into the matrix.
+            # ``fold_mass=False`` (the target_drift tier, dispatch.py)
+            # keeps the gm*f product on the VPU per pair instead —
+            # the pre-fold formulation whose 1M/1000-step drift was
+            # pinned at ~1e-8 (docs/performance.md north-star gates).
             s = _force_pre(kind, r2, pre)
+            if not fold_mass:
+                s = gms * s
             if mask_self:
                 s = _mask_self_lanes(s, iglob, jb * (n_sub * tn) + k * tn,
                                      tn)
-            b = jnp.concatenate(
-                [gms * xs, gms * ys, gms * zs, gms], axis=0)    # (4, TN)
+            if fold_mass:
+                b = jnp.concatenate(
+                    [gms * xs, gms * ys, gms * zs, gms], axis=0)  # (4, TN)
+            else:
+                b = jnp.concatenate(
+                    [xs, ys, zs, jnp.ones_like(xs)], axis=0)      # (4, TN)
             return jax.lax.dot_general(
                 s, b, (((1,), (1,)), ((), ())),
                 precision=jax.lax.Precision.HIGHEST,
@@ -269,12 +279,17 @@ def _tile_sum(kind, mode, mask_self, eps2, tm, tn, n_sub,
         # no finalisation (and no centring for the non-fast tier: no
         # coordinate products, so no cancellation to bound).  The mass
         # folds into the contraction vector (S @ gm), saving the VPU
-        # multiply per pair exactly as in acc mode.
+        # multiply per pair exactly as in acc mode; ``fold_mass=False``
+        # multiplies it per pair on the VPU instead (target_drift tier).
         s = _pot_pre(kind, r2, pre)
+        vec = gms
+        if not fold_mass:
+            s = gms * s
+            vec = jnp.ones_like(gms)
         if mask_self:
             s = _mask_self_lanes(s, iglob, jb * (n_sub * tn) + k * tn, tn)
         return jax.lax.dot_general(
-            s, gms, (((1,), (1,)), ((), ())),
+            s, vec, (((1,), (1,)), ((), ())),
             precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32)               # (tm, 1)
     s = gms * _pot_pre(kind, r2, pre)
@@ -284,7 +299,8 @@ def _tile_sum(kind, mode, mask_self, eps2, tm, tn, n_sub,
 
 
 def _direct_kernel(*refs, kind, kahan, eps2, tm, tn, n_sub, mode,
-                   mask_self, skip_band=0, mxu=False, mxu_r2=False):
+                   mask_self, skip_band=0, mxu=False, mxu_r2=False,
+                   fold_mass=True):
     """All-pairs tile kernel.  With ``skip_band > 0`` the first ref is a
     scalar-prefetched (n_i,) row-start array and the contribution of
     source rows [start[i], start[i] + skip_band) is zeroed (those pairs
@@ -333,7 +349,7 @@ def _direct_kernel(*refs, kind, kahan, eps2, tm, tn, n_sub, mode,
             kind, mode, mask_self, eps2, tm, tn, n_sub,
             xt, yt, zt, ht, iglob,
             xs_ref, ys_ref, zs_ref, ms_ref, hs_ref, k, jb, mxu=mxu,
-            mxu_r2=r2_pre)
+            mxu_r2=r2_pre, fold_mass=fold_mass)
         if skip_band:
             row = jb * n_sub + k
             outside = jnp.logical_or(row < start_ref[i],
@@ -365,13 +381,14 @@ def _soft_pre(kind, h):
 @functools.partial(
     jax.jit,
     static_argnames=("kind", "kahan", "mode", "eps2", "tm", "tn", "max_sub",
-                     "interpret", "mask_self", "skip_band", "mxu", "mxu_r2"),
+                     "interpret", "mask_self", "skip_band", "mxu", "mxu_r2",
+                     "fold_mass"),
 )
 def _pallas_direct(pos_t, soft_t, pos_s, gmass_s, soft_s,
                    kind, kahan, mode, eps2,
                    tm=TM, tn=TN, max_sub=MAX_SUB, interpret=False,
                    mask_self=False, skip_band=0, band_start=None,
-                   mxu=False, mxu_r2=False):
+                   mxu=False, mxu_r2=False, fold_mass=True):
     if mxu_r2 and mode == "acc" and not mxu:
         raise ValueError("mxu_r2 acceleration requires the MXU moment "
                          "path (mxu=True): the expanded-r2 tile never "
@@ -413,6 +430,7 @@ def _pallas_direct(pos_t, soft_t, pos_s, gmass_s, soft_s,
                 _direct_kernel, kind=kind, kahan=kahan, eps2=eps2,
                 tm=tm, tn=tn, n_sub=n_sub, mode=mode, mask_self=mask_self,
                 skip_band=skip_band, mxu=mxu, mxu_r2=mxu_r2,
+                fold_mass=fold_mass,
             )
             ts2 = pl.BlockSpec((tm, 1), lambda i, jb, s_ref: (i, 0),
                                memory_space=pltpu.VMEM)
@@ -440,7 +458,7 @@ def _pallas_direct(pos_t, soft_t, pos_s, gmass_s, soft_s,
             kernel = functools.partial(
                 _direct_kernel, kind=kind, kahan=kahan, eps2=eps2, tm=tm,
                 tn=tn, n_sub=n_sub, mode=mode, mask_self=mask_self,
-                mxu=mxu, mxu_r2=mxu_r2,
+                mxu=mxu, mxu_r2=mxu_r2, fold_mass=fold_mass,
             )
             out = _call_kernel(kernel, n_i, n_jb, t_spec, s_spec, tm,
                                width, nt_pad, ns_pad, n_sub, tn, interpret,
@@ -613,7 +631,7 @@ MXU_BASE = True
 
 def _pallas_self_sorted(pos, gmass, soft, kind, kahan, mode, eps2,
                         interpret=False, tm=None, tn=None, max_sub=None,
-                        mxu=None, order=None, fast=False):
+                        mxu=None, order=None, fast=False, fold_mass=True):
     """Self-gravity via slab sort + the compact-support two-pass split.
 
     Pass 1 runs the cheap (~16-op) Newtonian kernel over all pairs,
@@ -642,6 +660,12 @@ def _pallas_self_sorted(pos, gmass, soft, kind, kahan, mode, eps2,
     order only widens ``max_width`` until the single-pass fallback
     takes over — performance degrades, correctness never.
     """
+    if mode == "pot":
+        # the pot contraction computes the same products in the same
+        # order folded or not (s@gm vs (gm*s)@1 — measured bitwise
+        # identical on the v5e), so normalise to the default and save
+        # a pointless ~30 s remote-compile kernel variant
+        fold_mass = True
     if order is None:
         order = slab_sort_key(pos)
     ps = pos[order]
@@ -714,7 +738,8 @@ def _pallas_self_sorted(pos, gmass, soft, kind, kahan, mode, eps2,
                                   max_sub=max_sub, interpret=interpret,
                                   mask_self=mask_self,
                                   skip_band=nb, band_start=start,
-                                  mxu=mxu, mxu_r2=fast)
+                                  mxu=mxu, mxu_r2=fast,
+                                  fold_mass=fold_mass)
             band = _pallas_band_correction(p, gs, hinv, start, mode,
                                            eps2, tm, tn, nb,
                                            interpret=interpret,
@@ -727,7 +752,8 @@ def _pallas_self_sorted(pos, gmass, soft, kind, kahan, mode, eps2,
     def slow(p):
         return _pallas_direct(p, hsoft, p, gs, hsoft, "spline", kahan,
                               mode, eps2, tm=tm, tn=tn, max_sub=max_sub,
-                              interpret=interpret, mask_self=mask_self)
+                              interpret=interpret, mask_self=mask_self,
+                              fold_mass=fold_mass)
 
     # one static band size (~6% of rows, floor 12): every extra Pallas
     # kernel variant costs a full remote compile on this platform, so a
@@ -838,7 +864,10 @@ def pallas_accel(pos, mass, soft, G, kind, kahan, eps2=PAIRWISE_EPS2,
 
     ``tile`` optionally overrides the sorted path's tile geometry /
     moment-pass choice: a dict with any of ``tm``, ``tn``, ``max_sub``,
-    ``mxu`` (defaults: module constants TM/TN/MAX_SUB, MXU_BASE).  The
+    ``mxu``, ``fold_mass`` (defaults: module constants TM/TN/MAX_SUB,
+    MXU_BASE, True — ``fold_mass=False`` keeps the gm*f product on the
+    VPU per pair, the tight-drift tier DirectGravity selects for
+    ``target_drift`` below ~1e-7).  The
     delivered compute of a tunnelled chip allocation penalises Mosaic
     and MXU paths non-uniformly between sessions (docs/performance.md,
     device-allocation variance), so the optimal config is

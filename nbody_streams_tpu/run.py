@@ -374,6 +374,7 @@ def run_nbody(
     step_timeout_s: float | None = None,
     profile_dir: str | None = None,
     solver_factory=None,
+    target_drift: float | None = None,
 ) -> np.ndarray:
     """Run a KDK leapfrog N-body integration; returns final (N, 6) float64.
 
@@ -396,6 +397,12 @@ def run_nbody(
       construction (how ``run_simulation(method='scf')`` installs the
       SCF expansion tier); ``impl``/``kernel``/``block_size`` are then
       ignored.
+    * ``target_drift``: requested |dE/E| class for a ~1000-step run;
+      below ~1e-7 the Pallas backend automatically unfolds the mass from
+      its MXU moment matrices (tighter accumulation at ~1/3 more VPU
+      work in the base pass — see DirectGravity and docs/performance.md
+      'gate1m').  Mirrors the reference's Kahan accuracy contract
+      (reference: cuda_kernels.py:281-355).
     * snapshots/restart files are schema-compatible with the reference
       (see nbody_io).
     """
@@ -505,6 +512,7 @@ def run_nbody(
             solver = DirectGravity(
                 masses, soft_arr, G=G, kernel=kernel, precision=precision,
                 impl=impl, block_size=block_size, devices=devices,
+                target_drift=target_drift,
             )
             on_tunnel_trial = (device.platform if device is not None
                                else jax.default_backend()) in ("tpu", "axon")
@@ -520,7 +528,7 @@ def run_nbody(
                     lambda i: DirectGravity(
                         masses, soft_arr, G=G, kernel=kernel,
                         precision=precision, impl=i, block_size=block_size,
-                        devices=devices),
+                        devices=devices, target_drift=target_drift),
                     xv, dt, verbose)
         # Ghost padding (sharded backend, N not divisible by the device
         # count): integrate N + pad rows so the state block-shards

@@ -39,6 +39,7 @@ __all__ = ["run_simulation"]
 _DIRECT_KW = {
     "precision", "kernel", "external_update_interval", "impl", "devices",
     "block_size", "nan_check", "step_timeout_s", "profile_dir",
+    "target_drift",
 }
 _DF_KW = {
     "df_M_sat", "df_coulomb_mode", "df_fixed_ln_lambda", "df_core_gamma",
@@ -154,7 +155,8 @@ def run_simulation(
 
         precision = direct_kwargs.get("precision", "float32_kahan")
         scf_prec = "float64" if precision == "float64" else "float32"
-        for bad in ("impl", "block_size", "kernel", "devices"):
+        for bad in ("impl", "block_size", "kernel", "devices",
+                    "target_drift"):
             if bad in direct_kwargs:
                 raise TypeError(f"{bad!r} has no effect with method='scf'")
         if precision == "float32_fast":

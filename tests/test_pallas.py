@@ -314,6 +314,65 @@ def test_mxu_2set_matches_vpu():
     np.testing.assert_allclose(mx, ref, atol=3e-6 * np.abs(ref).max())
 
 
+@pytest.mark.parametrize("mode", ["acc", "pot"])
+def test_mxu_fold_mass_unfold_matches(mode):
+    """fold_mass=False (the target_drift tier): the gm*f product stays
+    on the VPU per pair instead of folding into the moment matrix /
+    contraction vector — the pre-fold formulation whose 1M/1000-step
+    drift was pinned at ~1e-8 (docs/performance.md gate1m).  Must agree
+    with the folded MXU path to fp32 round-off and actually take a
+    different summation (different bits)."""
+    from nbody_streams_tpu.ops.pallas_direct import _pallas_self_sorted
+
+    rng = np.random.default_rng(29)
+    n = 6000
+    pos = jnp.asarray(rng.normal(0, 1.0, (n, 3)), jnp.float32)
+    gm = jnp.asarray(rng.uniform(0.5, 1.5, n) * 4.3e-6, jnp.float32)
+    soft = jnp.full((n,), 0.05, jnp.float32)
+    kw = dict(interpret=INTERPRET, tm=64, tn=128, max_sub=4, mxu=True)
+    folded = np.asarray(_pallas_self_sorted(pos, gm, soft, "spline", True,
+                                            mode, 1e-15, **kw), np.float64)
+    unfolded = np.asarray(_pallas_self_sorted(pos, gm, soft, "spline", True,
+                                              mode, 1e-15, fold_mass=False,
+                                              **kw), np.float64)
+    if mode == "acc":
+        # acc genuinely reorders roundings (gm folds into the coordinate
+        # moment matrix vs the per-pair factor); pot computes the same
+        # products in the same order either way, so on hardware it is
+        # bitwise identical (measured on the v5e) — only assert for acc
+        assert not np.array_equal(folded, unfolded)  # the unfold ran
+    scale = np.abs(folded).max()
+    np.testing.assert_allclose(unfolded, folded, atol=3e-6 * scale)
+
+
+def test_target_drift_selects_unfolded_moments():
+    """DirectGravity(target_drift=) — the drift-aware kernel selection
+    of VERDICT r4 #6: a sub-1e-7 request on the Pallas backend unfolds
+    the mass from the MXU moments automatically; looser targets change
+    nothing; an explicit tile override wins; non-positive rejects."""
+    from nbody_streams_tpu.ops.dispatch import DirectGravity
+
+    n = 16384
+    m = np.full(n, 1e5)
+    soft = np.full(n, 0.05)
+    mk = lambda **kw: DirectGravity(m, soft, kernel="spline",
+                                    impl="pallas", **kw)
+    tight = mk(target_drift=1e-8)
+    assert tight.tile_config == {"fold_mass": False}
+    loose = mk(target_drift=1e-5)
+    assert loose.tile_config is None
+    # explicit user choice wins over the automatic one
+    explicit = mk(target_drift=1e-8, tile_config={"fold_mass": True})
+    assert explicit.tile_config == {"fold_mass": True}
+    # geometry overrides survive the merge
+    merged = mk(target_drift=1e-8, tile_config={"tm": 256})
+    assert merged.tile_config == {"tm": 256, "fold_mass": False}
+    with pytest.raises(ValueError, match="target_drift"):
+        mk(target_drift=0.0)
+    with pytest.raises(ValueError, match="tile_config"):
+        mk(tile_config={"fold": False})
+
+
 def test_fast_tier_bounded_and_finite():
     """float32_fast (expanded-r2-on-MXU base pass): a documented
     REDUCED-ACCURACY tier — the r^2 = |x_t|^2 + |x_s|^2 - 2 x_t.x_s
