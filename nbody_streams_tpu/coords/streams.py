@@ -8,6 +8,8 @@ motions, v_los) for a given observer.
 """
 from __future__ import annotations
 
+import warnings
+
 import numpy as np
 
 from .transforms import convert_to_vel_los
@@ -64,7 +66,10 @@ def generate_stream_coords(xv, xv_prog=None, return_rotation: bool = False,
         # NaN rows (spray particles not yet released at this snapshot)
         # must not poison the auto progenitor: nanmedian + NaN -> inf
         # distances keeps the selection on the released particles
-        with np.errstate(invalid="ignore"):
+        with np.errstate(invalid="ignore"), warnings.catch_warnings():
+            # an all-NaN stream raises a clear ValueError below; numpy's
+            # per-slice RuntimeWarning would leak to the caller first
+            warnings.simplefilter("ignore", RuntimeWarning)
             med = np.nanmedian(xv[:, :, :3], axis=1)
             d = np.linalg.norm(xv[:, :, :3] - med[:, None, :], axis=2)
         if np.isnan(med).any():

@@ -437,7 +437,10 @@ def double_power_law_density(*args, **kw):
 
     def shape(r):
         x = np.asarray(r, float) / a
-        with np.errstate(divide="ignore", invalid="ignore"):
+        # over: x**alpha overflows to inf far outside the profile, where
+        # (1 + inf)**(-k) correctly collapses rho to 0 — harmless, but
+        # the RuntimeWarning would leak to fit callers
+        with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
             rho = np.where(
                 x > 0.0,
                 x**(-gamma) * (1.0 + x**alpha)**(-(beta - gamma) / alpha),
