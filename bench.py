@@ -135,6 +135,13 @@ def _capacity_probe(K=256, ITERS=4000, interpret=False):
 TILE_CONFIGS = [
     ("mxu-512/512/16", "pallas",
      {"mxu": True, "tm": 512, "tn": 512, "max_sub": 16}, None),
+    # finer band bookkeeping rows resolve the window tighter around the
+    # true near pairs (xla_direct row_size=; measured 2026-08-20 eval:
+    # rs=512 138.6 / rs=256 144.1 / rs=128 147.2 Gint/s at 64k)
+    ("xla-mb-4096r128", "xla", None,
+     {"block_size": 4096, "band_rows": ..., "row_size": 128}),
+    ("xla-mb-4096r256", "xla", None,
+     {"block_size": 4096, "band_rows": ..., "row_size": 256}),
     ("xla-two-pass", "xla", None, None),
     ("xla-mb-4096", "xla", None, {"block_size": 4096, "band_rows": ...}),
     ("xla-mb-2048", "xla", None, {"block_size": 2048, "band_rows": ...}),
@@ -164,10 +171,14 @@ def _resolve_config_kwargs(extra, pos, soft):
         return {}
     extra = dict(extra)
     if extra.get("band_rows") is ...:
-        from nbody_streams_tpu.ops.xla_direct import measure_band_rows
+        from nbody_streams_tpu.ops.xla_direct import RS, measure_band_rows
 
+        rs = extra.get("row_size") or RS
+        # slack is in row units: scale the floor so finer rows keep at
+        # least ~1024 sources of drift cushion between order refreshes
+        slack = max(BAND_SLACK, 1024 // rs)
         extra["band_rows"] = measure_band_rows(
-            pos, soft, bs=extra["block_size"]) + BAND_SLACK
+            pos, soft, bs=extra["block_size"], rs=rs) + slack
     return extra
 
 

@@ -102,6 +102,7 @@ class DirectGravity:
         sharded_opts: dict | None = None,
         tile_config: dict | None = None,
         band_rows: int | None = None,
+        row_size: int | None = None,
         target_drift: float | None = None,
     ):
         validate_kernel(kernel)
@@ -191,6 +192,15 @@ class DirectGravity:
                 f"band_rows= only applies to impl='xla' (got {impl!r}); "
                 "the Pallas path sizes its band from a static ladder")
         self.band_rows = band_rows
+        # row_size: XLA-backend band bookkeeping granularity (finer rows
+        # = tighter windows = fewer surplus band pairs; see
+        # xla_direct._dispatch).  The Pallas path's band granularity is
+        # its tn tile width (tile_config).
+        if row_size is not None and impl != "xla":
+            raise ValueError(
+                f"row_size= only applies to impl='xla' (got {impl!r}); "
+                "use tile_config= for the Pallas path's geometry")
+        self.row_size = row_size
 
         if self.fast:
             # the fast tier only exists on the slab-sorted Pallas spline
@@ -320,7 +330,7 @@ class DirectGravity:
                 pos, self.mass, self.softening, self.G, self.kernel,
                 self.kahan, self.eps2, order=order,
                 block_size=self._user_block_size,
-                band_rows=self.band_rows,
+                band_rows=self.band_rows, row_size=self.row_size,
             )
         if self.impl == "sharded":
             return self._sharded.accel(pos)
@@ -348,7 +358,7 @@ class DirectGravity:
                 pos, self.mass, self.softening, self.G, self.kernel,
                 self.kahan, self.eps2, order=order,
                 block_size=self._user_block_size,
-                band_rows=self.band_rows,
+                band_rows=self.band_rows, row_size=self.row_size,
             )
         if self.impl == "sharded":
             return self._sharded.potential(pos)

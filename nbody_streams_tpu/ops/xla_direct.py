@@ -364,7 +364,7 @@ def _xla_self_sorted(pos, mass, soft, G, kind, kahan, mode, eps2,
 
 
 def _dispatch(pos, mass, soft, G, kind, kahan, mode, eps2, order,
-              block_size, band_rows=None):
+              block_size, band_rows=None, row_size=None):
     n = pos.shape[0]
     if not uses_spatial_sort(kind, n):
         from .pairwise import _choose_block, _pairwise_blocked
@@ -373,7 +373,12 @@ def _dispatch(pos, mass, soft, G, kind, kahan, mode, eps2, order,
             pos, mass, soft, jnp.asarray(G, pos.dtype), kind, kahan,
             block_size or _choose_block(n), mode, eps2)
     bs = block_size or BS
-    rs = min(RS, bs)
+    # row_size: band bookkeeping granularity.  Finer rows resolve the
+    # band window tighter around the true near pairs (fewer surplus
+    # band-pass pairs) at slightly more window bookkeeping; measured
+    # 2026-08-20 at N=64k with measured-band provisioning: rs=512
+    # 138.6 -> rs=256 144.1 -> rs=128 147.2 Gint/s eval.
+    rs = min(int(row_size) if row_size else RS, bs)
     if bs % rs:
         # the band bookkeeping maps each bs-sized source block onto
         # whole rs-sized band rows (k = bs // rs), so a user block_size
@@ -404,14 +409,15 @@ def _dispatch(pos, mass, soft, G, kind, kahan, mode, eps2, order,
 
 
 def xla_accel(pos, mass, soft, G, kind, kahan, eps2=PAIRWISE_EPS2,
-              order=None, block_size=None, band_rows=None):
+              order=None, block_size=None, band_rows=None, row_size=None):
     """Softened accelerations via the XLA two-pass path, (N, 3)."""
     return _dispatch(pos, mass, soft, G, kind, kahan, "acc", eps2,
-                     order, block_size, band_rows)
+                     order, block_size, band_rows, row_size)
 
 
 def xla_potential(pos, mass, soft, G, kind, kahan, eps2=PAIRWISE_EPS2,
-                  order=None, block_size=None, band_rows=None):
+                  order=None, block_size=None, band_rows=None,
+                  row_size=None):
     """Softened potential per particle via the XLA two-pass path, (N,)."""
     return _dispatch(pos, mass, soft, G, kind, kahan, "pot", eps2,
-                     order, block_size, band_rows)
+                     order, block_size, band_rows, row_size)

@@ -76,6 +76,14 @@ def test_bench_resolves_measured_band_placeholder():
     assert bench._resolve_config_kwargs(None, pos, soft) == {}
     assert bench._resolve_config_kwargs({"block_size": 4096}, pos,
                                         soft) == {"block_size": 4096}
+    # row_size threads into the measurement and scales the slack floor
+    # (>= ~1024 sources of drift cushion in row units)
+    kw = bench._resolve_config_kwargs(
+        {"block_size": 4096, "band_rows": ..., "row_size": 128},
+        pos, soft)
+    assert kw["row_size"] == 128
+    assert kw["band_rows"] == measure_band_rows(
+        pos, soft, bs=4096, rs=128) + max(bench.BAND_SLACK, 1024 // 128)
 
 
 def test_bench_supervisor_passes_through_child_json(capfd):

@@ -238,6 +238,38 @@ def test_band_rows_rejected_off_the_xla_backend(cloud):
                       precision="float32_kahan", impl="jnp", band_rows=20)
 
 
+@pytest.mark.parametrize("rs", [128, 256])
+def test_row_size_override_exact(cloud, oracle_acc, rs):
+    """Finer band bookkeeping rows (row_size=) change the band/base
+    split geometry only — results stay at the fp32+Kahan oracle floor,
+    one-shot and with a supplied order, with and without a measured
+    band_rows override."""
+    from nbody_streams_tpu.ops.xla_direct import measure_band_rows
+
+    pos, mass, soft = cloud
+    p32 = jnp.asarray(pos, jnp.float32)
+    s = _solver(mass, soft, row_size=rs)
+    a = np.asarray(s.accel(p32), float)
+    assert np.abs(a - oracle_acc).max() / np.abs(oracle_acc).max() < 3e-6
+    w = measure_band_rows(pos, soft, bs=BS, rs=rs)
+    s_mb = _solver(mass, soft, row_size=rs, band_rows=w + 1024 // rs)
+    a_mb = np.asarray(
+        s_mb.accel(p32, order=jnp.argsort(p32[:, 0])), float)
+    assert np.abs(a_mb - oracle_acc).max() / np.abs(oracle_acc).max() < 3e-6
+    p = np.asarray(s_mb.potential(p32), float)
+    o = DirectGravity(mass, soft, kernel="spline", precision="float64",
+                      impl="jnp")
+    p_ref = np.asarray(o.potential(jnp.asarray(pos, jnp.float64)), float)
+    assert np.abs(p - p_ref).max() / np.abs(p_ref).max() < 3e-6
+
+
+def test_row_size_rejected_off_the_xla_backend(cloud):
+    pos, mass, soft = cloud
+    with pytest.raises(ValueError, match="row_size"):
+        DirectGravity(mass, soft, kernel="spline",
+                      precision="float32_kahan", impl="jnp", row_size=128)
+
+
 def test_spatial_sort_active_and_integrator_reuse(cloud):
     """The integrator's order-reuse contract extends to impl='xla':
     spatial_sort_active is True, and a scanned chunk with presorted
