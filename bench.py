@@ -135,13 +135,20 @@ def _capacity_probe(K=256, ITERS=4000, interpret=False):
 TILE_CONFIGS = [
     ("mxu-512/512/16", "pallas",
      {"mxu": True, "tm": 512, "tn": 512, "max_sub": 16}, None),
-    # finer band bookkeeping rows resolve the window tighter around the
-    # true near pairs (xla_direct row_size=; measured 2026-08-20 eval:
-    # rs=512 138.6 / rs=256 144.1 / rs=128 147.2 Gint/s at 64k)
+    # finer band bookkeeping rows (row_size=) + band-window granularity
+    # decoupled from the source scan block (target_block=): the window
+    # is shared per target tile, so small tiles hug the true near-pair
+    # set while big source blocks keep the base-pass loops long.
+    # Measured 2026-08-20 eval at 64k: rs=512/bs=4096 134.4 -> rs=128
+    # 147.2 -> tb=512/bs=64k/rs=128 156.3 Gint/s.
+    ("xla-mb-64k/512r128", "xla", None,
+     {"block_size": 65536, "band_rows": ..., "row_size": 128,
+      "target_block": 512}),
+    ("xla-mb-16k/1024r128", "xla", None,
+     {"block_size": 16384, "band_rows": ..., "row_size": 128,
+      "target_block": 1024}),
     ("xla-mb-4096r128", "xla", None,
      {"block_size": 4096, "band_rows": ..., "row_size": 128}),
-    ("xla-mb-4096r256", "xla", None,
-     {"block_size": 4096, "band_rows": ..., "row_size": 256}),
     ("xla-two-pass", "xla", None, None),
     ("xla-mb-4096", "xla", None, {"block_size": 4096, "band_rows": ...}),
     ("xla-mb-2048", "xla", None, {"block_size": 2048, "band_rows": ...}),
@@ -174,11 +181,14 @@ def _resolve_config_kwargs(extra, pos, soft):
         from nbody_streams_tpu.ops.xla_direct import RS, measure_band_rows
 
         rs = extra.get("row_size") or RS
+        # the window is provisioned at target-tile granularity
+        # (target_block when set, else the source block)
+        tbs = extra.get("target_block") or extra["block_size"]
         # slack is in row units: scale the floor so finer rows keep at
         # least ~1024 sources of drift cushion between order refreshes
         slack = max(BAND_SLACK, 1024 // rs)
         extra["band_rows"] = measure_band_rows(
-            pos, soft, bs=extra["block_size"], rs=rs) + slack
+            pos, soft, bs=tbs, rs=rs) + slack
     return extra
 
 

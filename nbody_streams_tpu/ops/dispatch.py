@@ -103,6 +103,7 @@ class DirectGravity:
         tile_config: dict | None = None,
         band_rows: int | None = None,
         row_size: int | None = None,
+        target_block: int | None = None,
         target_drift: float | None = None,
     ):
         validate_kernel(kernel)
@@ -201,6 +202,14 @@ class DirectGravity:
                 f"row_size= only applies to impl='xla' (got {impl!r}); "
                 "use tile_config= for the Pallas path's geometry")
         self.row_size = row_size
+        # target_block: XLA-backend band-window granularity — smaller
+        # target tiles hug the near-pair set tighter, shrinking the
+        # band pass (xla_direct._xla_self_sorted tbs).
+        if target_block is not None and impl != "xla":
+            raise ValueError(
+                f"target_block= only applies to impl='xla' (got {impl!r}); "
+                "use tile_config= for the Pallas path's geometry")
+        self.target_block = target_block
 
         if self.fast:
             # the fast tier only exists on the slab-sorted Pallas spline
@@ -331,6 +340,7 @@ class DirectGravity:
                 self.kahan, self.eps2, order=order,
                 block_size=self._user_block_size,
                 band_rows=self.band_rows, row_size=self.row_size,
+                target_block=self.target_block,
             )
         if self.impl == "sharded":
             return self._sharded.accel(pos)
@@ -359,6 +369,7 @@ class DirectGravity:
                 self.kahan, self.eps2, order=order,
                 block_size=self._user_block_size,
                 band_rows=self.band_rows, row_size=self.row_size,
+                target_block=self.target_block,
             )
         if self.impl == "sharded":
             return self._sharded.potential(pos)

@@ -210,10 +210,21 @@ def _band_block(kind, pos_t, h_t, pos_s, m_s, h_s, mode, eps2):
 @functools.partial(
     jax.jit,
     static_argnames=("kind", "kahan", "mode", "bs", "rs", "nb_rows",
-                     "guard"),
+                     "guard", "tbs"),
 )
 def _xla_self_sorted(pos, mass, soft, G, kind, kahan, mode, eps2,
-                     order, bs, rs, nb_rows, guard):
+                     order, bs, rs, nb_rows, guard, tbs=None):
+    """``tbs`` (target block size, default = ``bs``) decouples the band
+    WINDOW granularity from the source-scan block: the zeroed window is
+    shared by all targets of one target block, so its width must cover
+    that block's own x-span (tbs/rs rows) plus the softening reach —
+    smaller target blocks hug the true near-pair set tighter and the
+    band pass (billed at the full ~29-op spline rate) shrinks by the
+    span difference.  The base pass still scans bs-sized source blocks
+    (large fused elementwise loops), now mapped over npad/tbs target
+    tiles — the same (small targets x large source scan) shape as the
+    Pallas kernel's (tm x tn*n_sub) grid."""
+    tbs = tbs or bs
     n = pos.shape[0]
     dtype = pos.dtype
     eps2 = jnp.asarray(eps2, dtype)
@@ -229,12 +240,13 @@ def _xla_self_sorted(pos, mass, soft, G, kind, kahan, mode, eps2,
     ms_p = jnp.pad(ms, (0, npad - n))
     hs_p = jnp.pad(hs, (0, npad - n), mode="edge")
 
-    nblk = npad // bs
+    nblk = npad // bs                  # source-scan blocks
+    nblk_t = npad // tbs               # target tiles (window granularity)
     rows = npad // rs
     k = bs // rs                       # band rows per source block
 
     x = ps_p[:, 0]
-    x_t = x.reshape(nblk, bs)
+    x_t = x.reshape(nblk_t, tbs)
     x_r = x.reshape(rows, rs)
     t_lo, t_hi = x_t.min(axis=1), x_t.max(axis=1)
     s_lo, s_hi = x_r.min(axis=1), x_r.max(axis=1)
@@ -253,14 +265,15 @@ def _xla_self_sorted(pos, mass, soft, G, kind, kahan, mode, eps2,
     start = jnp.clip(first, 0, rows - nb_rows)         # (nblk,) int32
 
     m_b = ms_p.reshape(nblk, bs)
-    h_b = hs_p.reshape(nblk, bs)
+    h_b = hs_p.reshape(nblk_t, tbs)
     hinv_p = lax.rsqrt(hs_p * hs_p)        # inf for h == 0: exact (q
     #                                        >= 1 selects Newtonian)
-    out_shape = (bs, 3) if mode == "acc" else (bs,)
+    out_shape = (tbs, 3) if mode == "acc" else (tbs,)
     newton = _newton_block if mode == "acc" else _newton_pot_block
 
     def two_pass(ps_p):
-        pos_b = ps_p.reshape(nblk, bs, 3)
+        pos_b = ps_p.reshape(nblk_t, tbs, 3)
+        src_b = ps_p.reshape(nblk, bs, 3)
 
         def per_target(tb):
             pos_t, h_t, start_t = tb
@@ -285,7 +298,7 @@ def _xla_self_sorted(pos, mass, soft, G, kind, kahan, mode, eps2,
                     jnp.zeros(out_shape, dtype))
             (total, comp), _ = lax.scan(
                 scan_src, init,
-                (pos_b, m_b, jnp.arange(nblk, dtype=jnp.int32)))
+                (src_b, m_b, jnp.arange(nblk, dtype=jnp.int32)))
 
             # -- pass 2: full kernel over the banded window -----------
             lo = start_t * rs
@@ -310,7 +323,9 @@ def _xla_self_sorted(pos, mass, soft, G, kind, kahan, mode, eps2,
         return lax.map(per_target, (pos_b, h_b, start))
 
     def single_pass(ps_p):
-        pos_b = ps_p.reshape(nblk, bs, 3)
+        pos_b = ps_p.reshape(nblk_t, tbs, 3)
+        src_b = ps_p.reshape(nblk, bs, 3)
+        hs_b = hs_p.reshape(nblk, bs)
 
         def per_target(tb):
             pos_t, h_t = tb
@@ -328,7 +343,7 @@ def _xla_self_sorted(pos, mass, soft, G, kind, kahan, mode, eps2,
 
             init = (jnp.zeros(out_shape, dtype),
                     jnp.zeros(out_shape, dtype))
-            (total, _), _ = lax.scan(scan_src, init, (pos_b, m_b, h_b))
+            (total, _), _ = lax.scan(scan_src, init, (src_b, m_b, hs_b))
             return total
 
         return lax.map(per_target, (pos_b, h_b))
@@ -364,7 +379,8 @@ def _xla_self_sorted(pos, mass, soft, G, kind, kahan, mode, eps2,
 
 
 def _dispatch(pos, mass, soft, G, kind, kahan, mode, eps2, order,
-              block_size, band_rows=None, row_size=None):
+              block_size, band_rows=None, row_size=None,
+              target_block=None):
     n = pos.shape[0]
     if not uses_spatial_sort(kind, n):
         from .pairwise import _choose_block, _pairwise_blocked
@@ -386,16 +402,26 @@ def _dispatch(pos, mass, soft, G, kind, kahan, mode, eps2, order,
         # crash at trace time with an opaque reshape error
         bs = -(-bs // rs) * rs
     npad = -(-n // bs) * bs
+    # target_block: band WINDOW granularity (see _xla_self_sorted tbs).
+    # Must tile the source block exactly, and stay a whole number of
+    # band rows; round down to the nearest valid divisor-of-bs multiple
+    # of rs rather than crash at trace time.
+    tbs = bs
+    if target_block:
+        tbs = max(rs, min(int(target_block), bs))
+        tbs = (tbs // rs) * rs
+        while bs % tbs:
+            tbs -= rs
     if band_rows is not None:
         # measured-width override (see measure_band_rows): trust the
         # caller's provisioning but keep it shape-valid.  Floor at the
-        # target block's own span + 1 (a window narrower than the block
+        # target tile's own span + 1 (a window narrower than the tile
         # itself can never cover and would poison every call); a window
         # still narrower than the data falls back / poisons exactly as
         # a too-narrow static floor would.
-        nb_rows = min(max(int(band_rows), bs // rs + 1), npad // rs)
+        nb_rows = min(max(int(band_rows), tbs // rs + 1), npad // rs)
     else:
-        nb_rows = _nb_rows(bs, rs, npad)
+        nb_rows = _nb_rows(tbs, rs, npad)
     # guard semantics: a supplied order means "scan context" (the
     # integrator refreshes it once per chunk) -> poison guard, which
     # keeps the expensive fallback branch out of the per-step graph; a
@@ -405,19 +431,20 @@ def _dispatch(pos, mass, soft, G, kind, kahan, mode, eps2, order,
     if order is None:
         order = jnp.argsort(pos[:, 0])
     return _xla_self_sorted(pos, mass, soft, G, kind, kahan, mode,
-                            eps2, order, bs, rs, nb_rows, guard)
+                            eps2, order, bs, rs, nb_rows, guard, tbs=tbs)
 
 
 def xla_accel(pos, mass, soft, G, kind, kahan, eps2=PAIRWISE_EPS2,
-              order=None, block_size=None, band_rows=None, row_size=None):
+              order=None, block_size=None, band_rows=None, row_size=None,
+              target_block=None):
     """Softened accelerations via the XLA two-pass path, (N, 3)."""
     return _dispatch(pos, mass, soft, G, kind, kahan, "acc", eps2,
-                     order, block_size, band_rows, row_size)
+                     order, block_size, band_rows, row_size, target_block)
 
 
 def xla_potential(pos, mass, soft, G, kind, kahan, eps2=PAIRWISE_EPS2,
                   order=None, block_size=None, band_rows=None,
-                  row_size=None):
+                  row_size=None, target_block=None):
     """Softened potential per particle via the XLA two-pass path, (N,)."""
     return _dispatch(pos, mass, soft, G, kind, kahan, "pot", eps2,
-                     order, block_size, band_rows, row_size)
+                     order, block_size, band_rows, row_size, target_block)
