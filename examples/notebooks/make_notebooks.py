@@ -175,12 +175,14 @@ plt.tight_layout()"""),
     ("code", """\
 from nbody_streams_tpu.coords import get_observed_stream_coords
 
-obs = get_observed_stream_coords(part, xv_prog=prog_traj[-1])
+prog_now = np.asarray(prog_traj, float)
+prog_now = prog_now if prog_now.ndim == 1 else prog_now[-1]
+obs = get_observed_stream_coords(part, xv_prog=prog_now)
 fig, ax = plt.subplots(figsize=(8, 4.5))
 sc = ax.scatter(obs["phi1"], obs["phi2"], s=2, c=obs["dist"],
                 cmap="viridis")
 plt.colorbar(sc, label="distance from observer [kpc]")
-ax.set_xlabel(r"$\phi_1$ [deg]"); ax.set_ylabel(r"$\phi_2$ [deg]")
+ax.set_xlabel(r"$\\phi_1$ [deg]"); ax.set_ylabel(r"$\\phi_2$ [deg]")
 ax.set_title("stream-frame sky track + observables")
 plt.tight_layout()"""),
     ("md", """\
