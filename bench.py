@@ -141,6 +141,13 @@ TILE_CONFIGS = [
     # set while big source blocks keep the base-pass loops long.
     # Measured 2026-08-20 eval at 64k: rs=512/bs=4096 134.4 -> rs=128
     # 147.2 -> tb=512/bs=64k/rs=128 156.3 Gint/s.
+    # s12: thinner 12-row drift cushion — fastest when it holds; the
+    # winner loop's non-finite |dE/E| rejection falls back to the
+    # full-cushion config when width drift outruns it (never silently
+    # wrong), so trialling it is free upside
+    ("xla-mb-64k/512r128s12", "xla", None,
+     {"block_size": 65536, "band_rows": ..., "row_size": 128,
+      "target_block": 512, "band_slack": 12}),
     ("xla-mb-64k/512r128", "xla", None,
      {"block_size": 65536, "band_rows": ..., "row_size": 128,
       "target_block": 512}),
@@ -177,6 +184,7 @@ def _resolve_config_kwargs(extra, pos, soft):
     if not extra:
         return {}
     extra = dict(extra)
+    slack_override = extra.pop("band_slack", None)
     if extra.get("band_rows") is ...:
         from nbody_streams_tpu.ops.xla_direct import RS, measure_band_rows
 
@@ -184,9 +192,15 @@ def _resolve_config_kwargs(extra, pos, soft):
         # the window is provisioned at target-tile granularity
         # (target_block when set, else the source block)
         tbs = extra.get("target_block") or extra["block_size"]
-        # slack is in row units: scale the floor so finer rows keep at
-        # least ~1024 sources of drift cushion between order refreshes
-        slack = max(BAND_SLACK, 1024 // rs)
+        # slack is in row units: keep the same PHYSICAL cushion as the
+        # proven rs=512 configs (BAND_SLACK=6 rows of 512 = 3072
+        # sources) — a 1024-source floor was measured to poison the
+        # 8x150-step window at rs=128 (the population's true band width
+        # evolves over ~2k steps by more than that); a config may carry
+        # an explicit thinner 'band_slack' as a rejected-if-it-poisons
+        # gamble
+        slack = slack_override if slack_override is not None else \
+            max(BAND_SLACK, (BAND_SLACK * 512) // rs)
         extra["band_rows"] = measure_band_rows(
             pos, soft, bs=tbs, rs=rs) + slack
     return extra

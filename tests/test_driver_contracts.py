@@ -49,6 +49,8 @@ def test_bench_config_selection():
 
     for name, impl, tile, extra in bench.TILE_CONFIGS:
         kw = dict(extra or {})
+        # consumed by _resolve_config_kwargs, never reaches the solver
+        kw.pop("band_slack", None)
         if kw.get("band_rows") is ...:
             assert impl == "xla", name  # only the xla backend takes it
             kw["band_rows"] = 20
@@ -77,13 +79,15 @@ def test_bench_resolves_measured_band_placeholder():
     assert bench._resolve_config_kwargs({"block_size": 4096}, pos,
                                         soft) == {"block_size": 4096}
     # row_size threads into the measurement and scales the slack floor
-    # (>= ~1024 sources of drift cushion in row units)
+    # (same physical cushion as the rs=512 configs: BAND_SLACK*512
+    # sources); target_block selects the window-measurement tile
     kw = bench._resolve_config_kwargs(
-        {"block_size": 4096, "band_rows": ..., "row_size": 128},
+        {"block_size": 4096, "band_rows": ..., "row_size": 128,
+         "target_block": 512},
         pos, soft)
     assert kw["row_size"] == 128
     assert kw["band_rows"] == measure_band_rows(
-        pos, soft, bs=4096, rs=128) + max(bench.BAND_SLACK, 1024 // 128)
+        pos, soft, bs=512, rs=128) + (bench.BAND_SLACK * 512) // 128
 
 
 def test_bench_supervisor_passes_through_child_json(capfd):
