@@ -49,7 +49,7 @@ _DF_KW = {
 }
 _SCF_KW = {
     "scf_nmax", "scf_lmax", "scf_mmax", "scf_a", "scf_symmetry",
-    "scf_center",
+    "scf_center", "scf_groups",
 }
 
 
@@ -170,10 +170,43 @@ def run_simulation(
                 "'float32'", PerformanceWarning, stacklevel=2)
         xv0 = phase_space
         opts = {k.removeprefix("scf_"): v for k, v in scf_kwargs.items()}
+        groups_spec = opts.pop("groups", None)
 
-        def _scf_factory(mass_arr_np, soft_arr_np, _opts=opts):
-            return SCFGravity(mass_arr_np, soft_arr_np, G=G,
-                              precision=scf_prec, phase_space=xv0, **_opts)
+        if groups_spec is not None:
+            # multi-center composite tier: scf_groups maps species onto
+            # per-group expansions (clustered geometry — an LMC-mass
+            # satellite or dissolving progenitor falls out of the 1-5%
+            # class under a single-center basis; see
+            # docs/performance.md 'Clustered geometry').  Accepts
+            # {species_name: opts} or [(species_name | slice, opts)].
+            from .ops.scf import CompositeSCFGravity
+
+            by_name, start = {}, 0
+            for s in species:
+                by_name[s.name] = slice(start, start + s.N)
+                start += s.N
+            items = (groups_spec.items() if isinstance(groups_spec, dict)
+                     else groups_spec)
+            groups = []
+            for key, gopts in items:
+                if isinstance(key, str):
+                    if key not in by_name:
+                        raise ValueError(
+                            f"scf_groups references unknown species "
+                            f"{key!r}; have {sorted(by_name)}")
+                    key = by_name[key]
+                groups.append((key, dict(gopts)))
+
+            def _scf_factory(mass_arr_np, soft_arr_np, _g=groups,
+                             _shared=opts):
+                return CompositeSCFGravity(
+                    mass_arr_np, soft_arr_np, groups=_g, G=G,
+                    precision=scf_prec, phase_space=xv0, **_shared)
+        else:
+            def _scf_factory(mass_arr_np, soft_arr_np, _opts=opts):
+                return SCFGravity(mass_arr_np, soft_arr_np, G=G,
+                                  precision=scf_prec, phase_space=xv0,
+                                  **_opts)
 
         direct_kwargs["solver_factory"] = _scf_factory
 

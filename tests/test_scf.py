@@ -436,3 +436,38 @@ def test_composite_group_validation():
         CompositeSCFGravity(m, groups=[(slice(0, 0), {"a": 1.0}),
                                        (slice(0, 100), {"a": 1.0})],
                             phase_space=ps)
+
+
+def test_run_simulation_scf_groups_end_to_end(tmp_path):
+    """run_simulation(method='scf', scf_groups=...) installs the
+    multi-center composite tier, mapping species names onto contiguous
+    group slices; unknown species names fail loudly."""
+    import nbody_streams_tpu as nst
+
+    rng = np.random.default_rng(5)
+    xv_mw, m_mw = nst.make_plummer_sphere(3000, 1e9, 1.0, seed=5)
+    xv_sat, m_sat = nst.make_plummer_sphere(1000, 1e8, 0.3, seed=6)
+    xv_sat[:, 0] += 6.0
+    xv_sat[:, 4] += 150.0
+    xv = np.concatenate([xv_mw, xv_sat])
+    sp = [nst.Species(name="mw", N=3000, mass=m_mw, softening=0.05),
+          nst.Species(name="sat", N=1000, mass=m_sat, softening=0.05)]
+    out = nst.run_simulation(
+        xv, sp, 0.0, 5e-3, 1e-4, architecture="cpu", method="scf",
+        scf_nmax=4, scf_lmax=2,
+        scf_groups={"mw": {"a": 1.0},
+                    "sat": {"a": 0.3, "center": "com"}},
+        output_dir=str(tmp_path), snapshots=2, verbose=False)
+    assert out["mw"].shape == (3000, 6)
+    assert out["sat"].shape == (1000, 6)
+    assert np.isfinite(out["sat"]).all()
+    # the satellite must still be a bound clump around its own center
+    com = out["sat"][:, :3].mean(0)
+    assert np.median(np.linalg.norm(out["sat"][:, :3] - com, axis=1)) < 2.0
+
+    with pytest.raises(ValueError, match="unknown species"):
+        nst.run_simulation(
+            xv, sp, 0.0, 1e-3, 1e-4, architecture="cpu", method="scf",
+            scf_groups={"nope": {"a": 1.0}},
+            output_dir=str(tmp_path / "x"), save_snapshots=False,
+            verbose=False)
