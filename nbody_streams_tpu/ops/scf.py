@@ -393,8 +393,14 @@ class CompositeSCFGravity:
     group.
 
     Measured (tests/test_scf.py, two-center MW+LMC 10:1 at distance
-    8 a): single-center (8, 4) median force error ~17%; this composite
-    at the same per-group truncation ~1-2% — back in the tree's class.
+    8 a): single-center (8, 4) median force error on the satellite's
+    particles >5% (out of class); this composite at the same per-group
+    truncation 4.9% — the 4000-particle satellite sample's shot-noise
+    floor, back in the tree's published 1-5% class (accuracy table:
+    docs/performance.md 'Clustered geometry').
+
+    ``run_simulation(method='scf', scf_groups=...)`` exposes this tier
+    end-to-end, mapping species names onto group slices.
     """
 
     spatial_sort_active = False
