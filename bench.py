@@ -148,6 +148,13 @@ TILE_CONFIGS = [
     ("xla-mb-64k/512r128s12", "xla", None,
      {"block_size": 65536, "band_rows": ..., "row_size": 128,
       "target_block": 512, "band_slack": 12}),
+    # p25: stretch the in-scan order-refresh cadence (the in-graph
+    # argsort is ~1.5-2 ms/step amortised at cadence 10); the wide
+    # measured cushion absorbs the extra staleness or the config
+    # poisons and is rejected
+    ("xla-mb-64k/512r128p25", "xla", None,
+     {"block_size": 65536, "band_rows": ..., "row_size": 128,
+      "target_block": 512, "presort_every": 25}),
     ("xla-mb-64k/512r128", "xla", None,
      {"block_size": 65536, "band_rows": ..., "row_size": 128,
       "target_block": 512}),

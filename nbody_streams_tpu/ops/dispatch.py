@@ -105,6 +105,7 @@ class DirectGravity:
         row_size: int | None = None,
         target_block: int | None = None,
         target_drift: float | None = None,
+        presort_every: int | None = None,
     ):
         validate_kernel(kernel)
         validate_precision(precision)
@@ -210,6 +211,24 @@ class DirectGravity:
                 f"target_block= only applies to impl='xla' (got {impl!r}); "
                 "use tile_config= for the Pallas path's geometry")
         self.target_block = target_block
+        # presort_every: override the XLA backend's in-scan order
+        # refresh cadence (default 10 steps).  The in-graph argsort is
+        # the dominant stepping-vs-eval overhead at 64k (~1.5-2 ms/step
+        # amortised at cadence 10); a band provisioned with a wide
+        # measured cushion tolerates more staleness, so benchers can
+        # stretch the cadence.  A cadence too long for the cushion
+        # poisons with NaN (exact-or-NaN guard) — never silently wrong.
+        if presort_every is not None:
+            if impl != "xla":
+                raise ValueError(
+                    f"presort_every= only applies to impl='xla' "
+                    f"(got {impl!r}); the Pallas path's stale-order "
+                    "behaviour is exact-with-fallback at any cadence")
+            if int(presort_every) < 1:
+                raise ValueError(
+                    f"presort_every must be >= 1, got {presort_every!r}")
+        self.presort_every = (None if presort_every is None
+                              else int(presort_every))
 
         if self.fast:
             # the fast tier only exists on the slab-sorted Pallas spline
@@ -310,9 +329,10 @@ class DirectGravity:
         band-rows of drift, so its order must be refreshed every ~10
         steps (in-graph argsort, ~0.3 ms/step amortised at 64k).  The
         Pallas path's stale-order behaviour is exact-with-fallback, so
-        it keeps the cheaper once-per-chunk sort."""
+        it keeps the cheaper once-per-chunk sort.  ``presort_every=``
+        overrides the default cadence (see __init__)."""
         if self.impl == "xla" and self.spatial_sort_active:
-            return 10
+            return self.presort_every or 10
         return None
 
     # -- backend dispatch ---------------------------------------------------

@@ -362,3 +362,18 @@ def test_driver_bounds_order_staleness_under_dispatch_cap(
     # would reach 12 > 10 — never drops the sort entirely
     pat = [(s_, p) for s_, p, pe in seen if pe == 10]
     assert pat == [(3, True), (3, False), (3, False), (3, True)]
+
+
+def test_presort_every_override(cloud):
+    """presort_every= stretches the in-scan order-refresh cadence the
+    integrator reads via solver.presort_interval; xla-only, >= 1."""
+    pos, mass, soft = cloud
+    s = _solver(mass, soft, presort_every=25)
+    assert s.presort_interval == 25
+    assert _solver(mass, soft).presort_interval == 10
+    with pytest.raises(ValueError, match="presort_every"):
+        DirectGravity(mass, soft, kernel="spline",
+                      precision="float32_kahan", impl="jnp",
+                      presort_every=25)
+    with pytest.raises(ValueError, match="presort_every"):
+        _solver(mass, soft, presort_every=0)
