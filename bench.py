@@ -141,20 +141,14 @@ TILE_CONFIGS = [
     # set while big source blocks keep the base-pass loops long.
     # Measured 2026-08-20 eval at 64k: rs=512/bs=4096 134.4 -> rs=128
     # 147.2 -> tb=512/bs=64k/rs=128 156.3 Gint/s.
-    # s12: thinner 12-row drift cushion — fastest when it holds; the
-    # winner loop's non-finite |dE/E| rejection falls back to the
-    # full-cushion config when width drift outruns it (never silently
-    # wrong), so trialling it is free upside
-    ("xla-mb-64k/512r128s12", "xla", None,
-     {"block_size": 65536, "band_rows": ..., "row_size": 128,
-      "target_block": 512, "band_slack": 12}),
-    # p25: stretch the in-scan order-refresh cadence (the in-graph
-    # argsort is ~1.5-2 ms/step amortised at cadence 10); the wide
-    # measured cushion absorbs the extra staleness or the config
-    # poisons and is rejected
-    ("xla-mb-64k/512r128p25", "xla", None,
-     {"block_size": 65536, "band_rows": ..., "row_size": 128,
-      "target_block": 512, "presort_every": 25}),
+    # Measured and retired (2026-08-20, both auto-rejected by the
+    # non-finite |dE/E| winner loop over 8x150-step windows — the
+    # rejection protocol worked, the configs just never pay off):
+    # a 12-row thin-cushion variant (trial 146.6 Gint/s) and a 25-step
+    # order-refresh cadence (trial 142.0, no gain).  The bench
+    # population's band width drifts past a 1536-source cushion within
+    # ~2k steps, and the in-graph argsort at 64k is cheaper than the
+    # poison risk of a stretched cadence.
     ("xla-mb-64k/512r128", "xla", None,
      {"block_size": 65536, "band_rows": ..., "row_size": 128,
       "target_block": 512}),
